@@ -1,0 +1,167 @@
+"""Explicit time integration: the TPU-native replacement for PETSc TS.
+
+The reference wires TS (euler / rk4 / beuler) with OperatorRHSFunction
+(rdysetup.c:1174-1216) and advances one coupling interval per RDyAdvance with
+TS_EXACTFINALTIME_MATCHSTEP (rdyadvance.c:345-364). Here an entire coupling
+interval is ONE jitted `lax.fori_loop` — no host round-trips between steps;
+the final step is shortened in-graph to land exactly on the interval end.
+
+Adaptive dt stays *between* intervals (host side), exactly like the
+reference (rdyadvance.c:303-343), so step counts stay static inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .operator import SWEOperator, OperatorArrays, RHSResult, with_arrays
+
+TEMPORAL_EULER = "euler"
+TEMPORAL_RK4 = "rk4"
+TEMPORAL_SSPRK2 = "ssprk2"
+TEMPORAL_SSPRK3 = "ssprk3"
+
+
+class IntervalResult(NamedTuple):
+    q: jnp.ndarray  # [ndof, C] final state
+    t: jnp.ndarray  # final time (seconds)
+    max_courant: jnp.ndarray  # max Courant number over the interval
+    courant_edge: jnp.ndarray  # edge index achieving it
+    bflux_accum: jnp.ndarray  # [ndof, Eb] sum over steps of dt * boundary flux
+    accum_sol: jnp.ndarray  # [ndof, C] sum of dt * q (time-averaged output)
+    accum_prim: jnp.ndarray  # [ndof, C] sum of dt * primitives
+    accum_time: jnp.ndarray  # total time accumulated
+
+
+def _rk_step(scheme: str, rhs_fn, q, t, dt):
+    """One explicit step; rhs_fn(q, t, dt) -> RHSResult. Returns the new q and
+    the first-stage RHSResult (used for diagnostics, matching the reference's
+    per-apply accumulation under forward euler)."""
+    r1: RHSResult = rhs_fn(q, t, dt)
+    if scheme == TEMPORAL_EULER:
+        q_new = q + dt * r1.rhs
+    elif scheme == TEMPORAL_RK4:
+        r2 = rhs_fn(q + 0.5 * dt * r1.rhs, t + 0.5 * dt, dt)
+        r3 = rhs_fn(q + 0.5 * dt * r2.rhs, t + 0.5 * dt, dt)
+        r4 = rhs_fn(q + dt * r3.rhs, t + dt, dt)
+        q_new = q + (dt / 6.0) * (r1.rhs + 2.0 * r2.rhs + 2.0 * r3.rhs + r4.rhs)
+    elif scheme == TEMPORAL_SSPRK2:
+        q1 = q + dt * r1.rhs
+        r2 = rhs_fn(q1, t + dt, dt)
+        q_new = 0.5 * q + 0.5 * (q1 + dt * r2.rhs)
+    elif scheme == TEMPORAL_SSPRK3:
+        q1 = q + dt * r1.rhs
+        r2 = rhs_fn(q1, t + dt, dt)
+        q2 = 0.75 * q + 0.25 * (q1 + dt * r2.rhs)
+        r3 = rhs_fn(q2, t + 0.5 * dt, dt)
+        q_new = (1.0 / 3.0) * q + (2.0 / 3.0) * (q2 + dt * r3.rhs)
+    else:
+        raise ValueError(f"unknown temporal scheme '{scheme}'")
+    return q_new, r1
+
+
+def make_interval_advancer(
+    op: SWEOperator,
+    scheme: str = TEMPORAL_EULER,
+    bc_fn: Optional[Callable] = None,
+    src_fn: Optional[Callable] = None,
+):
+    """Build a jittable function advancing one coupling interval.
+
+    bc_fn(t) -> [ndof, Eb] overrides static Dirichlet boundary values with
+    time-dependent ones *inside* the step loop (used by MMS, where the
+    reference re-applies analytic BCs in a TS PreStep hook, rdymms.c:708).
+    src_fn(q, t) likewise overrides external sources.
+
+    Returns advance(arrays, q, t0, dt, n_steps, t_end, bnd_values, ext_src)
+    -> IntervalResult. `n_steps` must be a *static* python int; the last step
+    is shortened so the interval ends exactly at t_end.
+    """
+
+    def advance(
+        arrays: OperatorArrays,
+        q: jnp.ndarray,
+        t0,
+        dt,
+        n_steps: int,
+        t_end,
+        bnd_values: jnp.ndarray,
+        ext_src: jnp.ndarray,
+    ) -> IntervalResult:
+        bound_op = with_arrays(op, arrays)
+        dtype = q.dtype
+
+        def rhs_fn(qq, tt, ddt):
+            bv = bc_fn(tt) if bc_fn is not None else bnd_values
+            es = src_fn(qq, tt) if src_fn is not None else ext_src
+            return bound_op.apply(qq, ddt, bv, es)
+
+        def body(i, carry):
+            qq, tt, cmax, cedge, bfa, asol, aprim, atime = carry
+            dt_i = jnp.minimum(dt, t_end - tt)
+            dt_i = jnp.maximum(dt_i, 0.0)
+            q_new, r1 = _rk_step(scheme, rhs_fn, qq, tt, dt_i)
+            # step-level Courant (uses the actual step dt)
+            step_courant = r1.max_courant_per_dt * dt_i
+            bigger = step_courant > cmax
+            cmax = jnp.where(bigger, step_courant, cmax)
+            cedge = jnp.where(bigger, r1.courant_edge, cedge)
+            bfa = bfa + dt_i * r1.boundary_fluxes
+            asol = asol + dt_i * qq
+            aprim = aprim + dt_i * r1.prim
+            atime = atime + dt_i
+            # guard: if dt_i == 0 (past t_end), state unchanged
+            active = dt_i > 0.0
+            q_out = jnp.where(active, q_new, qq)
+            return (q_out, tt + dt_i, cmax, cedge, bfa, asol, aprim, atime)
+
+        ndof = q.shape[0]
+        init = (
+            q,
+            jnp.asarray(t0, dtype),
+            jnp.zeros((), dtype),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((ndof, max(op.num_boundary_edges, 1)), dtype),
+            jnp.zeros_like(q),
+            jnp.zeros_like(q),
+            jnp.zeros((), dtype),
+        )
+        q_f, t_f, cmax, cedge, bfa, asol, aprim, atime = jax.lax.fori_loop(
+            0, n_steps, body, init
+        )
+        return IntervalResult(
+            q=q_f,
+            t=t_f,
+            max_courant=cmax,
+            courant_edge=cedge,
+            bflux_accum=bfa,
+            accum_sol=asol,
+            accum_prim=aprim,
+            accum_time=atime,
+        )
+
+    return advance
+
+
+def adapt_timestep(
+    dt: float,
+    max_courant: float,
+    target_courant: float,
+    max_increase_factor: float,
+    coupling_interval: float,
+) -> float:
+    """Host-side adaptive dt between coupling intervals (rdyadvance.c:303-343)."""
+    if max_courant <= 0.0:
+        return dt
+    if max_courant < target_courant:
+        factor = min(target_courant / max_courant, max_increase_factor)
+        dt = dt * factor
+        if dt > coupling_interval:
+            dt = coupling_interval
+    else:
+        dt = dt * (target_courant / max_courant)
+    return dt

@@ -1,0 +1,80 @@
+"""Mesh construction tests (the analogue of the reference's test_rdymesh.c,
+which builds the FV mesh from planar_dam_10x5.msh)."""
+
+import numpy as np
+
+from rdycore_tpu.mesh import (
+    read_gmsh,
+    refine_uniform,
+    structured_quad,
+    structured_tri,
+)
+
+MESH = "/root/reference/share/meshes/planar_dam_10x5.msh"
+
+
+def test_structured_quad_counts():
+    m = structured_quad(4, 3, 0, 4, 0, 3)
+    assert m.num_cells == 12
+    assert m.num_edges == 31  # 16 horizontal + 15 vertical
+    assert m.num_internal_edges == 17
+    assert np.allclose(m.cell_area, 1.0)
+    assert np.allclose(m.edge_cn**2 + m.edge_sn**2, 1.0)
+
+
+def test_edge_signs_consistent():
+    m = structured_quad(5, 4)
+    sig = np.zeros(m.num_edges + 1)
+    np.add.at(sig, m.cell_edges, m.cell_edge_sign)
+    # internal edges appear once with +1 and once with -1
+    assert np.all(sig[: m.num_internal_edges] == 0.0)
+    # boundary edges appear only as left (-1)
+    assert np.all(sig[m.num_internal_edges : m.num_edges] == -1.0)
+
+
+def test_outward_normals_on_boundary():
+    m = structured_quad(3, 3, 0, 3, 0, 3)
+    for name, expect in [
+        ("left", (-1.0, 0.0)),
+        ("right", (1.0, 0.0)),
+        ("bottom", (0.0, -1.0)),
+        ("top", (0.0, 1.0)),
+    ]:
+        eids = m.boundaries[name]
+        assert np.allclose(m.edge_cn[eids], expect[0])
+        assert np.allclose(m.edge_sn[eids], expect[1])
+
+
+def test_gmsh_reference_mesh():
+    m = read_gmsh(MESH)
+    assert m.num_cells == 44
+    assert len(m.regions["upstream"]) + len(m.regions["downstream"]) == 44
+    assert set(m.boundaries) >= {"boundary", "top_wall", "bottom_wall"}
+    # total domain area: the planar dam geometry is a 10x5 rectangle minus
+    # the dam walls; cells are unit quads
+    assert m.cell_area.sum() == 44.0
+    # id-aliased lookups for grid_boundary_id-based config
+    assert np.array_equal(m.boundaries["__id_2"], m.boundaries["top_wall"])
+
+
+def test_bed_slope_plane():
+    # z = 0.3 x + 0.7 y must give exact constant slopes
+    m = structured_quad(6, 5, z_fn=lambda x, y: 0.3 * x + 0.7 * y)
+    assert np.allclose(m.cell_dz_dx, 0.3)
+    assert np.allclose(m.cell_dz_dy, 0.7)
+    mt = structured_tri(6, 5, z_fn=lambda x, y: 0.3 * x + 0.7 * y)
+    assert np.allclose(mt.cell_dz_dx, 0.3)
+    assert np.allclose(mt.cell_dz_dy, 0.7)
+
+
+def test_refinement_preserves_area_and_labels():
+    m = structured_quad(4, 3, 0, 4, 0, 3)
+    r = refine_uniform(m, 2)
+    assert r.num_cells == 12 * 16
+    assert np.isclose(r.cell_area.sum(), m.cell_area.sum())
+    assert len(r.boundaries["left"]) == 4 * len(m.boundaries["left"])
+
+    mt = structured_tri(4, 3)
+    rt = refine_uniform(mt, 1)
+    assert rt.num_cells == mt.num_cells * 4
+    assert np.isclose(rt.cell_area.sum(), mt.cell_area.sum())
