@@ -1,0 +1,73 @@
+"""CLI driver: the analogue of the reference's `rdycore` executable
+(driver/main.c): create -> setup -> advance loop -> report.
+
+Usage:
+    python -m rdycore_tpu <config.yaml> [--dt SECONDS] [--cpu] [--f32|--f64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="rdycore_tpu")
+    ap.add_argument("config", help="YAML configuration file")
+    ap.add_argument("--dt", type=float, default=None, help="override time step [config units]")
+    ap.add_argument("--cpu", action="store_true", help="run on CPU")
+    ap.add_argument("--f32", action="store_true", help="force single precision")
+    ap.add_argument("--f64", action="store_true", help="force double precision")
+    ap.add_argument("--mms", action="store_true", help="run as an MMS problem (like rdycore_mms)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from rdycore_tpu.config.yaml_input import load_config
+
+    cfg = load_config(args.config)
+    if args.dt is not None:
+        cfg.time.time_step = args.dt
+    if args.f32:
+        cfg.numerics.precision = "single"
+    if args.f64:
+        cfg.numerics.precision = "double"
+    if cfg.numerics.precision == "double":
+        jax.config.update("jax_enable_x64", True)
+
+    if args.mms:
+        from rdycore_tpu.mms import MMSDriver
+
+        drv = MMSDriver(cfg)
+        ok = drv.run()
+        return 0 if ok else 1
+
+    from rdycore_tpu.simulation import Simulation
+    from rdycore_tpu.io.writers import attach_output_monitors
+
+    sim = Simulation(cfg)
+    attach_output_monitors(sim)
+    sim.log.info(
+        f"mesh: {sim.mesh.num_cells} cells, {sim.mesh.num_edges} edges; "
+        f"dt = {sim.dt:.6g} s, t_final = {sim.t_final:.6g} s"
+    )
+    t0 = time.time()
+    prev_t = sim.t
+    while not sim.finished:
+        sim.advance()
+        assert sim.t > prev_t, "time did not advance"  # main.c sanity checks
+        prev_t = sim.t
+    wall = time.time() - t0
+    sim.log.info(
+        f"done: {sim.step} steps to t = {sim.t:.6g} s in {wall:.2f} s "
+        f"({sim.step * sim.mesh.num_cells / max(wall, 1e-9):.3g} cell-updates/s)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

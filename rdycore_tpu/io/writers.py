@@ -1,0 +1,175 @@
+"""Output monitors: XDMF/HDF5 output, checkpointing, time series.
+
+The reference registers TSMonitors for XDMF output (xdmf_output.c),
+checkpoints (checkpoint.c) and time series (time_series.c). Here monitors
+are per-coupling-interval callbacks on the Simulation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from ..simulation import Simulation
+
+# output field name -> (array source, component) following the reference's
+# field names (ex2b_ic_file.yaml output.fields)
+_FIELD_COMPONENTS = {
+    "Height": ("sol", 0),
+    "MomentumX": ("sol", 1),
+    "MomentumY": ("sol", 2),
+    "VelocityX": ("prim", 1),
+    "VelocityY": ("prim", 2),
+    "WaterSource": ("src", 0),
+    "MomentumXSource": ("src", 1),
+    "MomentumYSource": ("src", 2),
+}
+
+DEFAULT_FIELDS = ["Height", "MomentumX", "MomentumY"]
+
+
+def attach_output_monitors(sim: "Simulation") -> None:
+    cfg = sim.config
+    if cfg.output.format in ("xdmf", "binary"):
+        writer = XDMFWriter(sim)
+        sim.add_monitor(writer)
+    if cfg.checkpoint.interval:
+        from .checkpoint import CheckpointMonitor
+
+        sim.add_monitor(CheckpointMonitor(sim))
+    if cfg.output.time_series.boundary_fluxes or (
+        cfg.output.time_series.observations.interval
+        and cfg.output.time_series.observations.sites.cells
+    ):
+        from .time_series import TimeSeriesMonitor
+
+        sim.add_monitor(TimeSeriesMonitor(sim))
+
+
+class XDMFWriter:
+    """HDF5 heavy data + XMF light XML, in natural cell order
+    (xdmf_output.c:254-434). One HDF5 file per run; one XMF referencing it."""
+
+    def __init__(self, sim: "Simulation"):
+        self.sim = sim
+        cfg = sim.config
+        self.dir = os.path.join(cfg.config_dir, cfg.output.directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self.prefix = cfg.output.prefix or "output"
+        self.h5_path = os.path.join(self.dir, f"{self.prefix}.h5")
+        self.fields = cfg.output.fields or DEFAULT_FIELDS
+        self.interval = cfg.output.output_interval or 1
+        self._last_step = -1
+        self._wrote_grid = False
+        self._times = []
+        self._write_step()  # initial condition snapshot
+
+    def __call__(self, sim: "Simulation"):
+        due = sim.step % self.interval == 0 or sim.finished
+        if due and sim.step != self._last_step:
+            self._last_step = sim.step
+            self._write_step()
+
+    def _write_step(self):
+        import h5py
+
+        sim = self.sim
+        with h5py.File(self.h5_path, "a") as f:
+            if not self._wrote_grid:
+                self._write_grid(f)
+                self._wrote_grid = True
+            g = f.require_group(f"{len(self._times)}")
+            sol = sim.get_solution()
+            prim = None
+            src = np.asarray(sim.ext_src)
+            atime = sim.accum_time
+            for name in self.fields:
+                mean = name.endswith("_Mean")
+                base = name[:-5] if mean else name
+                spec = _FIELD_COMPONENTS.get(base)
+                if spec is None:
+                    continue
+                kind, comp = spec
+                if mean and atime > 0:
+                    if kind == "sol":
+                        data = sim.accum_sol[comp] / atime
+                    elif kind == "prim":
+                        data = sim.accum_prim[comp] / atime
+                    else:
+                        data = src[comp]
+                else:
+                    if kind == "sol":
+                        data = sol[comp]
+                    elif kind == "prim":
+                        if prim is None:
+                            prim = _primitives(sim, sol)
+                        data = prim[comp]
+                    else:
+                        data = src[comp]
+                g.create_dataset(name, data=np.asarray(data))
+            g.attrs["time"] = sim.t
+            g.attrs["step"] = sim.step
+        self._times.append(sim.t)
+        self._write_xmf()
+
+    def _write_grid(self, f):
+        mesh = self.sim.mesh
+        # mixed topology: XDMF mixed element list [type, v0, v1, ...]
+        topo = []
+        for c in range(mesh.num_cells):
+            nv = int(mesh.cell_num_vertices[c])
+            topo.append(4 if nv == 3 else 5)  # 4=Triangle, 5=Quadrilateral
+            topo.extend(int(v) for v in mesh.cell_vertices[c, :nv])
+        grid = f.require_group("grid")
+        grid.create_dataset("topology", data=np.asarray(topo, dtype=np.int64))
+        grid.create_dataset("points", data=mesh.points)
+
+    def _write_xmf(self):
+        mesh = self.sim.mesh
+        xmf_path = os.path.join(self.dir, f"{self.prefix}.xmf")
+        h5 = os.path.basename(self.h5_path)
+        ncells = mesh.num_cells
+        npts = mesh.num_vertices
+        topo_len = sum(int(n) + 1 for n in mesh.cell_num_vertices)
+        parts = [
+            '<?xml version="1.0" ?>',
+            '<Xdmf Version="3.0">',
+            "<Domain>",
+            '<Grid Name="time_series" GridType="Collection" CollectionType="Temporal">',
+        ]
+        for i, t in enumerate(self._times):
+            parts += [
+                f'<Grid Name="step_{i}" GridType="Uniform">',
+                f'<Time Value="{t}"/>',
+                f'<Topology TopologyType="Mixed" NumberOfElements="{ncells}">',
+                f'<DataItem Format="HDF" Dimensions="{topo_len}">{h5}:/grid/topology</DataItem>',
+                "</Topology>",
+                '<Geometry GeometryType="XYZ">',
+                f'<DataItem Format="HDF" Dimensions="{npts} 3">{h5}:/grid/points</DataItem>',
+                "</Geometry>",
+            ]
+            for name in self.fields:
+                parts += [
+                    f'<Attribute Name="{name}" Center="Cell">',
+                    f'<DataItem Format="HDF" Dimensions="{ncells}">{h5}:/{i}/{name}</DataItem>',
+                    "</Attribute>",
+                ]
+            parts.append("</Grid>")
+        parts += ["</Grid>", "</Domain>", "</Xdmf>"]
+        with open(xmf_path, "w") as f:
+            f.write("\n".join(parts))
+
+
+def _primitives(sim, sol):
+    h = sol[0]
+    tiny = sim.config.physics.flow.tiny_h
+    ha = sim.config.physics.flow.h_anuga_reg_parameter
+    denom = h * h + ha * ha
+    denom = np.where(denom > 0, denom, 1.0)
+    wet = h >= tiny
+    return np.stack(
+        [h, np.where(wet, sol[1] * h / denom, 0.0), np.where(wet, sol[2] * h / denom, 0.0)]
+    )

@@ -1,0 +1,502 @@
+"""The Simulation object: the TPU-native RDy lifecycle.
+
+Mirrors the reference's RDy object lifecycle (docs/developer/organization.md;
+src/rdycore.c, src/rdysetup.c, src/rdyadvance.c):
+
+    sim = Simulation.from_file("case.yaml")   # RDyCreate + RDySetup
+    while not sim.finished:                   # while (!RDyFinished(rdy))
+        sim.advance()                         #   RDyAdvance(rdy)
+
+plus the E3SM-style coupling surface (src/rdydata.c): get/set arrays in
+natural cell order between coupling intervals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.expressions import compile_expression
+from .config.schema import Config, ConfigError, time_to_seconds
+from .config.yaml_input import load_config
+from .constants import N_FLOW_DOF
+from .logging_ import Logger
+from .mesh.core import Mesh
+from .mesh.exodus import read_exodus
+from .mesh.gmsh import read_gmsh
+from .operator import SWEOperator, build_operator
+from .ops.swe import boundary as bc_mod
+from .ops.swe.sources import SOURCE_IMPLICIT_XQ2018, SOURCE_SEMI_IMPLICIT
+from .io.petsc_binary import read_petsc_vec
+from .timestepping import adapt_timestep, make_interval_advancer
+
+_BC_CODES = {
+    "dirichlet": bc_mod.BC_DIRICHLET,
+    "reflecting": bc_mod.BC_REFLECTING,
+    "critical-outflow": bc_mod.BC_CRITICAL_OUTFLOW,
+}
+
+_SOURCE_CODES = {
+    "semi_implicit": SOURCE_SEMI_IMPLICIT,
+    "implicit_xq2018": SOURCE_IMPLICIT_XQ2018,
+}
+
+
+def load_mesh_file(path: str) -> Mesh:
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".msh":
+        return read_gmsh(path)
+    if ext in (".exo", ".e", ".exo2"):
+        return read_exodus(path)
+    raise ConfigError(f"unsupported mesh format '{ext}' ({path})")
+
+
+class Simulation:
+    """A configured simulation on a single device (multi-device lives in
+    parallel/)."""
+
+    def __init__(self, config: Config, mesh: Optional[Mesh] = None):
+        self.config = config
+        self.log = Logger(config.logging.level, config.logging.file)
+        self.dtype = config.dtype
+
+        # ---- mesh (rdysetup.c CreateDM + RDyMeshCreateFromDM) ----
+        if mesh is None:
+            mesh_path = config.resolve_path(config.grid.file)
+            self.log.detail(f"Loading mesh from {mesh_path}")
+            mesh = load_mesh_file(mesh_path)
+        if config.grid.cell_elevation.file:
+            z = read_petsc_vec(config.resolve_path(config.grid.cell_elevation.file))
+            mesh.set_cell_elevations(z)
+        self.mesh = mesh
+
+        # ---- regions / boundaries (InitRegions / InitBoundaries) ----
+        self.region_cells: Dict[str, np.ndarray] = {}
+        for r in config.regions:
+            cells = mesh.regions.get(f"__id_{r.grid_region_id}")
+            if cells is None:
+                cells = mesh.regions.get(r.name)
+            if cells is None:
+                raise ConfigError(
+                    f"region '{r.name}' (grid_region_id={r.grid_region_id}) "
+                    f"not found in mesh (has {sorted(k for k in mesh.regions if not k.startswith('__'))})"
+                )
+            self.region_cells[r.name] = cells
+        if not config.regions:
+            self.region_cells["domain"] = np.arange(mesh.num_cells, dtype=np.int32)
+
+        boundary_edges: Dict[str, np.ndarray] = {}
+        for b in config.boundaries:
+            edges = mesh.boundaries.get(f"__id_{b.grid_boundary_id}")
+            if edges is None:
+                edges = mesh.boundaries.get(b.name)
+            if edges is None:
+                raise ConfigError(
+                    f"boundary '{b.name}' (grid_boundary_id={b.grid_boundary_id}) "
+                    "not found in mesh"
+                )
+            boundary_edges[b.name] = np.asarray(edges)
+        # any boundary edge not covered by a named boundary gets the implicit
+        # reflecting wall (rdysetup.c:706-777)
+        covered = (
+            np.concatenate(list(boundary_edges.values()))
+            if boundary_edges
+            else np.zeros(0, dtype=np.int64)
+        )
+        all_bnd = np.arange(
+            mesh.num_internal_edges, mesh.num_edges, dtype=np.int64
+        )
+        leftover = np.setdiff1d(all_bnd, covered)
+        if len(leftover):
+            boundary_edges["__auto_reflecting__"] = leftover
+
+        # rebuild the mesh's boundary map so the operator sees exactly the
+        # configured segments
+        mesh_boundaries = dict(boundary_edges)
+        self._mesh_for_op = dataclasses.replace(mesh, boundaries=mesh_boundaries)
+
+        # ---- conditions lookup ----
+        self.flow_conditions = {c.name: c for c in config.flow_conditions}
+
+        # ---- BC types per boundary (InitBoundaryConditions) ----
+        bc_types: Dict[str, int] = {}
+        self._dirichlet_conditions: Dict[str, object] = {}
+        for bc in config.boundary_conditions:
+            fc = self.flow_conditions[bc.flow]
+            code = _BC_CODES.get(fc.type)
+            if code is None:
+                raise ConfigError(
+                    f"flow condition '{fc.name}' has type '{fc.type}' which is "
+                    "not a supported boundary condition"
+                )
+            for bname in bc.boundaries:
+                bc_types[bname] = code
+                if code == bc_mod.BC_DIRICHLET:
+                    self._dirichlet_conditions[bname] = fc
+
+        # ---- materials (InitMaterialProperties) ----
+        mannings = np.zeros(mesh.num_cells)
+        materials = {m.name: m for m in config.materials}
+        for sc in config.surface_composition:
+            mat = materials[sc.material]
+            cells = self.region_cells[sc.region]
+            prop = mat.properties.manning
+            if prop.file:
+                vals = read_petsc_vec(config.resolve_path(prop.file))
+                if len(vals) == mesh.num_cells:
+                    mannings[cells] = vals[cells]
+                else:
+                    mannings[cells] = vals[: len(cells)]
+            elif prop.value is not None:
+                mannings[cells] = self._eval_cells(prop.value, cells)
+            else:
+                raise ConfigError(
+                    f"material '{mat.name}' has no manning value or file"
+                )
+        self.mannings_n = mannings
+
+        # ---- operator ----
+        self.operator: SWEOperator = build_operator(
+            self._mesh_for_op,
+            bc_types=bc_types,
+            mannings_n=mannings,
+            tiny_h=config.physics.flow.tiny_h,
+            h_anuga=config.physics.flow.h_anuga_reg_parameter,
+            source_method=_SOURCE_CODES.get(
+                config.physics.flow.source.method, SOURCE_SEMI_IMPLICIT
+            ),
+            xq2018_threshold=config.physics.flow.source.xq2018_threshold,
+            well_balancing_hr=(
+                config.physics.flow.well_balancing == "hydrostatic_reconstruction"
+            ),
+            second_order=config.numerics.second_order,
+            limiter=config.numerics.limiter,
+            dtype=self.dtype,
+        )
+
+        # ---- boundary geometry (edge centers, for BC expressions) ----
+        self._bnd_centers = self._boundary_edge_centers()
+
+        # ---- initial solution (InitSolution) ----
+        self.q = jnp.asarray(self._initial_solution(), dtype=self.dtype)
+
+        # ---- Dirichlet boundary values (InitDirichletBoundaryConditions) ----
+        self.boundary_values = jnp.asarray(
+            self._dirichlet_values(t=0.0), dtype=self.dtype
+        )
+
+        # ---- external sources (InitSources) ----
+        self.ext_src = jnp.asarray(self._initial_sources(), dtype=self.dtype)
+
+        # ---- time state ----
+        tc = config.time
+        self.time_unit = tc.unit
+        self.t = 0.0  # seconds
+        self.step = 0
+        self.dt = time_to_seconds(tc.time_step, tc.unit)
+        self.t_final = time_to_seconds(tc.stop, tc.unit)
+        self.max_steps = tc.stop_n if tc.stop_n else None
+        self.coupling_interval = time_to_seconds(tc.coupling_interval, tc.unit)
+        self.prev_max_courant: Optional[float] = None
+
+        # ---- stepper ----
+        self._advance_fn = None
+        self._advance_scheme = config.numerics.temporal
+        self._monitors: List[Callable] = []
+
+        # monitors fire at step cadence in the reference (TSMonitors); we
+        # split each coupling interval into chunks of the gcd of all
+        # configured step intervals so each monitor sees its exact steps
+        import math
+
+        intervals = [
+            i
+            for i in (
+                config.checkpoint.interval,
+                config.output.output_interval
+                if config.output.format != "none"
+                else 0,
+                config.output.time_series.boundary_fluxes,
+                config.output.time_series.observations.interval,
+            )
+            if i
+        ]
+        self.monitor_stride = math.gcd(*intervals) if intervals else 0
+
+        # accumulated diagnostics for time series / outputs
+        self.bflux_accum = np.zeros((N_FLOW_DOF, max(self.operator.num_boundary_edges, 1)))
+        self.accum_sol = np.zeros((N_FLOW_DOF, mesh.num_cells))
+        self.accum_prim = np.zeros((N_FLOW_DOF, mesh.num_cells))
+        self.accum_time = 0.0
+
+        # restart (checkpoint.c:259-317)
+        if config.restart.file:
+            from .io.checkpoint import restore_from_checkpoint
+
+            restore_from_checkpoint(
+                self,
+                config.resolve_path(config.restart.file),
+                config.restart.reinitialize,
+            )
+            self.log.info(
+                f"restarted from {config.restart.file} at t = {self.t:.6g} s, "
+                f"step {self.step}"
+            )
+
+    # ------------------------------------------------------------- setup bits
+    def _eval_cells(self, value, cells, t: float = 0.0) -> np.ndarray:
+        """Evaluate a number-or-expression at cell centroids."""
+        if isinstance(value, (int, float)):
+            return np.full(len(cells), float(value))
+        fn = compile_expression(str(value))
+        x = self.mesh.cell_centroid[cells, 0]
+        y = self.mesh.cell_centroid[cells, 1]
+        return np.asarray(fn(x, y, t), dtype=np.float64)
+
+    def _boundary_edge_centers(self) -> np.ndarray:
+        """[Eb, 2] midpoints of boundary edges in operator segment order."""
+        pts = self.mesh.points
+        centers = []
+        for seg in self.operator.segments:
+            ev = self.mesh.edge_vertices[seg.edge_ids]
+            mid = (pts[ev[:, 0], :2] + pts[ev[:, 1], :2]) / 2.0
+            centers.append(mid)
+        if centers:
+            return np.concatenate(centers, axis=0)
+        return np.zeros((0, 2))
+
+    def _initial_solution(self) -> np.ndarray:
+        q = np.zeros((N_FLOW_DOF, self.mesh.num_cells))
+        for ic in self.config.initial_conditions:
+            fc = self.flow_conditions[ic.flow]
+            cells = self.region_cells[ic.region]
+            if fc.file:
+                vals = read_petsc_vec(self.config.resolve_path(fc.file))
+                if len(vals) == N_FLOW_DOF * self.mesh.num_cells:
+                    blocked = vals.reshape(self.mesh.num_cells, N_FLOW_DOF)
+                    q[:, cells] = blocked[cells].T
+                else:
+                    raise ConfigError(
+                        f"IC file for '{fc.name}' has {len(vals)} values; "
+                        f"expected {N_FLOW_DOF * self.mesh.num_cells}"
+                    )
+            else:
+                q[0, cells] = self._eval_cells(
+                    fc.height if fc.height is not None else 0.0, cells
+                )
+                q[1, cells] = self._eval_cells(
+                    fc.x_momentum if fc.x_momentum is not None else 0.0, cells
+                )
+                q[2, cells] = self._eval_cells(
+                    fc.y_momentum if fc.y_momentum is not None else 0.0, cells
+                )
+        if not self.config.initial_conditions:
+            pass  # zero state
+        return q
+
+    def _dirichlet_values(self, t: float) -> np.ndarray:
+        bvals = np.zeros((N_FLOW_DOF, max(self.operator.num_boundary_edges, 1)))
+        for seg in self.operator.segments:
+            fc = self._dirichlet_conditions.get(seg.name)
+            if fc is None:
+                continue
+            sl = slice(seg.start, seg.start + seg.count)
+            x = self._bnd_centers[sl, 0]
+            y = self._bnd_centers[sl, 1]
+            for row, value in enumerate((fc.height, fc.x_momentum, fc.y_momentum)):
+                if value is None:
+                    continue
+                if isinstance(value, (int, float)):
+                    bvals[row, sl] = float(value)
+                else:
+                    fn = compile_expression(str(value))
+                    bvals[row, sl] = np.asarray(fn(x, y, t))
+        return bvals
+
+    def _initial_sources(self) -> np.ndarray:
+        src = np.zeros((N_FLOW_DOF, self.mesh.num_cells))
+        for s in self.config.sources:
+            if not s.flow:
+                continue
+            fc = self.flow_conditions[s.flow]
+            cells = self.region_cells[s.region]
+            if fc.file:
+                vals = read_petsc_vec(self.config.resolve_path(fc.file))
+                if len(vals) == self.mesh.num_cells:
+                    src[0, cells] = vals[cells]
+                else:
+                    src[0, cells] = vals[: len(cells)]
+            else:
+                for row, value in enumerate((fc.height, fc.x_momentum, fc.y_momentum)):
+                    if value is not None:
+                        src[row, cells] = self._eval_cells(value, cells)
+        return src
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def from_file(cls, path: str, **overrides) -> "Simulation":
+        return cls(load_config(path, overrides or None))
+
+    @property
+    def finished(self) -> bool:
+        """RDyFinished (rdyadvance.c:388-400)."""
+        if self.t >= self.t_final - 1e-12:
+            return True
+        if self.max_steps is not None and self.step >= self.max_steps:
+            return True
+        return False
+
+    def add_monitor(self, fn: Callable[["Simulation"], None]):
+        """Register a per-coupling-interval callback (the TSMonitor analogue:
+        output writers, checkpointing, time series)."""
+        self._monitors.append(fn)
+
+    def advance(self):
+        """Advance one coupling interval (RDyAdvance, rdyadvance.c:261-383)."""
+        cfg = self.config
+
+        # adaptive dt from the previous interval's Courant diagnostics
+        ta = cfg.time.adaptive
+        if ta.enable and self.prev_max_courant is not None:
+            self.dt = adapt_timestep(
+                self.dt,
+                self.prev_max_courant,
+                ta.target_courant_number,
+                ta.max_increase_factor,
+                self.coupling_interval,
+            )
+
+        t_end = min(self.t + self.coupling_interval, self.t_final)
+        span = t_end - self.t
+        n_steps = max(1, int(np.ceil(span / self.dt - 1e-12)))
+        if self.max_steps is not None:
+            n_steps = min(n_steps, self.max_steps - self.step)
+            t_end = min(t_end, self.t + n_steps * self.dt)
+
+        if self._advance_fn is None:
+            self._advance_fn = jax.jit(
+                make_interval_advancer(self.operator, self._advance_scheme)
+            )
+
+        max_courant = 0.0
+        stride = self.monitor_stride if self._monitors and self.monitor_stride else n_steps
+        done = 0
+        while done < n_steps:
+            chunk = min(stride, n_steps - done)
+            res = self._advance_fn(
+                self.operator.arrays,
+                self.q,
+                self.t,
+                jnp.asarray(self.dt, self.dtype),
+                int(chunk),
+                jnp.asarray(t_end, self.dtype),
+                self.boundary_values,
+                self.ext_src,
+            )
+            self.q = res.q
+            self.t = float(res.t)
+            self.step += int(chunk)
+            done += chunk
+            max_courant = max(max_courant, float(res.max_courant))
+            self.bflux_accum += np.asarray(res.bflux_accum)
+            self.accum_sol += np.asarray(res.accum_sol)
+            self.accum_prim += np.asarray(res.accum_prim)
+            self.accum_time += float(res.accum_time)
+            if self._monitors and self.monitor_stride and done < n_steps:
+                for mon in self._monitors:
+                    mon(self)
+
+        self.prev_max_courant = max_courant
+
+        self.log.detail(
+            f"step {self.step}: t = {self.t:.6g} s, dt = {self.dt:.6g} s, "
+            f"max courant = {self.prev_max_courant:.4g}"
+        )
+
+        for mon in self._monitors:
+            mon(self)
+
+    def run(self):
+        """create -> setup -> advance loop (the C driver main.c:34-88)."""
+        while not self.finished:
+            self.advance()
+
+    # ------------------------------------------------------------- coupling API
+    # The E3SM-style get/set surface (src/rdydata.c), arrays in natural
+    # cell order. On a single device natural order == local order.
+
+    @property
+    def num_cells(self) -> int:
+        return self.mesh.num_cells
+
+    def get_height(self) -> np.ndarray:
+        return np.asarray(self.q[0])
+
+    def get_x_momentum(self) -> np.ndarray:
+        return np.asarray(self.q[1])
+
+    def get_y_momentum(self) -> np.ndarray:
+        return np.asarray(self.q[2])
+
+    def get_solution(self) -> np.ndarray:
+        return np.asarray(self.q)
+
+    def set_solution(self, q: np.ndarray):
+        self.q = jnp.asarray(q, dtype=self.dtype)
+
+    def get_cell_centroids(self) -> np.ndarray:
+        return self.mesh.cell_centroid.copy()
+
+    def get_cell_areas(self) -> np.ndarray:
+        return self.mesh.cell_area.copy()
+
+    def get_natural_ids(self) -> np.ndarray:
+        return self.mesh.natural_ids.copy()
+
+    def get_manning_n(self) -> np.ndarray:
+        return self.mannings_n.copy()
+
+    def set_manning_n(self, n: np.ndarray):
+        self.mannings_n = np.asarray(n, dtype=np.float64)
+        arrays = self.operator.arrays._replace(
+            mannings_n=jnp.asarray(n, dtype=self.dtype)
+        )
+        object.__setattr__(self.operator, "arrays", arrays)
+
+    def set_domain_water_source(self, rate: np.ndarray | float):
+        """RDySetDomainWaterSource: water source for every cell [m/s]."""
+        src = np.asarray(self.ext_src).copy()
+        src[0, :] = rate
+        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+
+    def set_regional_water_source(self, region: str, rate: np.ndarray | float):
+        """RDySetRegionalWaterSource."""
+        src = np.asarray(self.ext_src).copy()
+        src[0, self.region_cells[region]] = rate
+        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+
+    def set_momentum_source(self, comp: int, rate: np.ndarray | float):
+        src = np.asarray(self.ext_src).copy()
+        src[comp, :] = rate
+        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+
+    def set_flow_dirichlet_boundary_values(
+        self, boundary: str, values: np.ndarray
+    ):
+        """RDySetFlowDirichletBoundaryValues: [3, n_edges] or [n_edges * 3]."""
+        seg = {s.name: s for s in self.operator.segments}[boundary]
+        vals = np.asarray(values, dtype=np.float64)
+        if vals.ndim == 1:
+            vals = vals.reshape(seg.count, N_FLOW_DOF).T
+        bv = np.asarray(self.boundary_values).copy()
+        bv[:, seg.start : seg.start + seg.count] = vals
+        self.boundary_values = jnp.asarray(bv, dtype=self.dtype)
+
+    def get_boundary_edge_centers(self, boundary: str) -> np.ndarray:
+        seg = {s.name: s for s in self.operator.segments}[boundary]
+        return self._bnd_centers[seg.start : seg.start + seg.count]

@@ -78,8 +78,13 @@ def make_interval_advancer(
     src_fn(q, t) likewise overrides external sources.
 
     Returns advance(arrays, q, t0, dt, n_steps, t_end, bnd_values, ext_src)
-    -> IntervalResult. `n_steps` must be a *static* python int; the last step
-    is shortened so the interval ends exactly at t_end.
+    -> IntervalResult. `n_steps` is a *dynamic* (traced) count: one compiled
+    executable serves every interval length, which (a) avoids recompiles when
+    adaptive dt changes the step count and (b) keeps per-step codegen
+    bitwise-identical across runs -- the checkpoint/restart equivalence test
+    requires exact reproducibility, and XLA specializing on a static trip
+    count can change fusion/reassociation. The last step is shortened
+    in-graph so the interval ends exactly at t_end.
     """
 
     def advance(
@@ -131,7 +136,7 @@ def make_interval_advancer(
             jnp.zeros((), dtype),
         )
         q_f, t_f, cmax, cedge, bfa, asol, aprim, atime = jax.lax.fori_loop(
-            0, n_steps, body, init
+            0, jnp.asarray(n_steps, jnp.int32), body, init
         )
         return IntervalResult(
             q=q_f,
