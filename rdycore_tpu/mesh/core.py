@@ -100,6 +100,24 @@ class Mesh:
         self.cell_z = z.copy()
 
 
+def named_boundary_sets(mesh: "Mesh") -> Dict[str, np.ndarray]:
+    """Boundary sets with duplicates resolved: named sets win; id-only sets
+    (``__id_N``) not covered by a named set are kept as ``boundary_N``."""
+    out: Dict[str, np.ndarray] = {}
+    covered: set = set()
+    for name, eids in mesh.boundaries.items():
+        if not name.startswith("__id_"):
+            out[name] = eids
+            covered.update(np.asarray(eids).tolist())
+    for name, eids in mesh.boundaries.items():
+        if name.startswith("__id_"):
+            extra = [e for e in np.asarray(eids).tolist() if e not in covered]
+            if extra:
+                out[f"boundary_{name[5:]}"] = np.asarray(extra, dtype=np.int32)
+                covered.update(extra)
+    return out
+
+
 def _polygon_areas_centroids(points, cell_vertices, cell_num_vertices):
     """Projected 2-D areas and 3-D centroids of tri/quad cells (vectorized)."""
     C = cell_vertices.shape[0]

@@ -75,7 +75,9 @@ def make_interval_advancer(
     bc_fn(t) -> [ndof, Eb] overrides static Dirichlet boundary values with
     time-dependent ones *inside* the step loop (used by MMS, where the
     reference re-applies analytic BCs in a TS PreStep hook, rdymms.c:708).
-    src_fn(q, t) likewise overrides external sources.
+    src_fn(t) likewise overrides external sources. Both are evaluated ONCE
+    per step at the half-step time t + dt/2 and held fixed across RK stages,
+    matching the reference's MMSPreStep semantics (rdymms.c:139-151).
 
     Returns advance(arrays, q, t0, dt, n_steps, t_end, bnd_values, ext_src)
     -> IntervalResult. `n_steps` is a *dynamic* (traced) count: one compiled
@@ -100,15 +102,19 @@ def make_interval_advancer(
         bound_op = with_arrays(op, arrays)
         dtype = q.dtype
 
-        def rhs_fn(qq, tt, ddt):
-            bv = bc_fn(tt) if bc_fn is not None else bnd_values
-            es = src_fn(qq, tt) if src_fn is not None else ext_src
-            return bound_op.apply(qq, ddt, bv, es)
-
         def body(i, carry):
             qq, tt, cmax, cedge, bfa, asol, aprim, atime = carry
             dt_i = jnp.minimum(dt, t_end - tt)
             dt_i = jnp.maximum(dt_i, 0.0)
+
+            # per-step forcing, frozen across stages (MMSPreStep semantics)
+            t_half = tt + 0.5 * dt_i
+            bv = bc_fn(t_half) if bc_fn is not None else bnd_values
+            es = src_fn(t_half) if src_fn is not None else ext_src
+
+            def rhs_fn(q_s, t_s, dt_s):
+                return bound_op.apply(q_s, dt_s, bv, es)
+
             q_new, r1 = _rk_step(scheme, rhs_fn, qq, tt, dt_i)
             # step-level Courant (uses the actual step dt)
             step_courant = r1.max_courant_per_dt * dt_i
