@@ -1,0 +1,438 @@
+"""Multi-device domain decomposition: the MPI/DMPlex-distribution replacement.
+
+The reference partitions the mesh with ParMETIS and exchanges 1-cell halos
+via PETSc star forests every RHS evaluation (rdydm.c:116-159; SURVEY §2.3).
+The TPU-native design:
+
+- cells are partitioned into P equal contiguous blocks (the global cell
+  order is the partition order; pad the global mesh with dummy cells so
+  every shard owns exactly B cells)
+- each shard's local cell space = [owned B | ghosts G_max | 1 dummy]
+- *duplicate-computes* at partition boundaries: every edge incident to an
+  owned cell is computed on that shard, so partition-crossing edges are
+  solved on both sides and NO reverse flux scatter is needed (compute is
+  cheap, communication is expensive on TPU; the CEED backend instead
+  owner-assigns boundary edges, docs/developer/mesh.md:269-270)
+- halo exchange = pack frontier cells -> all_gather over the mesh axis ->
+  gather ghosts (frontiers are O(sqrt(B)), so the all_gather rides ICI
+  cheaply; a ppermute neighbor exchange is a later optimization)
+- Courant reduction = lax.pmax over the mesh axis
+
+All per-shard index arrays are padded to common shapes and stacked with a
+leading [P] axis; `jax.shard_map` strips that axis so the single-device
+`SWEOperator.apply` runs unchanged on each shard.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..constants import N_FLOW_DOF
+from ..mesh.core import Mesh
+from ..operator import (
+    BoundarySegment,
+    OperatorArrays,
+    SWEOperator,
+    build_operator,
+    with_arrays,
+)
+from ..timestepping import IntervalResult, _rk_step
+
+
+class HaloMaps(NamedTuple):
+    """Device arrays describing the frontier exchange (leading [P] axis)."""
+
+    send_ids: jnp.ndarray  # [P, S] local cell ids to pack (pad: 0)
+    ghost_src: jnp.ndarray  # [P, G] indices into the flattened [P*S] frontier
+    num_ghosts: jnp.ndarray  # [P] actual ghost counts
+
+
+class ShardedSWE:
+    """A sharded SWE problem over a 1-D device mesh axis."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        n_shards: int,
+        bc_types: Optional[Dict[str, int]] = None,
+        mannings_n: Optional[np.ndarray] = None,
+        dtype=jnp.float32,
+        axis_name: str = "mesh",
+        **op_kwargs,
+    ):
+        self.mesh = mesh
+        self.P = n_shards
+        self.axis_name = axis_name
+        self.dtype = dtype
+
+        # single-device operator gives us the canonical edge ordering,
+        # segments, and physics configuration
+        ref_op = build_operator(
+            mesh, bc_types=bc_types, mannings_n=mannings_n, dtype=dtype,
+            **op_kwargs,
+        )
+        self.ref_op = ref_op
+        self._build_partition(ref_op)
+
+    # ----------------------------------------------------------------- build
+    def _build_partition(self, ref_op: SWEOperator):
+        mesh = self.mesh
+        Pn = self.P
+        C = mesh.num_cells
+        B = -(-C // Pn)  # owned cells per shard
+        self.B = B
+
+        a = ref_op.arrays
+        int_left = np.asarray(a.int_left)
+        int_right = np.asarray(a.int_right)
+        Ei = ref_op.num_internal_edges
+        Eb = ref_op.num_boundary_edges
+        bnd_left = np.asarray(a.bnd_left)
+
+        owner = lambda c: np.minimum(c // B, Pn - 1)
+        int_lo = owner(int_left)
+        int_ro = owner(int_right)
+        bnd_o = owner(bnd_left)
+
+        # --- per-shard edge sets (duplicate-computes) ---
+        shard_int_edges: List[np.ndarray] = []
+        shard_ghosts: List[np.ndarray] = []
+        for p in range(Pn):
+            sel = (int_lo == p) | (int_ro == p)
+            eids = np.nonzero(sel)[0]
+            shard_int_edges.append(eids)
+            # ghost cells: endpoints not owned by p
+            cells = np.concatenate([int_left[eids], int_right[eids]])
+            ghosts = np.unique(cells[owner(cells) != p])
+            shard_ghosts.append(ghosts)
+
+        G_max = max((len(g) for g in shard_ghosts), default=0)
+        Ei_max = max((len(e) for e in shard_int_edges), default=0)
+        C_loc = B + G_max + 1  # + dummy cell
+        self.C_loc = C_loc
+        self.G_max = G_max
+
+        # --- frontier send sets ---
+        # shard p must send every owned cell that appears in another shard's
+        # ghost list
+        send_sets: List[np.ndarray] = [np.zeros(0, np.int64)] * Pn
+        needed_by: Dict[int, List[int]] = {}
+        for p in range(Pn):
+            for g in shard_ghosts[p]:
+                needed_by.setdefault(int(g), []).append(p)
+        sends: List[List[int]] = [[] for _ in range(Pn)]
+        for c in sorted(needed_by):
+            sends[int(owner(np.int64(c)))].append(c)
+        send_sets = [np.asarray(s, dtype=np.int64) for s in sends]
+        S_max = max((len(s) for s in send_sets), default=1)
+        S_max = max(S_max, 1)
+
+        # global cell -> (frontier flat position)
+        frontier_pos: Dict[int, int] = {}
+        for p in range(Pn):
+            for i, c in enumerate(send_sets[p]):
+                frontier_pos[int(c)] = p * S_max + i
+
+        # --- boundary segments: per-shard slices padded to max counts ---
+        seg_edge_lists: List[List[np.ndarray]] = []  # [seg][shard] -> edge idx
+        new_segments: List[BoundarySegment] = []
+        seg_counts = []
+        for seg in ref_op.segments:
+            per_shard = []
+            for p in range(Pn):
+                sl = np.arange(seg.start, seg.start + seg.count)
+                sel = sl[bnd_o[sl] == p]
+                per_shard.append(sel)
+            seg_edge_lists.append(per_shard)
+            seg_counts.append(max((len(s) for s in per_shard), default=0))
+        start = 0
+        for seg, cnt in zip(ref_op.segments, seg_counts):
+            new_segments.append(
+                BoundarySegment(
+                    name=seg.name,
+                    bc_type=seg.bc_type,
+                    start=start,
+                    count=cnt,
+                    edge_ids=seg.edge_ids,
+                )
+            )
+            start += cnt
+        Eb_loc = max(start, 1)
+
+        # --- assemble stacked per-shard arrays ---
+        dtype = self.dtype
+        DUMMY_CELL = C_loc - 1
+
+        area = np.ones((Pn, C_loc))
+        dz_dx = np.zeros((Pn, C_loc))
+        dz_dy = np.zeros((Pn, C_loc))
+        cell_z = np.zeros((Pn, C_loc))
+        mann = np.zeros((Pn, C_loc))
+        il = np.full((Pn, max(Ei_max, 1)), DUMMY_CELL, np.int64)
+        ir = np.full((Pn, max(Ei_max, 1)), DUMMY_CELL, np.int64)
+        icn = np.zeros((Pn, max(Ei_max, 1)))
+        isn = np.zeros((Pn, max(Ei_max, 1)))
+        bl = np.full((Pn, Eb_loc), DUMMY_CELL, np.int64)
+        bcn = np.zeros((Pn, Eb_loc))
+        bsn = np.zeros((Pn, Eb_loc))
+        blen = np.zeros((Pn, Eb_loc))
+        E_loc = max(Ei_max, 1) + Eb_loc
+        ce = np.full((Pn, C_loc, mesh.cell_edges.shape[1]), E_loc, np.int64)
+        cec = np.zeros((Pn, C_loc, mesh.cell_edges.shape[1]))
+        ccoef = np.zeros((Pn, E_loc))
+        send_ids = np.zeros((Pn, S_max), np.int64)
+        ghost_src = np.zeros((Pn, max(G_max, 1)), np.int64)
+        num_ghosts = np.zeros(Pn, np.int64)
+        bnd_global_idx = np.zeros((Pn, Eb_loc), np.int64)
+        bnd_mask = np.zeros((Pn, Eb_loc))
+        # map owned global solution rows for scatter/gather at the host level
+        # (owned block p is global cells [pB, pB+B) clipped to C)
+
+        ref_ccoef = np.asarray(a.edge_courant_coef)
+        ref_icn = np.asarray(a.int_cn)
+        ref_isn = np.asarray(a.int_sn)
+        ref_bcn = np.asarray(a.bnd_cn)
+        ref_bsn = np.asarray(a.bnd_sn)
+        ref_blen = np.asarray(a.bnd_len)
+        ref_area = np.asarray(a.area)
+        ref_dzdx = np.asarray(a.dz_dx)
+        ref_dzdy = np.asarray(a.dz_dy)
+        ref_z = np.asarray(a.cell_z)
+        ref_mann = np.asarray(a.mannings_n)
+        ref_ce = np.asarray(a.cell_edges)  # [C, K] into [0, E]
+        ref_cec = np.asarray(a.cell_edge_coef)
+
+        for p in range(Pn):
+            lo = p * B
+            hi = min(lo + B, C)
+            nown = hi - lo
+            # local cell map: global -> local
+            lmap: Dict[int, int] = {}
+            for i, c in enumerate(range(lo, hi)):
+                lmap[c] = i
+            for i, g in enumerate(shard_ghosts[p]):
+                lmap[int(g)] = B + i
+            num_ghosts[p] = len(shard_ghosts[p])
+
+            area[p, :nown] = ref_area[lo:hi]
+            dz_dx[p, :nown] = ref_dzdx[lo:hi]
+            dz_dy[p, :nown] = ref_dzdy[lo:hi]
+            cell_z[p, :nown] = ref_z[lo:hi]
+            mann[p, :nown] = ref_mann[lo:hi]
+            if len(shard_ghosts[p]):
+                gs = shard_ghosts[p]
+                area[p, B : B + len(gs)] = ref_area[gs]
+                dz_dx[p, B : B + len(gs)] = ref_dzdx[gs]
+                dz_dy[p, B : B + len(gs)] = ref_dzdy[gs]
+                cell_z[p, B : B + len(gs)] = ref_z[gs]
+                mann[p, B : B + len(gs)] = ref_mann[gs]
+
+            # interior edges
+            eids = shard_int_edges[p]
+            # map global edge id -> local edge id
+            emap: Dict[int, int] = {}
+            for j, e in enumerate(eids):
+                emap[int(e)] = j
+                il[p, j] = lmap[int(int_left[e])]
+                ir[p, j] = lmap[int(int_right[e])]
+                icn[p, j] = ref_icn[e]
+                isn[p, j] = ref_isn[e]
+                ccoef[p, j] = ref_ccoef[e]
+
+            # boundary edges per segment
+            for s_i, seg in enumerate(ref_op.segments):
+                nseg = new_segments[s_i]
+                local_edges = seg_edge_lists[s_i][p]  # global bnd indices
+                for j, be in enumerate(local_edges):
+                    out_j = nseg.start + j
+                    bl[p, out_j] = lmap[int(bnd_left[be])]
+                    bcn[p, out_j] = ref_bcn[be]
+                    bsn[p, out_j] = ref_bsn[be]
+                    blen[p, out_j] = ref_blen[be]
+                    bnd_global_idx[p, out_j] = be
+                    bnd_mask[p, out_j] = 1.0
+                    emap[Ei + int(be)] = max(Ei_max, 1) + out_j
+                    ccoef[p, max(Ei_max, 1) + out_j] = ref_ccoef[Ei + be]
+
+            # cell -> edge map for owned cells
+            for i, c in enumerate(range(lo, hi)):
+                for k in range(ref_ce.shape[1]):
+                    ge = int(ref_ce[c, k])
+                    if ge == ref_op.num_edges:  # dummy
+                        continue
+                    le = emap.get(ge)
+                    if le is None:
+                        raise AssertionError(
+                            f"edge {ge} of owned cell {c} missing on shard {p}"
+                        )
+                    ce[p, i, k] = le
+                    cec[p, i, k] = ref_cec[c, k]
+
+            # frontier sends / ghost sources
+            for i, c in enumerate(send_sets[p]):
+                send_ids[p, i] = lmap[int(c)]
+            for i, g in enumerate(shard_ghosts[p]):
+                ghost_src[p, i] = frontier_pos[int(g)]
+
+        self.S_max = S_max
+        self.Ei_loc = max(Ei_max, 1)
+        self.Eb_loc = Eb_loc
+        self.segments = tuple(new_segments)
+
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        ii = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        self.arrays = OperatorArrays(
+            area=f(area),
+            dz_dx=f(dz_dx),
+            dz_dy=f(dz_dy),
+            cell_z=f(cell_z),
+            mannings_n=f(mann),
+            int_left=ii(il),
+            int_right=ii(ir),
+            int_cn=f(icn),
+            int_sn=f(isn),
+            bnd_left=ii(bl),
+            bnd_cn=f(bcn),
+            bnd_sn=f(bsn),
+            cell_edges=ii(ce),
+            cell_edge_coef=f(cec),
+            edge_courant_coef=f(ccoef),
+            bnd_len=f(blen),
+        )
+        self.halo = HaloMaps(
+            send_ids=ii(send_ids), ghost_src=ii(ghost_src), num_ghosts=ii(num_ghosts)
+        )
+        self.bnd_global_idx = ii(bnd_global_idx)
+        self.bnd_mask = f(bnd_mask)
+
+        # the sharded operator: same physics config, per-shard segments
+        self.op = dataclasses.replace(
+            self.ref_op,
+            arrays=None,
+            segments=self.segments,
+            num_cells=self.C_loc,
+            num_internal_edges=self.Ei_loc,
+            num_boundary_edges=self.Eb_loc,
+        )
+
+    # --------------------------------------------------------------- state
+    def scatter_state(self, q_global: np.ndarray) -> jnp.ndarray:
+        """[3, C] global (natural order) -> [P, 3, C_loc] stacked local."""
+        C = self.mesh.num_cells
+        q = np.zeros((self.P, N_FLOW_DOF, self.C_loc))
+        for p in range(self.P):
+            lo = p * self.B
+            hi = min(lo + self.B, C)
+            q[p, :, : hi - lo] = q_global[:, lo:hi]
+        return jnp.asarray(q, dtype=self.dtype)
+
+    def gather_state(self, q_stacked: jnp.ndarray) -> np.ndarray:
+        """[P, 3, C_loc] -> [3, C] global."""
+        C = self.mesh.num_cells
+        q = np.zeros((N_FLOW_DOF, C))
+        qs = np.asarray(q_stacked)
+        for p in range(self.P):
+            lo = p * self.B
+            hi = min(lo + self.B, C)
+            q[:, lo:hi] = qs[p, :, : hi - lo]
+        return q
+
+    # --------------------------------------------------------------- stepping
+    def make_interval_fn(self, device_mesh: DeviceMesh, scheme: str = "euler"):
+        """Build the jitted multi-device interval advancer.
+
+        Returns advance(q_stacked, t0, dt, n_steps, t_end, bnd_values_global,
+        ext_src_stacked) -> (q_stacked, t, max_courant).
+        """
+        axis = self.axis_name
+        op = self.op
+        S_max = self.S_max
+
+        def shard_body(arrays, send_ids, ghost_src, bnd_gidx, bnd_mask,
+                       q, t0, dt, n_steps, t_end, bv_global, ext_src):
+            # shard_map delivers blocks with a size-1 leading (sharded) axis;
+            # strip it to recover the per-shard view
+            arrays = jax.tree.map(lambda x: x[0], arrays)
+            send_ids = send_ids[0]
+            ghost_src = ghost_src[0]
+            bnd_gidx = bnd_gidx[0]
+            bnd_mask = bnd_mask[0]
+            q = q[0]
+            ext_src = ext_src[0]
+            B = self.B
+
+            def exchange(qq):
+                buf = qq[:, send_ids]  # [3, S]
+                allbuf = jax.lax.all_gather(buf, axis)  # [P, 3, S]
+                flat = jnp.moveaxis(allbuf, 0, 1).reshape(N_FLOW_DOF, -1)
+                ghosts = flat[:, ghost_src]  # [3, G]
+                return qq.at[:, B : B + ghosts.shape[1]].set(ghosts)
+
+            bound_op = with_arrays(op, arrays)
+            bv_local = bv_global[:, bnd_gidx] * bnd_mask
+
+            def body(i, carry):
+                qq, tt, cmax = carry
+                dt_i = jnp.minimum(dt, t_end - tt)
+                dt_i = jnp.maximum(dt_i, 0.0)
+
+                # halo exchange inside every stage evaluation (the reference
+                # does DMGlobalToLocal per RHS eval, rdysetup.c:1133-1134)
+                def full_rhs(q_s, t_s, dt_s):
+                    q_x = exchange(q_s)
+                    return bound_op.apply(q_x, dt_s, bv_local, ext_src)
+
+                q_new, r1 = _rk_step(scheme, full_rhs, qq, tt, dt_i)
+                step_c = r1.max_courant_per_dt * dt_i
+                cmax = jnp.maximum(cmax, step_c)
+                active = dt_i > 0.0
+                q_out = jnp.where(active, q_new, qq)
+                return (q_out, tt + dt_i, cmax)
+
+            init = (q, jnp.asarray(t0, q.dtype), jnp.zeros((), q.dtype))
+            q_f, t_f, cmax = jax.lax.fori_loop(
+                0, jnp.asarray(n_steps, jnp.int32), body, init
+            )
+            cmax = jax.lax.pmax(cmax, axis)
+            return q_f[None], t_f, cmax
+
+        pspec = P(axis)
+        rep = P()
+        mapped = jax.shard_map(
+            shard_body,
+            mesh=device_mesh,
+            in_specs=(
+                jax.tree.map(lambda _: pspec, self.arrays),
+                pspec, pspec, pspec, pspec,
+                pspec, rep, rep, rep, rep, rep, pspec,
+            ),
+            out_specs=(pspec, rep, rep),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def advance(q_stacked, t0, dt, n_steps, t_end, bv_global, ext_src):
+            return mapped(
+                self.arrays,
+                self.halo.send_ids,
+                self.halo.ghost_src,
+                self.bnd_global_idx,
+                self.bnd_mask,
+                q_stacked,
+                t0,
+                dt,
+                n_steps,
+                t_end,
+                bv_global,
+                ext_src,
+            )
+
+        return advance
