@@ -78,6 +78,13 @@ class OperatorArrays(NamedTuple):
     edge_courant_coef: jnp.ndarray
     # per-edge length / left-cell area for boundary accounting [Eb]
     bnd_len: jnp.ndarray
+    # MUSCL second-order fields (None when first-order)
+    cell_ls_cx: jnp.ndarray = None  # [C, K] LS gradient coefficients
+    cell_ls_cy: jnp.ndarray = None
+    int_dxl: jnp.ndarray = None  # [Ei] centroid -> edge-midpoint displacement
+    int_dyl: jnp.ndarray = None
+    int_dxr: jnp.ndarray = None
+    int_dyr: jnp.ndarray = None
 
 
 class RHSResult(NamedTuple):
@@ -408,6 +415,22 @@ def build_operator(
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i = lambda x: jnp.asarray(x, dtype=jnp.int32)
 
+    muscl_fields = {}
+    if second_order:
+        from .ops.swe.muscl import precompute_ls_coefficients
+
+        cx, cy, dxl, dyl, dxr, dyr = precompute_ls_coefficients(
+            mesh, edge_perm, Ei
+        )
+        muscl_fields = dict(
+            cell_ls_cx=f(cx),
+            cell_ls_cy=f(cy),
+            int_dxl=f(dxl),
+            int_dyl=f(dyl),
+            int_dxr=f(dxr),
+            int_dyr=f(dyr),
+        )
+
     arrays = OperatorArrays(
         area=f(area),
         dz_dx=f(mesh.cell_dz_dx),
@@ -425,6 +448,7 @@ def build_operator(
         cell_edge_coef=f(coef),
         edge_courant_coef=f(ccoef),
         bnd_len=f(lengths[Ei:]),
+        **muscl_fields,
     )
 
     return SWEOperator(

@@ -45,3 +45,45 @@ def test_mms_expression_compilation():
     assert (q[0] > 0).all()
     src = np.asarray(p.source_terms(x, y, 1.0))
     assert np.isfinite(src).all()
+
+
+@pytest.mark.slow
+def test_mms_second_order_convergence():
+    """MUSCL second-order rates must beat the reference thresholds
+    (mms_conv_study_second_order.yaml:57-69: h L1>=1.40, L2>=1.20,
+    Linf>=0.80; hu/hv L1>=1.30, L2>=1.30, Linf>=0.85)."""
+    cfg = load_config(
+        "/root/reference/driver/tests/swe_roe/mms_conv_study_second_order.yaml"
+    )
+    assert cfg.numerics.second_order
+    drv = MMSDriver(cfg)
+    assert drv.run(log=lambda *_: None)
+
+
+def test_limiters_preserve_monotone_data():
+    """On linear data every limiter must reproduce the exact slope; minmod
+    and van Leer must not overshoot at a jump."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.mesh import structured_quad
+    from rdycore_tpu.operator import build_operator
+    from rdycore_tpu.ops.swe.muscl import reconstruct_interior_states
+
+    mesh = structured_quad(10, 6, 0, 10, 0, 6)
+    for limiter in ("minmod", "van_leer", "none"):
+        op = build_operator(
+            mesh, second_order=True, limiter=limiter,
+            mannings_n=np.zeros(mesh.num_cells),
+        )
+        # linear field: reconstruction must be exact at interior edges away
+        # from the boundary (where the LS stencil is complete)
+        cx = mesh.cell_centroid[:, 0]
+        q = np.zeros((3, mesh.num_cells))
+        q[0] = 2.0 + 0.5 * cx
+        (hl, _, _), (hr, _, _) = reconstruct_interior_states(op, jnp.asarray(q))
+        ev = mesh.edge_vertices[: op.num_internal_edges]
+        xm = (mesh.points[ev[:, 0], 0] + mesh.points[ev[:, 1], 0]) / 2.0
+        interior = (xm > 1.5) & (xm < 8.5)
+        exact = 2.0 + 0.5 * xm
+        assert np.allclose(np.asarray(hl)[interior], exact[interior], atol=1e-12)
+        assert np.allclose(np.asarray(hr)[interior], exact[interior], atol=1e-12)
