@@ -43,7 +43,7 @@ _SWE_FIELDS = (
 
 
 class MMSProblem:
-    """Compiled analytic solution set."""
+    """Compiled analytic solution set (SWE + optional sediment classes)."""
 
     def __init__(self, config: Config):
         mms = config.mms
@@ -55,18 +55,34 @@ class MMSProblem:
             if f not in mms.swe:
                 raise ConfigError(f"mms.swe is missing '{f}'")
             self.fns[f] = compile_expression(mms.swe[f], consts)
+        self.num_sediment = config.physics.sediment.num_classes
+        self.sed_fns = []
+        for i in range(self.num_sediment):
+            keys = {
+                "c": f"c{i}", "dcdx": f"dc{i}dx",
+                "dcdy": f"dc{i}dy", "dcdt": f"dc{i}dt",
+            }
+            fns = {}
+            for k, key in keys.items():
+                if key not in mms.sediment:
+                    raise ConfigError(f"mms.sediment is missing '{key}'")
+                fns[k] = compile_expression(mms.sediment[key], consts)
+            self.sed_fns.append(fns)
         self.config = config
 
     # ---- analytic fields -------------------------------------------------
     def solution(self, x, y, t):
-        """(h, hu, hv) at points (x, y) and time t."""
+        """(h, hu, hv, [h c_i...]) at points (x, y) and time t."""
         h = self.fns["h"](x, y, t)
         u = self.fns["u"](x, y, t)
         v = self.fns["v"](x, y, t)
-        return jnp.stack([h, h * u, h * v])
+        rows = [h, h * u, h * v]
+        for fns in self.sed_fns:
+            rows.append(h * fns["c"](x, y, t))
+        return jnp.stack(rows)
 
     def source_terms(self, x, y, t):
-        """Analytic SWE source terms (rdymms.c:563-580)."""
+        """Analytic SWE (+sediment) source terms (rdymms.c:563-632)."""
         f = {k: self.fns[k](x, y, t) for k in _SWE_FIELDS}
         g = GRAVITY
         h, u, v = f["h"], f["u"], f["v"]
@@ -87,7 +103,35 @@ class MMSProblem:
         s_hv += f["dzdy"] * g * h
         s_hv += cd * v * speed
 
-        return jnp.stack([s_h, s_hu, s_hv])
+        rows = [s_h, s_hu, s_hv]
+        if self.sed_fns:
+            from .ops.tracer.sources import SedimentParams
+
+            p = SedimentParams()
+            tau_b = 0.5 * p.rhow * cd * (u * u + v * v)
+            for fns in self.sed_fns:
+                ci = fns["c"](x, y, t)
+                s_c = ci * f["dhdt"] + h * fns["dcdt"](x, y, t)
+                s_c += (
+                    u * ci * f["dhdx"] + h * ci * f["dudx"]
+                    + u * h * fns["dcdx"](x, y, t)
+                )
+                s_c += (
+                    v * ci * f["dhdy"] + h * ci * f["dvdy"]
+                    + v * h * fns["dcdy"](x, y, t)
+                )
+                ei = (
+                    p.kp_constant
+                    * (tau_b - p.tau_critical_erosion)
+                    / p.tau_critical_erosion
+                )
+                di = p.settling_velocity * ci * (
+                    1.0 - tau_b / p.tau_critical_deposition
+                )
+                s_c += -(ei - di)
+                rows.append(s_c)
+
+        return jnp.stack(rows)
 
     def boundary_values(self, x, y, t):
         """Analytic Dirichlet (h, hu, hv) at boundary-edge midpoints
@@ -136,6 +180,7 @@ def run_mms_level(
         for name in mesh.boundaries
         if not name.startswith("__id_")
     }
+    nt = problem.num_sediment
     op = build_operator(
         mesh,
         bc_types=bc_types,
@@ -144,6 +189,9 @@ def run_mms_level(
         h_anuga=cfg.physics.flow.h_anuga_reg_parameter,
         second_order=cfg.numerics.second_order,
         limiter=cfg.numerics.limiter,
+        num_tracers=nt,
+        num_sediment=nt,
+        riemann=cfg.numerics.riemann,
         dtype=dtype,
     )
 
@@ -185,7 +233,7 @@ def run_mms_level(
         jnp.asarray(dt, dtype),
         n_steps,
         jnp.asarray(t_final, dtype),
-        jnp.zeros((3, max(op.num_boundary_edges, 1)), dtype),
+        jnp.zeros((op.ndof, max(op.num_boundary_edges, 1)), dtype),
         jnp.zeros_like(q0),
     )
 
@@ -242,14 +290,16 @@ def estimate_convergence_rates(
 class MMSDriver:
     """The rdycore_mms executable equivalent (driver/mms.c)."""
 
-    COMPONENTS = ("h", "hu", "hv")
-
     def __init__(self, config: Config):
         self.config = config
         self.problem = MMSProblem(config)
         mesh_path = config.resolve_path(config.grid.file)
         self.base_mesh = load_mesh_file(mesh_path)
         self.dtype = config.dtype
+        self.COMPONENTS = tuple(
+            ["h", "hu", "hv"]
+            + [f"c{i}" for i in range(self.problem.num_sediment)]
+        )
 
     def run(self, log=print) -> bool:
         conv = self.config.mms.convergence

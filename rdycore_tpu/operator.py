@@ -117,24 +117,36 @@ class SWEOperator:
     well_balancing_hr: bool = False  # hydrostatic reconstruction mode
     second_order: bool = False
     limiter: str = "minmod"  # minmod | vanleer | none
+    # tracers (sediment classes + salinity + heat); when > 0 the flux/source
+    # path switches to the coupled flow+tracer kernels, like the reference's
+    # tracer operators replacing the SWE ones (src/tracer/)
+    num_tracers: int = 0
+    num_sediment: int = 0
+    riemann: str = "roe"  # roe | upwind_roe (tracer flux choice)
 
     # ---------------------------------------------------------------- helpers
     @property
     def num_edges(self) -> int:
         return self.num_internal_edges + self.num_boundary_edges
 
+    @property
+    def ndof(self) -> int:
+        return 3 + self.num_tracers
+
     def zero_boundary_values(self, dtype=jnp.float64) -> jnp.ndarray:
-        return jnp.zeros((3, max(self.num_boundary_edges, 1)), dtype=dtype)
+        return jnp.zeros((self.ndof, max(self.num_boundary_edges, 1)), dtype=dtype)
 
     # ---------------------------------------------------------------- apply
     def apply(
         self,
-        q: jnp.ndarray,  # [3, C]
+        q: jnp.ndarray,  # [ndof, C]
         dt,
-        boundary_values: jnp.ndarray,  # [3, Eb] Dirichlet values per boundary edge
-        ext_src: jnp.ndarray,  # [3, C] external sources
+        boundary_values: jnp.ndarray,  # [ndof, Eb] Dirichlet values per boundary edge
+        ext_src: jnp.ndarray,  # [ndof, C] external sources
     ) -> RHSResult:
         """Evaluate dq/dt. Pure function of its inputs; jit/scan friendly."""
+        if self.num_tracers > 0:
+            return self._apply_tracer(q, dt, boundary_values, ext_src)
         a = self.arrays
         dtype = q.dtype
         tiny_h = jnp.asarray(self.tiny_h, dtype)
@@ -268,6 +280,117 @@ class SWEOperator:
             courant_edge=courant_edge,
         )
 
+    def _apply_tracer(self, q, dt, boundary_values, ext_src) -> RHSResult:
+        """Coupled flow + tracer RHS (the reference's tracer operators,
+        src/tracer/tracer_fluxes_ceed.h + tracer_sources_ceed.h)."""
+        from .ops.tracer.flux import safe_div, tracer_roe_flux
+        from .ops.tracer.sources import SedimentParams, tracer_source_terms
+
+        a = self.arrays
+        dtype = q.dtype
+        tiny_h = jnp.asarray(self.tiny_h, dtype)
+        h_anuga = jnp.asarray(self.h_anuga, dtype)
+        nt = self.num_tracers
+        ndof = 3 + nt
+        upwind = self.riemann == "upwind_roe"
+
+        h, hu, hv = q[0], q[1], q[2]
+        hci = q[3:]
+
+        # ---- interior edges ------------------------------------------------
+        il, ir = a.int_left, a.int_right
+        hl, hr = h[il], h[ir]
+        ul, vl = regularized_velocity(hl, hu[il], hv[il], tiny_h, h_anuga)
+        ur, vr = regularized_velocity(hr, hu[ir], hv[ir], tiny_h, h_anuga)
+        cil = safe_div(hci[:, il], hl, hl, tiny_h)
+        cir = safe_div(hci[:, ir], hr, hr, tiny_h)
+
+        f_flow, f_tr, amax_i = tracer_roe_flux(
+            hl, ul, vl, cil, hr, ur, vr, cir, a.int_sn, a.int_cn, upwind
+        )
+        mask_i = ((hl > tiny_h) | (hr > tiny_h)).astype(dtype)
+        fi = jnp.concatenate([f_flow, f_tr], axis=0) * mask_i
+        amax_i = amax_i * mask_i
+
+        # ---- boundary edges per segment ------------------------------------
+        hb = h[a.bnd_left]
+        ub, vb = regularized_velocity(
+            hb, hu[a.bnd_left], hv[a.bnd_left], tiny_h, h_anuga
+        )
+        cib = safe_div(hci[:, a.bnd_left], hb, hb, tiny_h)
+
+        fb_parts: List[jnp.ndarray] = []
+        amax_parts: List[jnp.ndarray] = []
+        for seg in self.segments:
+            sl = slice(seg.start, seg.start + seg.count)
+            sn_s, cn_s = a.bnd_sn[sl], a.bnd_cn[sl]
+            hl_s, ul_s, vl_s = hb[sl], ub[sl], vb[sl]
+            cil_s = cib[:, sl]
+            if seg.bc_type == bc_mod.BC_DIRICHLET:
+                hr_s = boundary_values[0, sl]
+                ur_s, vr_s = regularized_velocity(
+                    hr_s, boundary_values[1, sl], boundary_values[2, sl],
+                    tiny_h, h_anuga,
+                )
+                cir_s = safe_div(boundary_values[3:, sl], hr_s, hr_s, tiny_h)
+            elif seg.bc_type == bc_mod.BC_REFLECTING:
+                hr_s, ur_s, vr_s = bc_mod.reflecting_ghost(
+                    hl_s, ul_s, vl_s, sn_s, cn_s
+                )
+                cir_s = cil_s
+            elif seg.bc_type == bc_mod.BC_CRITICAL_OUTFLOW:
+                # reference has no tracer critical-outflow kernel; extend it
+                # with upstream (left) concentrations on the ghost state
+                (hl_s, ul_s, vl_s), (hr_s, ur_s, vr_s) = (
+                    bc_mod.critical_outflow_ghost(hl_s, ul_s, vl_s, sn_s, cn_s)
+                )
+                cir_s = cil_s
+            else:
+                raise ValueError(f"unsupported tracer BC type {seg.bc_type}")
+
+            f_flow_s, f_tr_s, am_s = tracer_roe_flux(
+                hl_s, ul_s, vl_s, cil_s, hr_s, ur_s, vr_s, cir_s,
+                sn_s, cn_s, upwind,
+            )
+            mask = ((hl_s > tiny_h) | (hr_s > tiny_h)).astype(dtype)
+            fb_parts.append(jnp.concatenate([f_flow_s, f_tr_s], axis=0) * mask)
+            amax_parts.append(am_s * mask)
+
+        if fb_parts:
+            fb = jnp.concatenate(fb_parts, axis=1)
+            amax_b = jnp.concatenate(amax_parts)
+        else:
+            fb = jnp.zeros((ndof, 0), dtype)
+            amax_b = jnp.zeros((0,), dtype)
+
+        # ---- cell gather ---------------------------------------------------
+        flux_all = jnp.concatenate([fi, fb, jnp.zeros((ndof, 1), dtype)], axis=1)
+        gathered = flux_all[:, a.cell_edges]
+        flux_div = (gathered * a.cell_edge_coef).sum(axis=-1)
+
+        # ---- Courant diagnostics -------------------------------------------
+        amax_all = jnp.concatenate([amax_i, amax_b])
+        courant_per_dt = amax_all * a.edge_courant_coef
+        max_courant_per_dt = courant_per_dt.max()
+        courant_edge = jnp.argmax(courant_per_dt).astype(jnp.int32)
+
+        # ---- sources -------------------------------------------------------
+        rhs_src, prim = tracer_source_terms(
+            q, flux_div, ext_src, a.mannings_n, a.dz_dx, a.dz_dy, dt,
+            tiny_h, h_anuga, self.num_sediment, SedimentParams(),
+            include_bed_slope=not self.well_balancing_hr,
+        )
+
+        rhs = flux_div + rhs_src
+        return RHSResult(
+            rhs=rhs,
+            flux_div=flux_div,
+            prim=prim,
+            boundary_fluxes=fb,
+            max_courant_per_dt=max_courant_per_dt,
+            courant_edge=courant_edge,
+        )
+
     def _hr_pressure_correction(self, q, dtype):
         """Hydrostatic pressure correction term of the HR scheme
         (swe_petsc.c:1136-1153): per edge-side 0.5*g*(h^2 - h_rec^2)*(cn,sn),
@@ -339,6 +462,9 @@ def build_operator(
     well_balancing_hr: bool = False,
     second_order: bool = False,
     limiter: str = "minmod",
+    num_tracers: int = 0,
+    num_sediment: int = 0,
+    riemann: str = "roe",
     dtype=jnp.float64,
 ) -> SWEOperator:
     """Build an SWEOperator from a Mesh.
@@ -464,6 +590,9 @@ def build_operator(
         well_balancing_hr=well_balancing_hr,
         second_order=second_order,
         limiter=limiter,
+        num_tracers=num_tracers,
+        num_sediment=num_sediment,
+        riemann=riemann,
     )
 
 

@@ -21,6 +21,67 @@ import jax.numpy as jnp
 from ...constants import GRAVITY
 
 
+def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
+    """Roe-average eigenspectrum with the critical-flow fix
+    (swe_roe_flux_petsc.h:15-81). Returns a dict of the pieces shared by the
+    flow and tracer flux assemblies."""
+    dtype = jnp.result_type(hl, hr)
+    g = jnp.asarray(GRAVITY, dtype)
+
+    hl_s = jnp.maximum(hl, 0.0)
+    hr_s = jnp.maximum(hr, 0.0)
+    duml = jnp.sqrt(hl_s)
+    dumr = jnp.sqrt(hr_s)
+    cl = jnp.sqrt(g * hl_s)
+    cr = jnp.sqrt(g * hr_s)
+    hhat = duml * dumr
+    denom = duml + dumr
+    denom_safe = jnp.where(denom > 0.0, denom, 1.0)
+    uhat = (duml * ul + dumr * ur) / denom_safe
+    vhat = (duml * vl + dumr * vr) / denom_safe
+    chat = jnp.sqrt(0.5 * g * (hl_s + hr_s))
+    chat_safe = jnp.where(chat > 0.0, chat, 1.0)
+    uperp = uhat * cn + vhat * sn
+
+    dh = hr - hl
+    du = ur - ul
+    dv = vr - vl
+    dupar = -du * sn + dv * cn
+    duperp = du * cn + dv * sn
+
+    uperpl = ul * cn + vl * sn
+    uperpr = ur * cn + vr * sn
+    a1 = jnp.abs(uperp - chat)
+    a2 = jnp.abs(uperp)
+    a3 = jnp.abs(uperp + chat)
+
+    al1 = uperpl - cl
+    ar1 = uperpr - cr
+    da1 = jnp.maximum(0.0, 2.0 * (ar1 - al1))
+    da1_safe = jnp.where(da1 > 0.0, da1, 1.0)
+    a1 = jnp.where(a1 < da1, 0.5 * (a1 * a1 / da1_safe + da1), a1)
+
+    al3 = uperpl + cl
+    ar3 = uperpr + cr
+    da3 = jnp.maximum(0.0, 2.0 * (ar3 - al3))
+    da3_safe = jnp.where(da3 > 0.0, da3, 1.0)
+    a3 = jnp.where(a3 < da3, 0.5 * (a3 * a3 / da3_safe + da3), a3)
+
+    dW0 = 0.5 * (dh - hhat * duperp / chat_safe)
+    dW1 = hhat * dupar
+    dW2 = 0.5 * (dh + hhat * duperp / chat_safe)
+
+    return {
+        "a1": a1, "a2": a2, "a3": a3,
+        "dW0": dW0, "dW1": dW1, "dW2": dW2,
+        "uhat": uhat, "vhat": vhat, "chat": chat,
+        "duml": duml, "dumr": dumr, "denom_safe": denom_safe,
+        "dh": dh, "uperp": uperp, "uperpl": uperpl, "uperpr": uperpr,
+        "hl_s": hl_s, "hr_s": hr_s, "g": g,
+        "amax": chat + jnp.abs(uperp),
+    }
+
+
 def roe_flux(
     hl, ul, vl, hr, ur, vr, sn, cn
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:

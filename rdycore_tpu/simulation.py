@@ -160,11 +160,28 @@ class Simulation:
                 )
         self.mannings_n = mannings
 
+        # ---- tracers (sediment classes + salinity + heat) ----
+        self.num_sediment = config.physics.sediment.num_classes
+        self.num_tracers = (
+            self.num_sediment
+            + (1 if config.physics.salinity else 0)
+            + (1 if config.physics.heat else 0)
+        )
+        self.ndof = N_FLOW_DOF + self.num_tracers
+        self.sediment_conditions = {c.name: c for c in config.sediment_conditions}
+        self.salinity_conditions = {c.name: c for c in config.salinity_conditions}
+        self.temperature_conditions = {
+            c.name: c for c in config.temperature_conditions
+        }
+
         # ---- operator ----
         self.operator: SWEOperator = build_operator(
             self._mesh_for_op,
             bc_types=bc_types,
             mannings_n=mannings,
+            num_tracers=self.num_tracers,
+            num_sediment=self.num_sediment,
+            riemann=config.numerics.riemann,
             tiny_h=config.physics.flow.tiny_h,
             h_anuga=config.physics.flow.h_anuga_reg_parameter,
             source_method=_SOURCE_CODES.get(
@@ -229,9 +246,9 @@ class Simulation:
         self.monitor_stride = math.gcd(*intervals) if intervals else 0
 
         # accumulated diagnostics for time series / outputs
-        self.bflux_accum = np.zeros((N_FLOW_DOF, max(self.operator.num_boundary_edges, 1)))
-        self.accum_sol = np.zeros((N_FLOW_DOF, mesh.num_cells))
-        self.accum_prim = np.zeros((N_FLOW_DOF, mesh.num_cells))
+        self.bflux_accum = np.zeros((self.ndof, max(self.operator.num_boundary_edges, 1)))
+        self.accum_sol = np.zeros((self.ndof, mesh.num_cells))
+        self.accum_prim = np.zeros((self.ndof, mesh.num_cells))
         self.accum_time = 0.0
 
         # restart (checkpoint.c:259-317)
@@ -271,7 +288,7 @@ class Simulation:
         return np.zeros((0, 2))
 
     def _initial_solution(self) -> np.ndarray:
-        q = np.zeros((N_FLOW_DOF, self.mesh.num_cells))
+        q = np.zeros((self.ndof, self.mesh.num_cells))
         for ic in self.config.initial_conditions:
             fc = self.flow_conditions[ic.flow]
             cells = self.region_cells[ic.region]
@@ -279,7 +296,7 @@ class Simulation:
                 vals = read_petsc_vec(self.config.resolve_path(fc.file))
                 if len(vals) == N_FLOW_DOF * self.mesh.num_cells:
                     blocked = vals.reshape(self.mesh.num_cells, N_FLOW_DOF)
-                    q[:, cells] = blocked[cells].T
+                    q[:N_FLOW_DOF, cells] = blocked[cells].T
                 else:
                     raise ConfigError(
                         f"IC file for '{fc.name}' has {len(vals)} values; "
@@ -295,12 +312,48 @@ class Simulation:
                 q[2, cells] = self._eval_cells(
                     fc.y_momentum if fc.y_momentum is not None else 0.0, cells
                 )
-        if not self.config.initial_conditions:
-            pass  # zero state
+
+            # tracer ICs: condition values go directly into the state slots
+            # (InitTracerSolution, rdysetup.c:911-1067)
+            if self.num_tracers:
+                self._init_tracer_rows(q, ic, cells)
         return q
 
+    def _init_tracer_rows(self, q, ic, cells):
+        row = N_FLOW_DOF
+        if self.num_sediment and ic.sediment:
+            sc = self.sediment_conditions[ic.sediment]
+            classes = sc.classes
+            for k in range(self.num_sediment):
+                cond = classes[k] if k < len(classes) else None
+                if cond is None:
+                    pass
+                elif cond.file:
+                    vals = read_petsc_vec(self.config.resolve_path(cond.file))
+                    q[row + k, cells] = (
+                        vals[cells] if len(vals) >= self.mesh.num_cells else vals[: len(cells)]
+                    )
+                elif cond.value is not None:
+                    q[row + k, cells] = self._eval_cells(cond.value, cells)
+        row += self.num_sediment
+        if self.config.physics.salinity and ic.salinity:
+            cond = self.salinity_conditions[ic.salinity]
+            if cond.file:
+                vals = read_petsc_vec(self.config.resolve_path(cond.file))
+                q[row, cells] = vals[cells] if len(vals) >= self.mesh.num_cells else vals[: len(cells)]
+            elif cond.concentration is not None:
+                q[row, cells] = self._eval_cells(cond.concentration, cells)
+            row += 1
+        if self.config.physics.heat and ic.temperature:
+            cond = self.temperature_conditions[ic.temperature]
+            if cond.file:
+                vals = read_petsc_vec(self.config.resolve_path(cond.file))
+                q[row, cells] = vals[cells] if len(vals) >= self.mesh.num_cells else vals[: len(cells)]
+            elif cond.temperature is not None:
+                q[row, cells] = self._eval_cells(cond.temperature, cells)
+
     def _dirichlet_values(self, t: float) -> np.ndarray:
-        bvals = np.zeros((N_FLOW_DOF, max(self.operator.num_boundary_edges, 1)))
+        bvals = np.zeros((self.ndof, max(self.operator.num_boundary_edges, 1)))
         for seg in self.operator.segments:
             fc = self._dirichlet_conditions.get(seg.name)
             if fc is None:
@@ -319,7 +372,7 @@ class Simulation:
         return bvals
 
     def _initial_sources(self) -> np.ndarray:
-        src = np.zeros((N_FLOW_DOF, self.mesh.num_cells))
+        src = np.zeros((self.ndof, self.mesh.num_cells))
         for s in self.config.sources:
             if not s.flow:
                 continue

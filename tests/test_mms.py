@@ -87,3 +87,18 @@ def test_limiters_preserve_monotone_data():
         exact = 2.0 + 0.5 * xm
         assert np.allclose(np.asarray(hl)[interior], exact[interior], atol=1e-12)
         assert np.allclose(np.asarray(hr)[interior], exact[interior], atol=1e-12)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "case",
+    ["sediment_mms_conv_study.yaml", "sediment_upwind_mms_conv_study.yaml"],
+)
+def test_sediment_mms_convergence(case):
+    """Coupled flow+sediment MMS convergence (Roe and upwind-Roe tracer
+    fluxes) must beat the reference thresholds
+    (driver/tests/sediment/*_mms_conv_study.yaml)."""
+    cfg = load_config(f"/root/reference/driver/tests/sediment/{case}")
+    assert cfg.physics.sediment.num_classes == 2
+    drv = MMSDriver(cfg)
+    assert drv.run(log=lambda *_: None)

@@ -1,0 +1,87 @@
+"""Tracer transport tests (sediment/salinity/heat)."""
+
+import shutil
+
+import numpy as np
+
+from rdycore_tpu.config.yaml_input import load_config
+from rdycore_tpu.simulation import Simulation
+
+
+def test_sediment_case_end_to_end(tmp_path):
+    shutil.copy(
+        "/root/reference/driver/tests/sediment/sediment.yaml", tmp_path / "s.yaml"
+    )
+    cfg = load_config(str(tmp_path / "s.yaml"))
+    cfg.logging.level = "none"
+    cfg.output.format = "none"
+    sim = Simulation(cfg)
+    assert sim.ndof == 5  # h, hu, hv + 2 sediment classes
+    q0 = sim.get_solution()
+    assert q0.shape[0] == 5
+    # ICs: c0 = 0.1, c1 = 0.2 as direct state values
+    assert np.allclose(q0[3], 0.1)
+    assert np.allclose(q0[4], 0.2)
+    sim.run()
+    q = sim.get_solution()
+    assert np.isfinite(q).all()
+    assert q[0].min() >= 0.0
+
+
+def test_tracer_flux_consistency_with_swe():
+    """With zero tracer concentration, the coupled flux must reduce to the
+    pure SWE Roe flux on the flow components."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.ops.swe.riemann import roe_flux
+    from rdycore_tpu.ops.tracer.flux import tracer_roe_flux
+
+    rng = np.random.default_rng(1)
+    n = 64
+    hl = 1.0 + rng.random(n)
+    hr = 1.0 + rng.random(n)
+    ul, vl, ur, vr = (rng.standard_normal(n) * 0.3 for _ in range(4))
+    ang = rng.random(n) * 2 * np.pi
+    cn, sn = np.cos(ang), np.sin(ang)
+    args = [jnp.asarray(a) for a in (hl, ul, vl, hr, ur, vr, sn, cn)]
+
+    f_h, f_hu, f_hv, amax = roe_flux(*[args[i] for i in (0, 1, 2, 3, 4, 5)], args[6], args[7])
+    zeros = jnp.zeros((2, n))
+    f_flow, f_tr, amax2 = tracer_roe_flux(
+        args[0], args[1], args[2], zeros, args[3], args[4], args[5], zeros,
+        args[6], args[7], upwind=False,
+    )
+    np.testing.assert_allclose(np.asarray(f_flow[0]), np.asarray(f_h), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_flow[1]), np.asarray(f_hu), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(f_flow[2]), np.asarray(f_hv), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(amax2), np.asarray(amax), rtol=1e-12)
+    assert np.abs(np.asarray(f_tr)).max() == 0.0
+
+
+def test_tracer_mass_conservation():
+    """In a closed (all-reflecting) box with no erosion/deposition sources,
+    total tracer mass (h*c integrated) is conserved."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.mesh import structured_quad
+    from rdycore_tpu.operator import build_operator
+    from rdycore_tpu.timestepping import make_interval_advancer
+
+    mesh = structured_quad(12, 10)
+    rng = np.random.default_rng(5)
+    op = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells), num_tracers=1,
+        num_sediment=0,  # passive tracer: no erosion/deposition
+    )
+    q0 = np.zeros((4, mesh.num_cells))
+    q0[0] = 1.0 + 0.3 * rng.random(mesh.num_cells)
+    q0[3] = q0[0] * rng.random(mesh.num_cells)  # h*c
+    area = mesh.cell_area
+    m0 = float((q0[3] * area).sum())
+    adv = make_interval_advancer(op, "euler")
+    res = adv(
+        op.arrays, jnp.asarray(q0), 0.0, 1e-3, 100, 0.1,
+        op.zero_boundary_values(), jnp.zeros((4, mesh.num_cells)),
+    )
+    m1 = float((np.asarray(res.q[3]) * area).sum())
+    assert abs(m1 - m0) < 1e-10 * abs(m0)
