@@ -1,13 +1,17 @@
 """Benchmark: SWE cell-updates/s on the idealized dam-break case.
 
-The reference's flagship scaling case is the idealized dam break
-(docs/user/example-cases/dam-break: 2.88M / 11.5M / 46M / 184M cells); it
-publishes no absolute numbers (BASELINE.md), so the baseline here is the
-per-chip memory-bandwidth ROOFLINE of the edge-flux + source kernel: the
-update is gather/scatter memory-bound, ~208 bytes/cell-update in f32
-(2 edges/cell x [2x3x4B state reads + 16B geometry + 16B flux/amax writes]
-+ 4x3x4B cell gather + 36B state/rhs/source traffic), against ~819 GB/s HBM
-on TPU v5e -> ~3.9e9 cell-updates/s/chip.
+The reference's flagship scaling case is the idealized dam break on a
+uniform quad grid (docs/user/example-cases/dam-break: 2.88M / 11.5M / 46M /
+184M cells); it publishes no absolute numbers (BASELINE.md), so the baseline
+here is the per-chip HBM ROOFLINE of the update: the structured-path RHS
+reads/writes ~72 B/cell/step in f32 (state 12B r + 12B w, ~4 flux arrays
+materialized 24B, sources/geometry ~24B), against ~819 GB/s on TPU v5e
+-> ~1.1e10 cell-updates/s/chip ideal; we use 4.0e9 as the practical
+baseline (flux arrays + RK bookkeeping make ~200 B/cell realistic).
+
+Modes (env): BENCH_MODE=structured (default, flagship raster path) |
+unstructured (general gather path); BENCH_NX/BENCH_NY/BENCH_STEPS;
+BENCH_CPU=1 to force CPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,6 +23,8 @@ import time
 
 import numpy as np
 
+ROOFLINE = 4.0e9  # practical cell-updates/s/chip target on v5e (see docstring)
+
 
 def main():
     import jax
@@ -27,60 +33,81 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from rdycore_tpu.mesh import structured_quad
-    from rdycore_tpu.operator import build_operator
-    from rdycore_tpu.timestepping import make_interval_advancer
-
-    # dam-break mesh rung (reference ladder starts at 2,883,584 = 2048x1408);
-    # sized to keep bench wall time modest while being firmly memory-bound
-    nx, ny = int(os.environ.get("BENCH_NX", 2048)), int(os.environ.get("BENCH_NY", 1408))
+    mode = os.environ.get("BENCH_MODE", "structured")
+    nx = int(os.environ.get("BENCH_NX", 2048))
+    ny = int(os.environ.get("BENCH_NY", 1408))
     n_steps = int(os.environ.get("BENCH_STEPS", 100))
+    dt = 5e-5  # stable for dx = 2 mm, h <= 10 m (c ~ 10 m/s)
 
     t_build = time.time()
-    mesh = structured_quad(nx, ny, 0.0, nx * 0.002, 0.0, ny * 0.002)
-    C = mesh.num_cells
-    op = build_operator(
-        mesh, mannings_n=np.full(C, 0.015), dtype=jnp.float32
-    )
+    if mode == "structured":
+        from rdycore_tpu.ops.structured import (
+            build_structured_operator,
+            make_structured_stepper,
+        )
+
+        C = nx * ny
+        op = build_structured_operator(
+            nx, ny, 0.002, 0.002,
+            mannings_n=np.full((ny, nx), 0.015, np.float32),
+            dtype=jnp.float32,
+        )
+        q0 = np.zeros((3, ny, nx), np.float32)
+        q0[0, :, : nx // 2] = 10.0
+        q0[0, :, nx // 2 :] = 5.0
+        q0 = jnp.asarray(q0)
+        src = jnp.zeros((3, ny, nx), jnp.float32)
+        adv = jax.jit(make_structured_stepper(op, "euler"))
+
+        def run(q, n):
+            q_out, t_out, cmax = adv(op.arrays, q, 0.0, dt, n, 1e9, src)
+            return q_out, cmax
+    else:
+        from rdycore_tpu.mesh import structured_quad
+        from rdycore_tpu.operator import build_operator
+        from rdycore_tpu.timestepping import make_interval_advancer
+
+        mesh = structured_quad(nx, ny, 0.0, nx * 0.002, 0.0, ny * 0.002)
+        C = mesh.num_cells
+        op = build_operator(mesh, mannings_n=np.full(C, 0.015), dtype=jnp.float32)
+        q0 = np.zeros((3, C), np.float32)
+        q0[0] = np.where(mesh.cell_centroid[:, 0] < nx * 0.001, 10.0, 5.0)
+        q0 = jnp.asarray(q0)
+        bv = jnp.zeros((3, op.num_boundary_edges), jnp.float32)
+        src = jnp.zeros((3, C), jnp.float32)
+        adv = jax.jit(make_interval_advancer(op, "euler"))
+
+        def run(q, n):
+            res = adv(op.arrays, q, 0.0, dt, n, 1e9, bv, src)
+            return res.q, res.max_courant
+
     build_s = time.time() - t_build
 
-    q0 = np.zeros((3, C), np.float32)
-    q0[0] = np.where(mesh.cell_centroid[:, 0] < nx * 0.001, 10.0, 5.0)
-    q0 = jnp.asarray(q0)
-
-    dt = 5e-5  # stable for dx=2mm, h<=10m (c ~ 10 m/s)
-    adv = jax.jit(make_interval_advancer(op, "euler"))
-    bv = jnp.zeros((3, op.num_boundary_edges), jnp.float32)
-    src = jnp.zeros((3, C), jnp.float32)
-
-    # warm-up/compile (the reference uses -preload for the same reason,
-    # rdyadvance.c:240-257)
+    # warm-up/compile (the reference uses -preload similarly)
     t0 = time.time()
-    res = adv(op.arrays, q0, 0.0, dt, 3, 1e9, bv, src)
-    _ = np.asarray(res.q[0, :8])  # force full execution + transfer
+    q, cmax = run(q0, 3)
+    _ = np.asarray(q.ravel()[:8])  # force execution + device->host transfer
     compile_s = time.time() - t0
 
-    # timed run
     t0 = time.time()
-    res = adv(op.arrays, res.q, 0.0, dt, n_steps, 1e9, bv, src)
-    _ = np.asarray(res.q[0, :8])
+    q, cmax = run(q, n_steps)
+    _ = np.asarray(q.ravel()[:8])
     elapsed = time.time() - t0
 
-    assert np.isfinite(np.asarray(res.q)).all(), "bench produced non-finite state"
+    assert np.isfinite(np.asarray(q)).all(), "bench produced non-finite state"
 
     updates_per_s = n_steps * C / elapsed
-    roofline = 3.9e9  # cell-updates/s/chip on v5e (see module docstring)
     out = {
-        "metric": "swe_cell_updates_per_sec_per_chip",
+        "metric": f"swe_cell_updates_per_sec_per_chip_{mode}",
         "value": round(updates_per_s, 1),
         "unit": "cell-updates/s",
-        "vs_baseline": round(updates_per_s / roofline, 4),
+        "vs_baseline": round(updates_per_s / ROOFLINE, 4),
     }
     print(json.dumps(out))
     print(
-        f"# mesh {nx}x{ny} = {C} cells, {n_steps} steps in {elapsed:.3f}s "
-        f"(compile {compile_s:.1f}s, mesh build {build_s:.1f}s), "
-        f"max_courant={float(res.max_courant):.3f}",
+        f"# mode={mode} mesh {nx}x{ny} = {C} cells, {n_steps} steps in "
+        f"{elapsed:.3f}s (compile {compile_s:.1f}s, build {build_s:.1f}s), "
+        f"max_courant={float(cmax):.3f}",
         file=sys.stderr,
     )
 

@@ -1,0 +1,213 @@
+"""Structured-grid fast path: SWE on uniform quad rasters with zero gathers.
+
+The reference's flagship benchmark (idealized dam break,
+docs/user/example-cases/dam-break) and its realistic forcing rasters live on
+uniform quad grids, which the reference still runs through fully
+unstructured DMPlex machinery. On TPU the structured case deserves its own
+operator: neighbor access becomes array *slicing*, so the whole RHS is a
+fused elementwise pipeline at HBM-bandwidth speed -- no index arrays, no
+gathers, perfect (8,128) tiling.
+
+State layout: q[3, ny, nx]. Numerics are identical to the unstructured
+operator (same Roe solver, BC ghosts, dry masks, sources); equality is
+enforced by tests/test_structured.py against the unstructured twin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DEFAULT_H_ANUGA, DEFAULT_TINY_H, GRAVITY
+from .swe import boundary as bc_mod
+from .swe.riemann import regularized_velocity, roe_flux
+from .swe.sources import (
+    SOURCE_IMPLICIT_XQ2018,
+    apply_source_semi_implicit,
+    apply_source_xq2018,
+)
+
+
+class StructuredArrays(NamedTuple):
+    dz_dx: jnp.ndarray  # [ny, nx]
+    dz_dy: jnp.ndarray
+    mannings_n: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class StructuredSWEOperator:
+    """SWE RHS on a uniform [ny, nx] grid with spacing (dx, dy)."""
+
+    arrays: StructuredArrays
+    nx: int
+    ny: int
+    dx: float
+    dy: float
+    # wall BCs: bc_mod codes for (left, right, bottom, top)
+    bc_left: int = bc_mod.BC_REFLECTING
+    bc_right: int = bc_mod.BC_REFLECTING
+    bc_bottom: int = bc_mod.BC_REFLECTING
+    bc_top: int = bc_mod.BC_REFLECTING
+    tiny_h: float = DEFAULT_TINY_H
+    h_anuga: float = DEFAULT_H_ANUGA
+    source_method: int = 0
+    xq2018_threshold: float = 1.0e-10
+
+    def apply(self, q: jnp.ndarray, dt, ext_src: jnp.ndarray):
+        """q: [3, ny, nx] -> (rhs [3, ny, nx], max_courant_per_dt scalar)."""
+        a = self.arrays
+        dtype = q.dtype
+        tiny_h = jnp.asarray(self.tiny_h, dtype)
+        h_anuga = jnp.asarray(self.h_anuga, dtype)
+        one = jnp.ones((), dtype)
+        zero = jnp.zeros((), dtype)
+
+        h, hu, hv = q[0], q[1], q[2]
+        u, v = regularized_velocity(h, hu, hv, tiny_h, h_anuga)
+
+        # ---- interior x-edges: between columns i-1 | i (normal +x) --------
+        hl, ul, vl = h[:, :-1], u[:, :-1], v[:, :-1]
+        hr, ur, vr = h[:, 1:], u[:, 1:], v[:, 1:]
+        fx_h, fx_hu, fx_hv, ax = roe_flux(hl, ul, vl, hr, ur, vr, zero, one)
+        mx = jnp.where((hl < tiny_h) & (hr < tiny_h), 0.0, 1.0)
+        fx = jnp.stack([fx_h * mx, fx_hu * mx, fx_hv * mx])
+        ax = ax * mx
+
+        # ---- interior y-edges: between rows j-1 | j (normal +y) ------------
+        hb, ub, vb = h[:-1, :], u[:-1, :], v[:-1, :]
+        ht, ut, vt = h[1:, :], u[1:, :], v[1:, :]
+        fy_h, fy_hu, fy_hv, ay = roe_flux(hb, ub, vb, ht, ut, vt, one, zero)
+        my = jnp.where((hb < tiny_h) & (ht < tiny_h), 0.0, 1.0)
+        fy = jnp.stack([fy_h * my, fy_hu * my, fy_hv * my])
+        ay = ay * my
+
+        # ---- wall fluxes ----------------------------------------------------
+        def wall_flux(hs, us, vs, sn, cn, bc):
+            (hl_s, ul_s, vl_s), (hr_s, ur_s, vr_s) = bc_mod.ghost_states(
+                bc, hs, us, vs, sn, cn, jnp.zeros((3,) + hs.shape, dtype),
+                tiny_h, h_anuga,
+            )
+            f_h, f_hu, f_hv, am = roe_flux(
+                hl_s, ul_s, vl_s, hr_s, ur_s, vr_s, sn, cn
+            )
+            m = jnp.where((hl_s < tiny_h) & (hr_s < tiny_h), 0.0, 1.0)
+            return jnp.stack([f_h * m, f_hu * m, f_hv * m]), am * m
+
+        # outward normals: left wall (-1, 0), right (+1, 0), bottom (0, -1),
+        # top (0, +1)
+        fxl, al = wall_flux(h[:, 0], u[:, 0], v[:, 0], zero, -one, self.bc_left)
+        fxr, ar = wall_flux(h[:, -1], u[:, -1], v[:, -1], zero, one, self.bc_right)
+        fyb, ab = wall_flux(h[0, :], u[0, :], v[0, :], -one, zero, self.bc_bottom)
+        fyt, at = wall_flux(h[-1, :], u[-1, :], v[-1, :], one, zero, self.bc_top)
+
+        # ---- divergence -----------------------------------------------------
+        # wall fluxes computed with outward normals contribute -F/length
+        inv_dx = 1.0 / jnp.asarray(self.dx, dtype)
+        inv_dy = 1.0 / jnp.asarray(self.dy, dtype)
+
+        # x-direction: build full [3, ny, nx+1] flux with +x normals
+        fx_full = jnp.concatenate(
+            [(-fxl)[:, :, None], fx, fxr[:, :, None]], axis=2
+        )
+        div_x = -(fx_full[:, :, 1:] - fx_full[:, :, :-1]) * inv_dx
+
+        fy_full = jnp.concatenate(
+            [(-fyb)[:, None, :], fy, fyt[:, None, :]], axis=1
+        )
+        div_y = -(fy_full[:, 1:, :] - fy_full[:, :-1, :]) * inv_dy
+
+        flux_div = div_x + div_y
+
+        # ---- Courant --------------------------------------------------------
+        cmax = jnp.maximum(
+            jnp.maximum(ax.max() * inv_dx, ay.max() * inv_dy),
+            jnp.maximum(
+                jnp.maximum(al.max(), ar.max()) * inv_dx,
+                jnp.maximum(ab.max(), at.max()) * inv_dy,
+            ),
+        )
+
+        # ---- sources --------------------------------------------------------
+        shp = (3, self.ny * self.nx)
+        qf = q.reshape(shp)
+        fdf = flux_div.reshape(shp)
+        esf = ext_src.reshape(shp)
+        if self.source_method == SOURCE_IMPLICIT_XQ2018:
+            src = apply_source_xq2018(
+                qf, fdf, esf, a.mannings_n.ravel(), a.dz_dx.ravel(),
+                a.dz_dy.ravel(), dt, tiny_h, h_anuga,
+                jnp.asarray(self.xq2018_threshold, dtype),
+            )
+        else:
+            src = apply_source_semi_implicit(
+                qf, fdf, esf, a.mannings_n.ravel(), a.dz_dx.ravel(),
+                a.dz_dy.ravel(), dt, tiny_h, h_anuga,
+            )
+
+        rhs = flux_div + src.rhs.reshape(q.shape)
+        return rhs, cmax
+
+
+def build_structured_operator(
+    nx: int,
+    ny: int,
+    dx: float,
+    dy: float,
+    z: Optional[np.ndarray] = None,  # [ny, nx] cell-center bed elevation
+    mannings_n: Optional[np.ndarray] = None,
+    dtype=jnp.float32,
+    **kwargs,
+) -> StructuredSWEOperator:
+    if z is None:
+        dz_dx = np.zeros((ny, nx))
+        dz_dy = np.zeros((ny, nx))
+    else:
+        dz_dy, dz_dx = np.gradient(np.asarray(z), dy, dx)
+    if mannings_n is None:
+        mannings_n = np.zeros((ny, nx))
+    arrays = StructuredArrays(
+        dz_dx=jnp.asarray(dz_dx, dtype),
+        dz_dy=jnp.asarray(dz_dy, dtype),
+        mannings_n=jnp.asarray(np.broadcast_to(mannings_n, (ny, nx)), dtype),
+    )
+    return StructuredSWEOperator(
+        arrays=arrays, nx=nx, ny=ny, dx=dx, dy=dy, **kwargs
+    )
+
+
+def make_structured_stepper(op: StructuredSWEOperator, scheme: str = "euler"):
+    """Interval advancer: jitted fori_loop, mirrors make_interval_advancer."""
+
+    def advance(arrays, q, t0, dt, n_steps, t_end, ext_src):
+        bound = dataclasses.replace(op, arrays=arrays)
+
+        def body(i, carry):
+            qq, tt, cmax = carry
+            dt_i = jnp.minimum(dt, t_end - tt)
+            dt_i = jnp.maximum(dt_i, 0.0)
+            if scheme == "euler":
+                rhs, cm = bound.apply(qq, dt_i, ext_src)
+                q_new = qq + dt_i * rhs
+            elif scheme == "ssprk2":
+                rhs, cm = bound.apply(qq, dt_i, ext_src)
+                q1 = qq + dt_i * rhs
+                rhs2, _ = bound.apply(q1, dt_i, ext_src)
+                q_new = 0.5 * qq + 0.5 * (q1 + dt_i * rhs2)
+            else:  # rk4
+                r1, cm = bound.apply(qq, dt_i, ext_src)
+                r2, _ = bound.apply(qq + 0.5 * dt_i * r1, dt_i, ext_src)
+                r3, _ = bound.apply(qq + 0.5 * dt_i * r2, dt_i, ext_src)
+                r4, _ = bound.apply(qq + dt_i * r3, dt_i, ext_src)
+                q_new = qq + (dt_i / 6.0) * (r1 + 2 * r2 + 2 * r3 + r4)
+            cmax = jnp.maximum(cmax, cm * dt_i)
+            active = dt_i > 0.0
+            return (jnp.where(active, q_new, qq), tt + dt_i, cmax)
+
+        init = (q, jnp.asarray(t0, q.dtype), jnp.zeros((), q.dtype))
+        return jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, init)
+
+    return advance
