@@ -20,6 +20,13 @@ def main(argv=None):
     ap.add_argument("--f32", action="store_true", help="force single precision")
     ap.add_argument("--f64", action="store_true", help="force double precision")
     ap.add_argument("--mms", action="store_true", help="run as an MMS problem (like rdycore_mms)")
+    # forcing options (the F90/E3SM driver's -rain / -bc dataset options,
+    # driver/main.F90:197-338)
+    ap.add_argument("--constant-rain-rate", type=float, default=None, help="[m/s]")
+    ap.add_argument("--homogeneous-rain-file", default=None)
+    ap.add_argument("--temporally-interpolate-rain", action="store_true")
+    ap.add_argument("--raster-rain-dir", default=None)
+    ap.add_argument("--homogeneous-bc-file", default=None, metavar="BOUNDARY=FILE")
     args = ap.parse_args(argv)
 
     import jax
@@ -51,6 +58,48 @@ def main(argv=None):
 
     sim = Simulation(cfg)
     attach_output_monitors(sim)
+
+    if (
+        args.constant_rain_rate is not None
+        or args.homogeneous_rain_file
+        or args.raster_rain_dir
+        or args.homogeneous_bc_file
+    ):
+        import datetime
+
+        from rdycore_tpu.forcing import (
+            ConstantRain,
+            Forcing,
+            HomogeneousDataset,
+            RasterDataset,
+            attach_forcing,
+        )
+
+        forcing = Forcing()
+        if args.constant_rain_rate is not None:
+            forcing.constant_rain = ConstantRain(args.constant_rain_rate)
+        if args.homogeneous_rain_file:
+            forcing.homogeneous_rain = HomogeneousDataset(
+                cfg.resolve_path(args.homogeneous_rain_file),
+                temporally_interpolate=args.temporally_interpolate_rain,
+            )
+        if args.raster_rain_dir:
+            start = (
+                datetime.datetime.strptime(cfg.time.date, "%Y-%m-%d")
+                if cfg.time.date
+                else datetime.datetime(2017, 8, 26)
+            )
+            forcing.raster_rain = RasterDataset(
+                directory=args.raster_rain_dir,
+                start_date=start,
+                mesh_xy=sim.mesh.cell_centroid[:, :2],
+            )
+        if args.homogeneous_bc_file:
+            bname, _, fname = args.homogeneous_bc_file.partition("=")
+            forcing.homogeneous_bc[bname] = HomogeneousDataset(
+                cfg.resolve_path(fname)
+            )
+        attach_forcing(sim, forcing)
     sim.log.info(
         f"mesh: {sim.mesh.num_cells} cells, {sim.mesh.num_edges} edges; "
         f"dt = {sim.dt:.6g} s, t_final = {sim.t_final:.6g} s"
