@@ -1,0 +1,145 @@
+"""Ensembles: single-program multi-simulation.
+
+The reference splits MPI_COMM_WORLD into equal member communicators and
+overrides grid/materials/conditions per member (src/ensemble.c; per-member
+output subdirectories rdyadvance.c:15-28). The TPU-native design:
+
+- members sharing a grid are *vmapped* over a leading member axis -- one
+  compiled step advances the whole ensemble (trivially parallel on the
+  batch dimension, XLA vectorizes across members)
+- members with distinct grids fall back to independent Simulations
+
+Per-member outputs land in '<output>/<member_name or member_N>/'.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config.schema import Config, ConfigError
+from .simulation import Simulation
+from .timestepping import make_interval_advancer
+
+
+def member_config(config: Config, index: int) -> Config:
+    """Apply ensemble member overrides (ConfigureEnsembleMember,
+    ensemble.c:19-83)."""
+    member = config.ensemble.members[index]
+    cfg = copy.deepcopy(config)
+    cfg.ensemble = dataclasses.replace(cfg.ensemble, size=0, members=[])
+    if member.grid is not None and member.grid.file:
+        cfg.grid = member.grid
+    for override_list, target in (
+        (member.materials, cfg.materials),
+        (member.flow_conditions, cfg.flow_conditions),
+        (member.sediment_conditions, cfg.sediment_conditions),
+        (member.salinity_conditions, cfg.salinity_conditions),
+        (member.temperature_conditions, cfg.temperature_conditions),
+    ):
+        for ov in override_list:
+            replaced = False
+            for i, item in enumerate(target):
+                if item.name == ov.name:
+                    target[i] = ov
+                    replaced = True
+            if not replaced:
+                target.append(ov)
+    name = member.name or f"member_{index}"
+    cfg.output.directory = os.path.join(config.output.directory, name)
+    return cfg
+
+
+class EnsembleSimulation:
+    """Runs all ensemble members. Members sharing the grid file advance in a
+    single vmapped step; others run as independent Simulations."""
+
+    def __init__(self, config: Config):
+        if not config.ensemble.size:
+            raise ConfigError("config has no ensemble section")
+        self.size = config.ensemble.size
+        self.members: List[Simulation] = [
+            Simulation(member_config(config, i)) for i in range(self.size)
+        ]
+        grids = {m.config.grid.file for m in self.members}
+        self.vmapped = len(grids) == 1
+        self._vadvance = None
+
+    @property
+    def finished(self) -> bool:
+        return all(m.finished for m in self.members)
+
+    def advance(self):
+        if not self.vmapped:
+            for m in self.members:
+                if not m.finished:
+                    m.advance()
+            return
+        self._advance_vmapped()
+
+    def _advance_vmapped(self):
+        """One compiled interval advance over the stacked member axis."""
+        ms = self.members
+        m0 = ms[0]
+        cfg = m0.config
+
+        ta = cfg.time.adaptive
+        if ta.enable:
+            for m in ms:
+                if m.prev_max_courant is not None:
+                    from .timestepping import adapt_timestep
+
+                    m.dt = adapt_timestep(
+                        m.dt, m.prev_max_courant, ta.target_courant_number,
+                        ta.max_increase_factor, m.coupling_interval,
+                    )
+        # members share dt/schedule (same config time section)
+        dt = ms[0].dt
+        t_end = min(m0.t + m0.coupling_interval, m0.t_final)
+        n_steps = max(1, int(np.ceil((t_end - m0.t) / dt - 1e-12)))
+        if m0.max_steps is not None:
+            n_steps = min(n_steps, m0.max_steps - m0.step)
+            t_end = min(t_end, m0.t + n_steps * dt)
+
+        if self._vadvance is None:
+            base = make_interval_advancer(m0.operator, cfg.numerics.temporal)
+            self._vadvance = jax.jit(
+                jax.vmap(
+                    base,
+                    in_axes=(0, 0, None, None, None, None, 0, 0),
+                )
+            )
+
+        arrays = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[m.operator.arrays for m in ms]
+        )
+        q = jnp.stack([m.q for m in ms])
+        bv = jnp.stack([m.boundary_values for m in ms])
+        es = jnp.stack([m.ext_src for m in ms])
+
+        res = self._vadvance(
+            arrays, q, m0.t, jnp.asarray(dt, m0.dtype), int(n_steps),
+            jnp.asarray(t_end, m0.dtype), bv, es,
+        )
+
+        for i, m in enumerate(ms):
+            m.q = res.q[i]
+            m.t = float(res.t[i])
+            m.step += int(n_steps)
+            m.prev_max_courant = float(res.max_courant[i])
+            m.bflux_accum += np.asarray(res.bflux_accum[i])
+            m.accum_sol += np.asarray(res.accum_sol[i])
+            m.accum_prim += np.asarray(res.accum_prim[i])
+            m.accum_time += float(res.accum_time[i])
+            for mon in m._monitors:
+                mon(m)
+
+    def run(self):
+        while not self.finished:
+            self.advance()
