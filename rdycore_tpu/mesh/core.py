@@ -229,6 +229,45 @@ def _cell_slopes(points, cell_vertices, cell_num_vertices, centroids):
     return dz_dx, dz_dy
 
 
+def _extract_edges_numpy(num_points, e_from, e_to, e_cell, e_slot):
+    """Vectorized NumPy edge dedup (fallback for the native builder).
+
+    Canonical left = smaller cell id of the pair, matching
+    csrc/mesh_builder.cpp rdy_extract_edges (deterministic across
+    partitionings; the reference normalizes orientation geometrically
+    instead, rdymesh.c:628-689 -- both give a consistent L->R normal).
+    """
+    lo = np.minimum(e_from, e_to).astype(np.int64)
+    hi = np.maximum(e_from, e_to).astype(np.int64)
+    key = lo * num_points + hi
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq_key, first_idx, counts = np.unique(
+        key_s, return_index=True, return_counts=True
+    )
+    if counts.max() > 2:
+        raise ValueError("non-manifold mesh: an edge is shared by >2 cells")
+
+    n_unique = len(uniq_key)
+    right = -np.ones(n_unique, dtype=np.int32)
+    rslot = -np.ones(n_unique, dtype=np.int32)
+    cell_sorted = e_cell[order]
+    slot_sorted = e_slot[order]
+    left = cell_sorted[first_idx]
+    lslot = slot_sorted[first_idx]
+    two = counts == 2
+    second_idx = first_idx + 1
+    right[two] = cell_sorted[second_idx[two]]
+    rslot[two] = slot_sorted[second_idx[two]]
+
+    swap = two & (right < left)
+    left2 = np.where(swap, right, left)
+    right2 = np.where(swap, left, right)
+    ls2 = np.where(swap, rslot, lslot)
+    rs2 = np.where(swap, lslot, rslot)
+    return left2, right2, ls2, rs2
+
+
 def _orient_ccw(points, cell_vertices, cell_num_vertices):
     """Flip cells with negative signed area so all are counterclockwise."""
     x = points[:, 0]
@@ -321,46 +360,19 @@ def build_mesh(
     e_cell = np.concatenate(e_cell).astype(np.int32)
     e_slot = np.concatenate(e_slot)
 
-    lo = np.minimum(e_from, e_to).astype(np.int64)
-    hi = np.maximum(e_from, e_to).astype(np.int64)
-    key = lo * points.shape[0] + hi
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    uniq_key, first_idx, inverse_s, counts = np.unique(
-        key_s, return_index=True, return_inverse=True, return_counts=True
+    from . import native
+
+    native_result = native.extract_edges(
+        points.shape[0], cell_vertices, cell_num_vertices
     )
-    if counts.max() > 2:
-        raise ValueError("non-manifold mesh: an edge is shared by >2 cells")
-
-    n_unique = len(uniq_key)
-    # For each unique edge find left/right cell: directed edge (a->b) CCW means
-    # the contributing cell sees the edge counterclockwise; by convention the
-    # cell whose directed edge goes a->b with a<b... we instead pick:
-    # first contributing cell (in sorted dedup order) = candidate, then fix
-    # orientation geometrically like the reference (rdymesh.c:628-689).
-    left = -np.ones(n_unique, dtype=np.int32)
-    right = -np.ones(n_unique, dtype=np.int32)
-    lslot = -np.ones(n_unique, dtype=np.int32)
-    rslot = -np.ones(n_unique, dtype=np.int32)
-    cell_sorted = e_cell[order]
-    slot_sorted = e_slot[order]
-    left[inverse_s[first_idx]] = 0  # placeholder
-    # first occurrence
-    left = cell_sorted[first_idx]
-    lslot = slot_sorted[first_idx]
-    # second occurrence where present
-    two = counts == 2
-    second_idx = first_idx + 1
-    right[two] = cell_sorted[second_idx[two]]
-    rslot[two] = slot_sorted[second_idx[two]]
-
-    # canonical left = smaller cell id (deterministic across partitionings)
-    swap = two & (right < left)
-    left2 = np.where(swap, right, left)
-    right2 = np.where(swap, left, right)
-    ls2 = np.where(swap, rslot, lslot)
-    rs2 = np.where(swap, lslot, rslot)
-    left, right, lslot, rslot = left2, right2, ls2, rs2
+    if native_result is not None:
+        left, right, lslot, rslot = native_result
+        n_unique = len(left)
+    else:
+        left, right, lslot, rslot = _extract_edges_numpy(
+            points.shape[0], e_from, e_to, e_cell, e_slot
+        )
+        n_unique = len(left)
 
     # edge endpoint vertices (use left cell's directed edge a->b: cell is on
     # the left of a->b, so the outward/L->R normal is the CW rotation of a->b)

@@ -1,0 +1,107 @@
+"""ctypes bindings for the native mesh builder (csrc/mesh_builder.cpp).
+
+Auto-builds librdymesh.so on first use if a compiler is available; all entry
+points have vectorized NumPy fallbacks, so the native library is an
+accelerator, not a requirement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "librdymesh.so")
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "csrc",
+    "mesh_builder.cpp",
+)
+
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC):
+        try:
+            subprocess.run(
+                [
+                    os.environ.get("CXX", "g++"),
+                    "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+                    "-o", _LIB_PATH, _SRC,
+                ],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.rdy_extract_edges.restype = ctypes.c_int64
+    lib.rdy_extract_edges.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p,
+    ]
+    lib.rdy_rcm_order.restype = None
+    lib.rdy_rcm_order.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, i32p, i32p]
+    lib.rdy_block_halos.restype = None
+    lib.rdy_block_halos.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, i32p, i64p,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def extract_edges(
+    num_points: int, cell_vertices: np.ndarray, cell_num_vertices: np.ndarray
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Native edge extraction; returns (left, right, lslot, rslot) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    C = cell_vertices.shape[0]
+    cv = np.ascontiguousarray(cell_vertices, dtype=np.int32)
+    nv = np.ascontiguousarray(cell_num_vertices, dtype=np.int32)
+    cap = 4 * C
+    left = np.empty(cap, np.int32)
+    right = np.empty(cap, np.int32)
+    lslot = np.empty(cap, np.int32)
+    rslot = np.empty(cap, np.int32)
+    n = lib.rdy_extract_edges(C, num_points, cv, nv, left, right, lslot, rslot)
+    if n < 0:
+        raise ValueError("non-manifold mesh: an edge is shared by >2 cells")
+    return left[:n], right[:n], lslot[:n], rslot[:n]
+
+
+def rcm_order(
+    num_cells: int, edge_left: np.ndarray, edge_right: np.ndarray
+) -> Optional[np.ndarray]:
+    """Native RCM ordering; returns perm (new order: old cell ids) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    el = np.ascontiguousarray(edge_left, dtype=np.int32)
+    er = np.ascontiguousarray(edge_right, dtype=np.int32)
+    perm = np.empty(num_cells, np.int32)
+    lib.rdy_rcm_order(num_cells, len(el), el, er, perm)
+    return perm
