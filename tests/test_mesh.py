@@ -78,3 +78,35 @@ def test_refinement_preserves_area_and_labels():
     rt = refine_uniform(mt, 1)
     assert rt.num_cells == mt.num_cells * 4
     assert np.isclose(rt.cell_area.sum(), mt.cell_area.sum())
+
+
+def test_native_matches_numpy_edge_extraction():
+    from rdycore_tpu.mesh import native
+    from rdycore_tpu.mesh.core import _extract_edges_numpy
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native mesh library unavailable")
+    m = read_gmsh(MESH)
+    cv, nv = m.cell_vertices, m.cell_num_vertices
+    nat = native.extract_edges(m.num_vertices, cv, nv)
+    e_from, e_to, e_cell, e_slot = [], [], [], []
+    for k in range(4):
+        idx = np.nonzero(k < nv)[0]
+        a = cv[idx, k]
+        b = np.where((k + 1) < nv[idx], cv[idx, (k + 1) % 4], cv[idx, 0])
+        e_from.append(a)
+        e_to.append(b)
+        e_cell.append(idx)
+        e_slot.append(np.full(len(idx), k, np.int32))
+    npy = _extract_edges_numpy(
+        m.num_vertices,
+        np.concatenate(e_from),
+        np.concatenate(e_to),
+        np.concatenate(e_cell).astype(np.int32),
+        np.concatenate(e_slot),
+    )
+    assert sorted(zip(*[x.tolist() for x in nat])) == sorted(
+        zip(*[x.tolist() for x in npy])
+    )
