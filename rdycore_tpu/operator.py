@@ -85,6 +85,8 @@ class OperatorArrays(NamedTuple):
     int_dyl: jnp.ndarray = None
     int_dxr: jnp.ndarray = None
     int_dyr: jnp.ndarray = None
+    # BS2002 well-balancing arrays (None unless enabled)
+    bs2002: object = None
 
 
 class RHSResult(NamedTuple):
@@ -115,6 +117,7 @@ class SWEOperator:
     source_method: int = SOURCE_SEMI_IMPLICIT
     xq2018_threshold: float = DEFAULT_XQ2018_THRESHOLD
     well_balancing_hr: bool = False  # hydrostatic reconstruction mode
+    well_balancing_bs2002: bool = False  # Bradford & Sanders (2002) mode
     second_order: bool = False
     limiter: str = "minmod"  # minmod | vanleer | none
     # tracers (sediment classes + salinity + heat); when > 0 the flux/source
@@ -185,6 +188,20 @@ class SWEOperator:
         fi_h, fi_hu, fi_hv, amax_i = roe_flux(
             hl, ul, vl, hr, ur, vr, a.int_sn, a.int_cn
         )
+
+        if self.well_balancing_bs2002:
+            from .ops.swe.bs2002 import dhv_correction, eta_vertices
+
+            eta_v = eta_vertices(a.bs2002, h, tiny_h)
+            dfu, dfv = dhv_correction(
+                eta_v, a.bs2002.int_vbeg, a.bs2002.int_vend,
+                a.bs2002.int_zvbeg, a.bs2002.int_zvend, a.int_cn, a.int_sn,
+            )
+            fi_hu = fi_hu + dfu
+            fi_hv = fi_hv + dfv
+        else:
+            eta_v = None
+
         if self.well_balancing_hr:
             # outer guard: both *raw* states dry (swe_petsc.c:1094); inner
             # guard: both *reconstructed* states dry (swe_petsc.c:1112)
@@ -224,6 +241,17 @@ class SWEOperator:
             f_h, f_hu, f_hv, am = roe_flux(
                 hl_s, ul_s, vl_s, hr_s, ur_s, vr_s, sn_s, cn_s
             )
+            if self.well_balancing_bs2002:
+                from .ops.swe.bs2002 import dhv_correction
+
+                dfu, dfv = dhv_correction(
+                    eta_v,
+                    a.bs2002.bnd_vbeg[sl], a.bs2002.bnd_vend[sl],
+                    a.bs2002.bnd_zvbeg[sl], a.bs2002.bnd_zvend[sl],
+                    cn_s, sn_s,
+                )
+                f_hu = f_hu + dfu
+                f_hv = f_hv + dfv
             dry = (hl_s < tiny_h) & (hr_s < tiny_h)
             mask = jnp.where(dry, 0.0, 1.0)
             fb_parts.append(jnp.stack([f_h, f_hu, f_hv]) * mask)
@@ -460,6 +488,7 @@ def build_operator(
     source_method: int = SOURCE_SEMI_IMPLICIT,
     xq2018_threshold: float = DEFAULT_XQ2018_THRESHOLD,
     well_balancing_hr: bool = False,
+    well_balancing_bs2002: bool = False,
     second_order: bool = False,
     limiter: str = "minmod",
     num_tracers: int = 0,
@@ -541,6 +570,14 @@ def build_operator(
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i = lambda x: jnp.asarray(x, dtype=jnp.int32)
 
+    bs_fields = {}
+    if well_balancing_bs2002:
+        from .ops.swe.bs2002 import build_bs2002_arrays
+
+        bs_fields = dict(
+            bs2002=build_bs2002_arrays(mesh, edge_perm, Ei, dtype)
+        )
+
     muscl_fields = {}
     if second_order:
         from .ops.swe.muscl import precompute_ls_coefficients
@@ -575,6 +612,7 @@ def build_operator(
         edge_courant_coef=f(ccoef),
         bnd_len=f(lengths[Ei:]),
         **muscl_fields,
+        **bs_fields,
     )
 
     return SWEOperator(
@@ -588,6 +626,7 @@ def build_operator(
         source_method=source_method,
         xq2018_threshold=xq2018_threshold,
         well_balancing_hr=well_balancing_hr,
+        well_balancing_bs2002=well_balancing_bs2002,
         second_order=second_order,
         limiter=limiter,
         num_tracers=num_tracers,

@@ -191,6 +191,9 @@ class Simulation:
             well_balancing_hr=(
                 config.physics.flow.well_balancing == "hydrostatic_reconstruction"
             ),
+            well_balancing_bs2002=(
+                config.physics.flow.well_balancing == "bs2002"
+            ),
             second_order=config.numerics.second_order,
             limiter=config.numerics.limiter,
             dtype=self.dtype,
