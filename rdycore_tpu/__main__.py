@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--temporally-interpolate-rain", action="store_true")
     ap.add_argument("--raster-rain-dir", default=None)
     ap.add_argument("--homogeneous-bc-file", default=None, metavar="BOUNDARY=FILE")
+    # AMR driver options (driver/amr.c: time-stamped refinement rasters)
+    ap.add_argument("--amr-dataset-dir", default=None)
+    ap.add_argument("--amr-area-threshold", type=float, default=0.125)
     args = ap.parse_args(argv)
 
     import jax
@@ -104,9 +107,46 @@ def main(argv=None):
         f"mesh: {sim.mesh.num_cells} cells, {sim.mesh.num_edges} edges; "
         f"dt = {sim.dt:.6g} s, t_final = {sim.t_final:.6g} s"
     )
+    amr_dir = args.amr_dataset_dir
+    if amr_dir:
+        import datetime as _dt
+
+        from rdycore_tpu.amr import mark_cells_from_raster, perform_amr
+        from rdycore_tpu.forcing import dataset_filename
+        from rdycore_tpu.io.petsc_binary import read_petsc_vec
+
+        amr_start = (
+            _dt.datetime.strptime(cfg.time.date, "%Y-%m-%d")
+            if cfg.time.date
+            else _dt.datetime(2011, 1, 1)
+        )
+
+    import numpy as _np
+    import os as _os
+
     t0 = time.time()
     prev_t = sim.t
+    amr_minute = 0
     while not sim.finished:
+        if amr_dir:
+            # the AMR driver advances the dataset one minute per coupling
+            # interval; rasters live on the level-0 base mesh and are
+            # injected onto the current mesh via the refine tree
+            # (driver/amr.c:205-226)
+            date = amr_start + _dt.timedelta(minutes=amr_minute)
+            amr_minute += 1
+            path = dataset_filename(amr_dir, date)
+            if _os.path.exists(path):
+                vals = read_petsc_vec(path)
+                base_map = getattr(
+                    sim, "amr_base_map", _np.arange(sim.mesh.num_cells)
+                )
+                current = vals[base_map]
+                marked = mark_cells_from_raster(
+                    current, sim.mesh.cell_area, args.amr_area_threshold
+                )
+                if marked.any():
+                    perform_amr(sim, marked)
         sim.advance()
         assert sim.t > prev_t, "time did not advance"  # main.c sanity checks
         prev_t = sim.t

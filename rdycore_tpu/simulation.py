@@ -398,6 +398,26 @@ class Simulation:
     def from_file(cls, path: str, **overrides) -> "Simulation":
         return cls(load_config(path, overrides or None))
 
+    def rebuild_on_mesh(self, new_mesh: Mesh, mannings_n: np.ndarray) -> None:
+        """Rebuild the operator and stepper on a new mesh, preserving time
+        state (used by AMR, rdyamr.c:482+: regions/boundaries/operator/TS
+        are reconstructed on the refined mesh)."""
+        t, dt, step = self.t, self.dt, self.step
+        prev_courant = self.prev_max_courant
+        monitors = self._monitors
+        old_log = self.log
+
+        cfg = self.config
+        # re-run the setup pipeline with the new mesh; conditions with
+        # region-based evaluation re-evaluate (but state/sources are
+        # overwritten by the caller via parent-injection afterwards)
+        self.__init__(cfg, mesh=new_mesh)
+        self.set_manning_n(mannings_n)
+        self.t, self.dt, self.step = t, dt, step
+        self.prev_max_courant = prev_courant
+        self._monitors = monitors
+        self.log = old_log
+
     @property
     def finished(self) -> bool:
         """RDyFinished (rdyadvance.c:388-400)."""

@@ -1,0 +1,93 @@
+"""Adaptive mesh refinement tests (reference: src/rdyamr.c + driver/amr.c,
+amr_dx1.yaml on the triangle MMS mesh)."""
+
+import numpy as np
+import pytest
+
+from rdycore_tpu.amr import mark_cells_from_raster, perform_amr, refine_marked
+from rdycore_tpu.mesh import structured_tri
+from rdycore_tpu.mesh.exodus import read_exodus
+
+
+def test_refine_marked_conforming():
+    mesh = structured_tri(6, 4)
+    marked = np.zeros(mesh.num_cells, dtype=bool)
+    marked[:5] = True
+    fine, parent = refine_marked(mesh, marked)
+    # area conserved
+    assert np.isclose(fine.cell_area.sum(), mesh.cell_area.sum())
+    # conforming: every internal edge shared by exactly 2 cells (guaranteed
+    # by build_mesh succeeding) and each parent's children cover its area
+    for c in np.nonzero(marked)[0]:
+        kids = np.nonzero(parent == c)[0]
+        assert len(kids) == 4  # red
+        assert np.isclose(
+            fine.cell_area[kids].sum(), mesh.cell_area[c]
+        )
+    # unmarked cells are either kept (1 child), green (2), or promoted (4)
+    counts = np.bincount(parent)
+    assert set(counts.tolist()) <= {1, 2, 4}
+    # boundaries propagate
+    assert len(fine.boundaries["left"]) >= len(mesh.boundaries["left"])
+
+
+def test_refine_nothing_is_identity():
+    mesh = structured_tri(4, 4)
+    out, parent = refine_marked(mesh, np.zeros(mesh.num_cells, bool))
+    assert out is mesh
+    assert np.array_equal(parent, np.arange(mesh.num_cells))
+
+
+def test_mark_rule():
+    depths = np.array([0.0, 0.5, 2.0, 1.0])
+    areas = np.array([1.0, 1.0, 0.05, 1.0])
+    marked = mark_cells_from_raster(depths, areas, area_threshold=0.125)
+    assert marked.tolist() == [False, True, False, True]
+
+
+def test_amr_mid_simulation():
+    """Run, refine where water is deep, continue: mass must be preserved
+    through the piecewise-constant transfer and the run stays stable."""
+    from rdycore_tpu.config.schema import Config
+    from rdycore_tpu.simulation import Simulation
+
+    cfg = Config()
+    cfg.time.stop = 0.4
+    cfg.time.time_step = 0.002
+    cfg.time.coupling_interval = 0.2
+    cfg.logging.level = "none"
+    cfg.validate()
+    mesh = structured_tri(10, 8, 0, 10, 0, 8)
+    sim = Simulation(cfg, mesh=mesh)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = np.where(mesh.cell_centroid[:, 0] < 5.0, 2.0, 1.0)
+    sim.set_solution(q0)
+
+    v_before = float((sim.get_height() * sim.mesh.cell_area).sum())
+    sim.advance()
+
+    marked = mark_cells_from_raster(
+        sim.get_height() - 1.4, sim.mesh.cell_area, area_threshold=0.1
+    )
+    assert marked.any()
+    v_mid = float((sim.get_height() * sim.mesh.cell_area).sum())
+    perform_amr(sim, marked)
+    v_after = float((sim.get_height() * sim.mesh.cell_area).sum())
+    assert v_after == pytest.approx(v_mid, rel=1e-12)  # conservative transfer
+    assert sim.mesh.num_cells > mesh.num_cells
+
+    sim.advance()
+    assert sim.finished
+    assert np.isfinite(sim.get_solution()).all()
+    # closed box: volume conserved across the whole run incl. refinement
+    v_end = float((sim.get_height() * sim.mesh.cell_area).sum())
+    assert v_end == pytest.approx(v_before, rel=1e-10)
+
+
+def test_amr_on_reference_mesh():
+    mesh = read_exodus("/root/reference/share/meshes/mms_triangles_dx1.exo")
+    marked = np.zeros(mesh.num_cells, bool)
+    marked[mesh.cell_centroid[:, 0] < 2.0] = True
+    fine, parent = refine_marked(mesh, marked)
+    assert np.isclose(fine.cell_area.sum(), mesh.cell_area.sum())
+    assert fine.num_cells > mesh.num_cells
