@@ -87,6 +87,15 @@ class OperatorArrays(NamedTuple):
     int_dyr: jnp.ndarray = None
     # BS2002 well-balancing arrays (None unless enabled)
     bs2002: object = None
+    # Pallas edge-flux kernel plan arrays (None unless backend == "pallas";
+    # interior edges are rebuilt in plan order at operator build time so
+    # kernel outputs align 1:1 with the operator's interior edge slots)
+    pl_il: jnp.ndarray = None  # [E_pad] int32
+    pl_ir: jnp.ndarray = None
+    pl_cn: jnp.ndarray = None  # [E_pad] f32
+    pl_sn: jnp.ndarray = None
+    pl_valid: jnp.ndarray = None
+    pl_ws: jnp.ndarray = None  # [ntiles] int32 window starts
 
 
 class RHSResult(NamedTuple):
@@ -126,6 +135,13 @@ class SWEOperator:
     num_tracers: int = 0
     num_sediment: int = 0
     riemann: str = "roe"  # roe | upwind_roe (tracer flux choice)
+    # interior-edge flux backend: "xla" (gather twin) or "pallas" (fused
+    # windowed TPU kernel); the twin-backend pattern mirrors the reference's
+    # PETSc/CEED split and is load-bearing for testing
+    edge_flux_backend: str = "xla"
+    pallas_tile: int = 0
+    pallas_window: int = 0
+    pallas_interpret: bool = False
 
     # ---------------------------------------------------------------- helpers
     @property
@@ -156,6 +172,26 @@ class SWEOperator:
         h_anuga = jnp.asarray(self.h_anuga, dtype)
 
         h, hu, hv = q[0], q[1], q[2]
+
+        use_pallas = (
+            self.edge_flux_backend == "pallas"
+            and a.pl_il is not None
+            and not self.second_order
+            and not self.well_balancing_hr
+            and not self.well_balancing_bs2002
+        )
+        if use_pallas:
+            from .ops.pallas.edge_flux import edge_flux_plan_apply
+
+            fi_h, fi_hu, fi_hv, amax_i = edge_flux_plan_apply(
+                a, q, self.tiny_h, self.h_anuga,
+                self.pallas_tile, self.pallas_window,
+                self.num_internal_edges, interpret=self.pallas_interpret,
+            )
+            return self._finish_apply(
+                q, dt, boundary_values, ext_src,
+                fi_h, fi_hu, fi_hv, amax_i,
+            )
 
         # ---- interior edge states --------------------------------------
         if self.second_order:
@@ -214,6 +250,23 @@ class SWEOperator:
         fi_hu = fi_hu * mask_i
         fi_hv = fi_hv * mask_i
         amax_i = amax_i * mask_i
+
+        return self._finish_apply(
+            q, dt, boundary_values, ext_src, fi_h, fi_hu, fi_hv, amax_i,
+            eta_v=eta_v,
+        )
+
+    def _finish_apply(
+        self, q, dt, boundary_values, ext_src, fi_h, fi_hu, fi_hv, amax_i,
+        eta_v=None,
+    ) -> RHSResult:
+        """Boundary fluxes + cell gather + Courant + sources (shared by the
+        XLA and Pallas interior-flux backends)."""
+        a = self.arrays
+        dtype = q.dtype
+        tiny_h = jnp.asarray(self.tiny_h, dtype)
+        h_anuga = jnp.asarray(self.h_anuga, dtype)
+        h, hu, hv = q[0], q[1], q[2]
 
         # ---- boundary edge states per segment --------------------------
         hb = h[a.bnd_left]
