@@ -112,10 +112,10 @@ def read_exodus(path: str) -> Mesh:
                 pairs = np.stack([a, b], axis=1)
                 break
         if pairs is None:
-            raise ValueError(
-                f"{path}: side set {int(ss_ids[s])} does not map onto "
-                "boundary edges under either Exodus side convention"
-            )
+            # not a boundary side set (e.g. an internal block interface like
+            # quad_tri_mesh.exo's side set 5); skip it -- the config layer
+            # errors only if a grid_boundary_id actually references it
+            continue
         boundary[f"__id_{int(ss_ids[s])}"] = pairs
         if ss_names[s]:
             boundary[ss_names[s]] = pairs
