@@ -576,3 +576,128 @@ class Simulation:
     def get_boundary_edge_centers(self, boundary: str) -> np.ndarray:
         seg = {s.name: s for s in self.operator.segments}[boundary]
         return self._bnd_centers[seg.start : seg.start + seg.count]
+
+    # ---- time accessors (RDyGetTime/GetTimeStep/Get-SetCouplingInterval) ----
+    def get_time(self, unit: Optional[str] = None) -> float:
+        from .config.schema import time_from_seconds
+
+        return time_from_seconds(self.t, unit or self.time_unit)
+
+    def get_time_step(self, unit: Optional[str] = None) -> float:
+        from .config.schema import time_from_seconds
+
+        return time_from_seconds(self.dt, unit or self.time_unit)
+
+    def get_step(self) -> int:
+        return self.step
+
+    def get_coupling_interval(self, unit: Optional[str] = None) -> float:
+        from .config.schema import time_from_seconds
+
+        return time_from_seconds(self.coupling_interval, unit or self.time_unit)
+
+    def set_coupling_interval(self, value: float, unit: Optional[str] = None):
+        self.coupling_interval = time_to_seconds(value, unit or self.time_unit)
+
+    # ---- boundary metadata (RDyGetNumBoundary*/RDyGetBoundary*) ----
+    @property
+    def boundary_names(self) -> List[str]:
+        return [s.name for s in self.operator.segments]
+
+    def get_num_boundary_edges(self, boundary: str) -> int:
+        return {s.name: s for s in self.operator.segments}[boundary].count
+
+    def get_boundary_condition_flow_type(self, boundary: str) -> int:
+        return {s.name: s for s in self.operator.segments}[boundary].bc_type
+
+    def _segment(self, boundary: str):
+        return {s.name: s for s in self.operator.segments}[boundary]
+
+    def get_boundary_edge_centroids(self, boundary: str) -> np.ndarray:
+        """[n, 3] edge midpoints incl. bed elevation (RDyGetBoundaryEdge*Centroids)."""
+        seg = self._segment(boundary)
+        ev = self.mesh.edge_vertices[seg.edge_ids]
+        return (self.mesh.points[ev[:, 0]] + self.mesh.points[ev[:, 1]]) / 2.0
+
+    def get_boundary_cells(self, boundary: str) -> np.ndarray:
+        seg = self._segment(boundary)
+        return self.mesh.edge_cells[seg.edge_ids, 0]
+
+    def get_boundary_cell_centroids(self, boundary: str) -> np.ndarray:
+        return self.mesh.cell_centroid[self.get_boundary_cells(boundary)]
+
+    def get_boundary_cell_natural_ids(self, boundary: str) -> np.ndarray:
+        return self.mesh.natural_ids[self.get_boundary_cells(boundary)]
+
+    # ---- tracer Dirichlet values (RDySet*DirichletBoundaryValues) ----
+    def _set_tracer_dirichlet(self, boundary: str, row: int, values):
+        seg = self._segment(boundary)
+        bv = np.asarray(self.boundary_values).copy()
+        bv[row, seg.start : seg.start + seg.count] = values
+        self.boundary_values = jnp.asarray(bv, dtype=self.dtype)
+
+    def set_sediment_dirichlet_boundary_values(
+        self, boundary: str, class_values: np.ndarray
+    ):
+        """class_values: [num_classes, n_edges] of h*c_i."""
+        vals = np.atleast_2d(np.asarray(class_values, dtype=np.float64))
+        for k in range(vals.shape[0]):
+            self._set_tracer_dirichlet(boundary, N_FLOW_DOF + k, vals[k])
+
+    def set_salinity_dirichlet_boundary_values(self, boundary: str, values):
+        row = N_FLOW_DOF + self.num_sediment
+        self._set_tracer_dirichlet(boundary, row, values)
+
+    def set_temperature_dirichlet_boundary_values(self, boundary: str, values):
+        row = (
+            N_FLOW_DOF
+            + self.num_sediment
+            + (1 if self.config.physics.salinity else 0)
+        )
+        self._set_tracer_dirichlet(boundary, row, values)
+
+    # ---- regional sources (RDySetRegional*Source) ----
+    def set_regional_momentum_source(self, region: str, comp: int, rate):
+        """comp: 0 = x momentum, 1 = y momentum."""
+        src = np.asarray(self.ext_src).copy()
+        src[1 + comp, self.region_cells[region]] = rate
+        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+
+    def set_regional_sediment_source(self, region: str, class_idx: int, rate):
+        src = np.asarray(self.ext_src).copy()
+        src[N_FLOW_DOF + class_idx, self.region_cells[region]] = rate
+        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+
+    def set_regional_tracer_source(self, region: str, row: int, rate):
+        src = np.asarray(self.ext_src).copy()
+        src[N_FLOW_DOF + row, self.region_cells[region]] = rate
+        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+
+    # ---- Manning n (RDySetRegional/DomainManningsN) ----
+    def set_regional_manning_n(self, region: str, values):
+        n = self.mannings_n.copy()
+        n[self.region_cells[region]] = values
+        self.set_manning_n(n)
+
+    # ---- checkpoint API (RDyWrite/ReadHDF5CheckpointFile) ----
+    def write_checkpoint(self, path: str):
+        from .io.checkpoint import write_checkpoint
+
+        write_checkpoint(self, path)
+
+    def read_checkpoint(self, path: str, reinitialize: bool = False):
+        from .io.checkpoint import restore_from_checkpoint
+
+        restore_from_checkpoint(self, path, reinitialize)
+
+    # ---- diagnostics (rdysetup.c:1336-1368 partition statistics) ----
+    def log_domain_statistics(self):
+        C = self.mesh.num_cells
+        self.log.info(
+            f"domain: {C} cells, {self.mesh.num_edges} edges "
+            f"({self.mesh.num_internal_edges} internal), "
+            f"{self.mesh.num_vertices} vertices; "
+            f"area [{self.mesh.cell_area.min():.4g}, "
+            f"{self.mesh.cell_area.max():.4g}], "
+            f"min edge length {self.mesh.min_edge_length():.4g}"
+        )

@@ -1,0 +1,90 @@
+"""Coupling API surface tests (the F90 test_coupling.F90 analogue:
+exercise every get/set of the E3SM coupling surface, src/rdydata.c)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from rdycore_tpu.config.yaml_input import load_config
+from rdycore_tpu.simulation import Simulation
+
+
+@pytest.fixture
+def sim(tmp_path):
+    shutil.copy(
+        "/root/reference/driver/tests/sediment/sediment.yaml", tmp_path / "s.yaml"
+    )
+    cfg = load_config(str(tmp_path / "s.yaml"))
+    cfg.time.stop_n = 10
+    cfg.time.stop = None
+    cfg.validate()
+    cfg.logging.level = "none"
+    cfg.output.format = "none"
+    return Simulation(cfg)
+
+
+def test_time_accessors(sim):
+    assert sim.get_time() == 0.0
+    assert sim.get_time_step("seconds") == pytest.approx(0.01)
+    assert sim.get_step() == 0
+    ci = sim.get_coupling_interval()
+    sim.set_coupling_interval(ci / 2)
+    assert sim.get_coupling_interval() == pytest.approx(ci / 2)
+
+
+def test_cell_getters(sim):
+    C = sim.num_cells
+    assert sim.get_height().shape == (C,)
+    assert sim.get_x_momentum().shape == (C,)
+    assert sim.get_cell_centroids().shape == (C, 3)
+    assert sim.get_cell_areas().shape == (C,)
+    assert sim.get_natural_ids().shape == (C,)
+    assert sim.get_manning_n().shape == (C,)
+
+
+def test_boundary_metadata(sim):
+    names = sim.boundary_names
+    assert names
+    b = names[0]
+    n = sim.get_num_boundary_edges(b)
+    assert n > 0
+    assert sim.get_boundary_edge_centroids(b).shape == (n, 3)
+    assert sim.get_boundary_cell_centroids(b).shape == (n, 3)
+    assert sim.get_boundary_cell_natural_ids(b).shape == (n,)
+    assert isinstance(sim.get_boundary_condition_flow_type(b), int)
+
+
+def test_source_setters_affect_run(sim):
+    sim.set_regional_momentum_source("domain", 0, 0.1)
+    sim.set_regional_sediment_source("domain", 0, 1e-4)
+    src = np.asarray(sim.ext_src)
+    assert (src[1] == 0.1).all()
+    assert (src[3] == 1e-4).all()
+    sim.run()
+    assert np.isfinite(sim.get_solution()).all()
+
+
+def test_tracer_dirichlet_setters(sim):
+    b = sim.boundary_names[0]
+    n = sim.get_num_boundary_edges(b)
+    sim.set_sediment_dirichlet_boundary_values(b, np.ones((2, n)) * 0.3)
+    bv = np.asarray(sim.boundary_values)
+    seg = sim._segment(b)
+    assert (bv[3, seg.start : seg.start + seg.count] == 0.3).all()
+    assert (bv[4, seg.start : seg.start + seg.count] == 0.3).all()
+
+
+def test_manning_setters(sim):
+    sim.set_regional_manning_n("domain", 0.05)
+    assert (sim.get_manning_n() == 0.05).all()
+
+
+def test_checkpoint_roundtrip(sim, tmp_path):
+    sim.run()
+    p = str(tmp_path / "c.h5")
+    sim.write_checkpoint(p)
+    q = sim.get_solution().copy()
+    sim.set_solution(np.zeros_like(q))
+    sim.read_checkpoint(p)
+    np.testing.assert_array_equal(sim.get_solution(), q)
