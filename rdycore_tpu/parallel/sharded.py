@@ -103,16 +103,40 @@ class ShardedSWE:
         bnd_o = owner(bnd_left)
 
         # --- per-shard edge sets (duplicate-computes) ---
+        # MUSCL needs a 2-deep halo: each shard computes gradients for its
+        # 1-deep ghosts locally (redundantly) instead of a second gradient
+        # exchange per stage -- compute is cheap, collectives are not. The
+        # reference instead communicates gradients (CommunicateCellGradients)
+        second_order = ref_op.second_order
         shard_int_edges: List[np.ndarray] = []
         shard_ghosts: List[np.ndarray] = []
+        shard_ghost1_counts: List[int] = []
         for p in range(Pn):
             sel = (int_lo == p) | (int_ro == p)
             eids = np.nonzero(sel)[0]
-            shard_int_edges.append(eids)
-            # ghost cells: endpoints not owned by p
             cells = np.concatenate([int_left[eids], int_right[eids]])
-            ghosts = np.unique(cells[owner(cells) != p])
+            ghosts1 = np.unique(cells[owner(cells) != p])
+            if second_order and len(ghosts1):
+                # add edges incident to 1-deep ghosts + their endpoints
+                in_g1 = np.zeros(C, dtype=bool)
+                in_g1[ghosts1] = True
+                sel2 = sel | in_g1[int_left] | in_g1[int_right]
+                eids = np.nonzero(sel2)[0]
+                cells2 = np.concatenate([int_left[eids], int_right[eids]])
+                owned_mask = owner(cells2) == p
+                ghosts_all = np.unique(cells2[~owned_mask])
+                # order: 1-deep ghosts first, then 2-deep
+                g1set = set(ghosts1.tolist())
+                g2 = np.array(
+                    [g for g in ghosts_all.tolist() if g not in g1set],
+                    dtype=ghosts1.dtype,
+                )
+                ghosts = np.concatenate([ghosts1, g2])
+            else:
+                ghosts = ghosts1
+            shard_int_edges.append(eids)
             shard_ghosts.append(ghosts)
+            shard_ghost1_counts.append(len(ghosts1))
 
         G_max = max((len(g) for g in shard_ghosts), default=0)
         Ei_max = max((len(e) for e in shard_int_edges), default=0)
@@ -209,6 +233,20 @@ class ShardedSWE:
         ref_mann = np.asarray(a.mannings_n)
         ref_ce = np.asarray(a.cell_edges)  # [C, K] into [0, E]
         ref_cec = np.asarray(a.cell_edge_coef)
+        if second_order:
+            ref_ls_cx = np.asarray(a.cell_ls_cx)
+            ref_ls_cy = np.asarray(a.cell_ls_cy)
+            ref_dxl = np.asarray(a.int_dxl)
+            ref_dyl = np.asarray(a.int_dyl)
+            ref_dxr = np.asarray(a.int_dxr)
+            ref_dyr = np.asarray(a.int_dyr)
+            K = ref_ce.shape[1]
+            cls_cx = np.zeros((Pn, C_loc, K))
+            cls_cy = np.zeros((Pn, C_loc, K))
+            idxl = np.zeros((Pn, max(Ei_max, 1)))
+            idyl = np.zeros((Pn, max(Ei_max, 1)))
+            idxr = np.zeros((Pn, max(Ei_max, 1)))
+            idyr = np.zeros((Pn, max(Ei_max, 1)))
 
         for p in range(Pn):
             lo = p * B
@@ -245,7 +283,12 @@ class ShardedSWE:
                 ir[p, j] = lmap[int(int_right[e])]
                 icn[p, j] = ref_icn[e]
                 isn[p, j] = ref_isn[e]
-                ccoef[p, j] = ref_ccoef[e]
+                # Courant contributions only from edges touching an owned
+                # cell (ghost-ghost edges in the 2-deep halo may see
+                # degraded reconstructions; their true values come from the
+                # owning shard)
+                if owner(int_left[e]) == p or owner(int_right[e]) == p:
+                    ccoef[p, j] = ref_ccoef[e]
 
             # boundary edges per segment
             for s_i, seg in enumerate(ref_op.segments):
@@ -262,19 +305,38 @@ class ShardedSWE:
                     emap[Ei + int(be)] = max(Ei_max, 1) + out_j
                     ccoef[p, max(Ei_max, 1) + out_j] = ref_ccoef[Ei + be]
 
-            # cell -> edge map for owned cells
-            for i, c in enumerate(range(lo, hi)):
+            # cell -> edge map for owned cells (+ 1-deep ghosts for MUSCL:
+            # their LS gradients are computed locally off the 2-deep halo)
+            map_cells = list(range(lo, hi))
+            if second_order:
+                map_cells += [
+                    int(g) for g in shard_ghosts[p][: shard_ghost1_counts[p]]
+                ]
+            for c in map_cells:
+                i = lmap[c]
                 for k in range(ref_ce.shape[1]):
                     ge = int(ref_ce[c, k])
                     if ge == ref_op.num_edges:  # dummy
                         continue
                     le = emap.get(ge)
                     if le is None:
+                        if i >= B:
+                            continue  # ghost's boundary edge may be absent
                         raise AssertionError(
                             f"edge {ge} of owned cell {c} missing on shard {p}"
                         )
                     ce[p, i, k] = le
                     cec[p, i, k] = ref_cec[c, k]
+                if second_order:
+                    cls_cx[p, i] = ref_ls_cx[c]
+                    cls_cy[p, i] = ref_ls_cy[c]
+
+            if second_order:
+                for j, e in enumerate(eids):
+                    idxl[p, j] = ref_dxl[e]
+                    idyl[p, j] = ref_dyl[e]
+                    idxr[p, j] = ref_dxr[e]
+                    idyr[p, j] = ref_dyr[e]
 
             # frontier sends / ghost sources
             for i, c in enumerate(send_sets[p]):
@@ -306,6 +368,18 @@ class ShardedSWE:
             cell_edge_coef=f(cec),
             edge_courant_coef=f(ccoef),
             bnd_len=f(blen),
+            **(
+                dict(
+                    cell_ls_cx=f(cls_cx),
+                    cell_ls_cy=f(cls_cy),
+                    int_dxl=f(idxl),
+                    int_dyl=f(idyl),
+                    int_dxr=f(idxr),
+                    int_dyr=f(idyr),
+                )
+                if second_order
+                else {}
+            ),
         )
         self.halo = HaloMaps(
             send_ids=ii(send_ids), ghost_src=ii(ghost_src), num_ghosts=ii(num_ghosts)

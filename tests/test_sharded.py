@@ -79,3 +79,42 @@ def test_sharded_dam_break_with_bcs():
     q_out, _, _ = adv(qs, 0.0, dt, n, t_end, bv, es)
     q_got = sh.gather_state(q_out)
     np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_sharded_muscl_matches_single_device(n_shards):
+    """Second-order MUSCL across shards must match single-device exactly:
+    the 2-deep halo makes ghost gradients complete locally (the reference
+    instead exchanges gradients, CommunicateCellGradients)."""
+    mesh = structured_quad(20, 14, 0, 20, 0, 14)
+    mannings = np.full(mesh.num_cells, 0.02)
+    rng = np.random.default_rng(11)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = 1.0 + rng.random(mesh.num_cells)
+    q0[1] = 0.2 * rng.standard_normal(mesh.num_cells)
+
+    dt, n, t_end = 1e-3, 15, 0.015
+    op = build_operator(
+        mesh, mannings_n=mannings, second_order=True, dtype=jnp.float64
+    )
+    adv = make_interval_advancer(op, "euler")
+    res = adv(
+        op.arrays, jnp.asarray(q0), 0.0, dt, n, t_end,
+        op.zero_boundary_values(), jnp.zeros_like(jnp.asarray(q0)),
+    )
+    q_ref = np.asarray(res.q)
+
+    devices = jax.devices("cpu")[:n_shards]
+    dm = DeviceMesh(np.array(devices), ("mesh",))
+    sh = ShardedSWE(
+        mesh, n_shards, mannings_n=mannings, dtype=jnp.float64,
+        second_order=True,
+    )
+    adv_s = sh.make_interval_fn(dm, "euler")
+    qs = sh.scatter_state(q0)
+    bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float64)
+    es = jnp.zeros((n_shards, 3, sh.C_loc), jnp.float64)
+    q_out, _, cmax = adv_s(qs, 0.0, dt, n, t_end, bv, es)
+    q_got = sh.gather_state(q_out)
+    np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-13)
+    assert float(cmax) == pytest.approx(float(res.max_courant), rel=1e-12)
