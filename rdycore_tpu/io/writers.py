@@ -33,9 +33,15 @@ DEFAULT_FIELDS = ["Height", "MomentumX", "MomentumY"]
 
 def attach_output_monitors(sim: "Simulation") -> None:
     cfg = sim.config
-    if cfg.output.format in ("xdmf", "binary"):
-        writer = XDMFWriter(sim)
-        sim.add_monitor(writer)
+    if cfg.output.format == "xdmf":
+        sim.add_monitor(XDMFWriter(sim))
+    elif cfg.output.format == "binary":
+        sim.add_monitor(BinaryWriter(sim))
+    elif cfg.output.format == "cgns":
+        raise NotImplementedError(
+            "CGNS output requires the CGNS library, which is not available "
+            "in this environment; use output.format: xdmf or binary"
+        )
     if cfg.checkpoint.interval:
         from .checkpoint import CheckpointMonitor
 
@@ -62,14 +68,32 @@ class XDMFWriter:
         self.h5_path = os.path.join(self.dir, f"{self.prefix}.h5")
         self.fields = cfg.output.fields or DEFAULT_FIELDS
         self.interval = cfg.output.output_interval or 1
+        # temporal cadence (output.time_interval in output.time_unit)
+        from ..config.schema import time_to_seconds
+
+        self.time_interval = (
+            time_to_seconds(cfg.output.time_interval, cfg.output.time_unit)
+            if cfg.output.time_interval
+            else 0.0
+        )
+        self._next_time = self.time_interval
+        self.batch_size = max(cfg.output.batch_size, 1)
         self._last_step = -1
         self._wrote_grid = False
         self._times = []
         self._write_step()  # initial condition snapshot
 
+    def _due(self, sim: "Simulation") -> bool:
+        if self.time_interval:
+            if sim.t + 1e-12 >= self._next_time or sim.finished:
+                while self._next_time <= sim.t + 1e-12:
+                    self._next_time += self.time_interval
+                return True
+            return False
+        return sim.step % self.interval == 0 or sim.finished
+
     def __call__(self, sim: "Simulation"):
-        due = sim.step % self.interval == 0 or sim.finished
-        if due and sim.step != self._last_step:
+        if self._due(sim) and sim.step != self._last_step:
             self._last_step = sim.step
             self._write_step()
 
@@ -161,6 +185,36 @@ class XDMFWriter:
         parts += ["</Grid>", "</Domain>", "</Xdmf>"]
         with open(xmf_path, "w") as f:
             f.write("\n".join(parts))
+
+
+class BinaryWriter:
+    """PETSc-binary output (the reference's OUTPUT_BINARY viewer): one Vec
+    per snapshot, solution blocked per cell in natural order, file name
+    '<prefix>-<step>.bin' (DetermineOutputFile, rdyadvance.c:65-151)."""
+
+    def __init__(self, sim: "Simulation"):
+        cfg = sim.config
+        self.dir = os.path.join(cfg.config_dir, cfg.output.directory)
+        os.makedirs(self.dir, exist_ok=True)
+        self.prefix = cfg.output.prefix or "output"
+        self.interval = cfg.output.output_interval or 1
+        self._last_step = -1
+        self._write(sim)
+
+    def __call__(self, sim: "Simulation"):
+        due = sim.step % self.interval == 0 or sim.finished
+        if due and sim.step != self._last_step:
+            self._last_step = sim.step
+            self._write(sim)
+
+    def _write(self, sim: "Simulation"):
+        from .petsc_binary import write_petsc_vec
+
+        sol = sim.get_solution()  # [ndof, C]
+        nat = np.argsort(sim.get_natural_ids())
+        blocked = sol[:, nat].T.reshape(-1)  # cell-blocked, natural order
+        path = os.path.join(self.dir, f"{self.prefix}-{sim.step:04d}.bin")
+        write_petsc_vec(path, blocked)
 
 
 def _primitives(sim, sol):

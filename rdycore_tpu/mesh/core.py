@@ -100,6 +100,41 @@ class Mesh:
         self.cell_z = z.copy()
 
 
+def save_mesh_npz(mesh: "Mesh", path: str) -> None:
+    """Save a mesh in the native .npz format (points + connectivity +
+    labels; geometry is rebuilt on load)."""
+    regions = {f"region__{k}": v for k, v in mesh.regions.items()}
+    boundaries = {
+        f"boundary__{k}": mesh.edge_vertices[v] for k, v in mesh.boundaries.items()
+    }
+    np.savez_compressed(
+        path,
+        points=mesh.points,
+        cell_vertices=mesh.cell_vertices,
+        natural_ids=mesh.natural_ids,
+        **regions,
+        **boundaries,
+    )
+
+
+def load_mesh_npz(path: str) -> "Mesh":
+    data = np.load(path)
+    regions = {}
+    boundaries = {}
+    for k in data.files:
+        if k.startswith("region__"):
+            regions[k[8:]] = data[k]
+        elif k.startswith("boundary__"):
+            boundaries[k[10:]] = data[k]
+    return build_mesh(
+        data["points"],
+        data["cell_vertices"],
+        regions=regions,
+        boundary_edges=boundaries,
+        natural_ids=data["natural_ids"] if "natural_ids" in data.files else None,
+    )
+
+
 def named_boundary_sets(mesh: "Mesh") -> Dict[str, np.ndarray]:
     """Boundary sets with duplicates resolved: named sets win; id-only sets
     (``__id_N``) not covered by a named set are kept as ``boundary_N``."""

@@ -69,7 +69,9 @@ def structured_quad(
         cy = (ys[j] + ys[j + 1]) / 2.0
         rid = np.asarray(region_fn(cx, cy)).astype(np.int64)
         for r in np.unique(rid):
-            regions[f"region_{int(r)}"] = np.nonzero(rid == r)[0].astype(np.int32)
+            ids = np.nonzero(rid == r)[0].astype(np.int32)
+            regions[f"region_{int(r)}"] = ids
+            regions[f"__id_{int(r)}"] = ids  # grid_region_id lookup alias
 
     return build_mesh(points, cells, regions=regions, boundary_edges=boundary)
 

@@ -53,6 +53,10 @@ def load_mesh_file(path: str) -> Mesh:
         return read_gmsh(path)
     if ext in (".exo", ".e", ".exo2"):
         return read_exodus(path)
+    if ext == ".npz":
+        from .mesh.core import load_mesh_npz
+
+        return load_mesh_npz(path)
     raise ConfigError(f"unsupported mesh format '{ext}' ({path})")
 
 

@@ -166,3 +166,40 @@ def test_ic_from_file(tmp_path):
     assert h0.max() > 0
     sim.run()
     assert np.isfinite(sim.get_solution()).all()
+
+
+def test_binary_output_and_time_cadence(ex2b_dir):
+    from rdycore_tpu.io.petsc_binary import read_petsc_vec
+    from rdycore_tpu.io.writers import attach_output_monitors
+
+    cfg = short_config(ex2b_dir / "ex2b.yaml", stop_n=20)
+    cfg.output.format = "binary"
+    cfg.output.output_interval = 10
+    cfg.checkpoint.interval = 0
+    sim = Simulation(cfg)
+    attach_output_monitors(sim)
+    sim.run()
+    v = read_petsc_vec(str(ex2b_dir / "output" / "ex2b-0020.bin"))
+    assert len(v) == 3 * sim.num_cells
+    assert np.isfinite(v).all()
+
+
+def test_preload_and_step_timer(ex2b_dir):
+    from rdycore_tpu.profiling import StepTimer, preload
+
+    cfg = short_config(ex2b_dir / "ex2b.yaml", stop_n=40)
+    cfg.time.coupling_interval = cfg.time.stop / 4
+    cfg.validate()
+    sim = Simulation(cfg)
+    q_before = sim.get_solution().copy()
+    compile_s = preload(sim)
+    assert compile_s > 0
+    np.testing.assert_array_equal(sim.get_solution(), q_before)
+    assert sim.step == 0
+
+    timer = StepTimer(sim)
+    sim.add_monitor(timer)
+    sim.run()
+    s = timer.summary()
+    assert s["steady_steps"] > 0
+    assert s["cell_updates_per_s"] > 0
