@@ -231,6 +231,25 @@ class Simulation:
         # ---- stepper ----
         self._advance_fn = None
         self._advance_scheme = config.numerics.temporal
+        if self._advance_scheme == "ark_imex":
+            # IMEX = explicit fluxes + implicit stiff friction; the
+            # closed-form XQ2018 implicit source is exactly that treatment
+            # (the reference's ARK-IMEX exists for the same stiff-friction
+            # reason, rdyconfigimpl.h:54-56)
+            self._advance_scheme = "euler"
+            if self.operator.source_method != SOURCE_IMPLICIT_XQ2018:
+                object.__setattr__(
+                    self.operator, "source_method", SOURCE_IMPLICIT_XQ2018
+                )
+            self.log.info(
+                "ark_imex: using explicit fluxes + closed-form implicit "
+                "friction (XQ2018)"
+            )
+        if self._advance_scheme == "beuler":
+            raise ConfigError(
+                "temporal: beuler (globally implicit) is not supported; "
+                "use euler/rk4/ssprk2/ssprk3 or ark_imex"
+            )
         self._monitors: List[Callable] = []
 
         # monitors fire at step cadence in the reference (TSMonitors); we
