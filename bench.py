@@ -27,6 +27,20 @@ ROOFLINE = 4.0e9  # practical cell-updates/s/chip target on v5e (see docstring)
 
 
 def main():
+    # watchdog: the axon TPU relay can wedge (remote-compile service
+    # outages); die loudly instead of hanging the driver
+    import signal
+
+    def _timeout(signum, frame):
+        print(
+            "# bench watchdog expired (TPU relay hung?); no result",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", 540)))
+
     import jax
 
     if os.environ.get("BENCH_CPU"):
