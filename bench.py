@@ -71,7 +71,9 @@ def main():
         q0[0, :, nx // 2 :] = 5.0
         q0 = jnp.asarray(q0)
         src = jnp.zeros((3, ny, nx), jnp.float32)
-        adv = jax.jit(make_structured_stepper(op, "euler"))
+        adv = jax.jit(
+            make_structured_stepper(op, "euler"), donate_argnums=(1,)
+        )
 
         def run(q, n):
             q_out, t_out, cmax = adv(op.arrays, q, 0.0, dt, n, 1e9, src)
@@ -89,7 +91,10 @@ def main():
         q0 = jnp.asarray(q0)
         bv = jnp.zeros((3, op.num_boundary_edges), jnp.float32)
         src = jnp.zeros((3, C), jnp.float32)
-        adv = jax.jit(make_interval_advancer(op, "euler"))
+        adv = jax.jit(
+            make_interval_advancer(op, "euler", accumulate=False),
+            donate_argnums=(1,),
+        )
 
         def run(q, n):
             res = adv(op.arrays, q, 0.0, dt, n, 1e9, bv, src)

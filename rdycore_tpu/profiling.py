@@ -23,7 +23,10 @@ from typing import List, Optional
 def preload(sim) -> float:
     """Compile-warm the advance path without perturbing the simulation.
     Returns the warm-up wall time (~compile time)."""
-    state = (sim.q, sim.t, sim.step, sim.dt, sim.prev_max_courant)
+    import jax.numpy as jnp
+
+    # deep-copy q: the jitted advance donates its input buffer
+    state = (jnp.array(sim.q, copy=True), sim.t, sim.step, sim.dt, sim.prev_max_courant)
     accum = (
         sim.bflux_accum.copy(),
         sim.accum_sol.copy(),

@@ -478,8 +478,24 @@ class Simulation:
             t_end = min(t_end, self.t + n_steps * self.dt)
 
         if self._advance_fn is None:
+            # accumulate time-averaged/boundary-flux diagnostics only when
+            # some output consumes them (the accumulators add ~100 B/cell/
+            # step of HBM traffic)
+            ts = cfg.output.time_series
+            needs_accum = bool(
+                ts.boundary_fluxes
+                or (
+                    ts.observations.interval
+                    and not ts.observations.time_sampling.instantaneous
+                )
+                or any(f.endswith("_Mean") for f in (cfg.output.fields or []))
+            )
             self._advance_fn = jax.jit(
-                make_interval_advancer(self.operator, self._advance_scheme)
+                make_interval_advancer(
+                    self.operator, self._advance_scheme,
+                    accumulate=needs_accum,
+                ),
+                donate_argnums=(1,),
             )
 
         max_courant = 0.0

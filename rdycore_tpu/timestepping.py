@@ -69,6 +69,7 @@ def make_interval_advancer(
     scheme: str = TEMPORAL_EULER,
     bc_fn: Optional[Callable] = None,
     src_fn: Optional[Callable] = None,
+    accumulate: bool = True,
 ):
     """Build a jittable function advancing one coupling interval.
 
@@ -78,6 +79,12 @@ def make_interval_advancer(
     src_fn(t) likewise overrides external sources. Both are evaluated ONCE
     per step at the half-step time t + dt/2 and held fixed across RK stages,
     matching the reference's MMSPreStep semantics (rdymms.c:139-151).
+
+    accumulate=False drops the per-step time-averaged/boundary-flux
+    accumulators from the loop carry (~100 B/cell/step of HBM traffic --
+    comparable to the RHS itself); use when no time-series or mean outputs
+    are requested. Zero-valued accumulators are still returned for a stable
+    result shape.
 
     Returns advance(arrays, q, t0, dt, n_steps, t_end, bnd_values, ext_src)
     -> IntervalResult. `n_steps` is a *dynamic* (traced) count: one compiled
@@ -102,8 +109,13 @@ def make_interval_advancer(
         bound_op = with_arrays(op, arrays)
         dtype = q.dtype
 
+        ndof = q.shape[0]
+
         def body(i, carry):
-            qq, tt, cmax, cedge, bfa, asol, aprim, atime = carry
+            if accumulate:
+                qq, tt, cmax, cedge, bfa, asol, aprim, atime = carry
+            else:
+                qq, tt, cmax, cedge = carry
             dt_i = jnp.minimum(dt, t_end - tt)
             dt_i = jnp.maximum(dt_i, 0.0)
 
@@ -121,29 +133,40 @@ def make_interval_advancer(
             bigger = step_courant > cmax
             cmax = jnp.where(bigger, step_courant, cmax)
             cedge = jnp.where(bigger, r1.courant_edge, cedge)
-            bfa = bfa + dt_i * r1.boundary_fluxes
-            asol = asol + dt_i * qq
-            aprim = aprim + dt_i * r1.prim
-            atime = atime + dt_i
             # guard: if dt_i == 0 (past t_end), state unchanged
             active = dt_i > 0.0
             q_out = jnp.where(active, q_new, qq)
-            return (q_out, tt + dt_i, cmax, cedge, bfa, asol, aprim, atime)
+            if accumulate:
+                bfa = bfa + dt_i * r1.boundary_fluxes
+                asol = asol + dt_i * qq
+                aprim = aprim + dt_i * r1.prim
+                atime = atime + dt_i
+                return (q_out, tt + dt_i, cmax, cedge, bfa, asol, aprim, atime)
+            return (q_out, tt + dt_i, cmax, cedge)
 
-        ndof = q.shape[0]
-        init = (
+        init_core = (
             q,
             jnp.asarray(t0, dtype),
             jnp.zeros((), dtype),
             jnp.zeros((), jnp.int32),
-            jnp.zeros((ndof, max(op.num_boundary_edges, 1)), dtype),
-            jnp.zeros_like(q),
-            jnp.zeros_like(q),
-            jnp.zeros((), dtype),
         )
-        q_f, t_f, cmax, cedge, bfa, asol, aprim, atime = jax.lax.fori_loop(
-            0, jnp.asarray(n_steps, jnp.int32), body, init
-        )
+        zero_bfa = jnp.zeros((ndof, max(op.num_boundary_edges, 1)), dtype)
+        if accumulate:
+            init = init_core + (
+                zero_bfa, jnp.zeros_like(q), jnp.zeros_like(q),
+                jnp.zeros((), dtype),
+            )
+            q_f, t_f, cmax, cedge, bfa, asol, aprim, atime = jax.lax.fori_loop(
+                0, jnp.asarray(n_steps, jnp.int32), body, init
+            )
+        else:
+            q_f, t_f, cmax, cedge = jax.lax.fori_loop(
+                0, jnp.asarray(n_steps, jnp.int32), body, init_core
+            )
+            bfa = zero_bfa
+            asol = jnp.zeros_like(q)
+            aprim = jnp.zeros_like(q)
+            atime = jnp.zeros((), dtype)
         return IntervalResult(
             q=q_f,
             t=t_f,
