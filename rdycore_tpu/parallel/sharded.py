@@ -53,6 +53,9 @@ class HaloMaps(NamedTuple):
     send_ids: jnp.ndarray  # [P, S] local cell ids to pack (pad: 0)
     ghost_src: jnp.ndarray  # [P, G] indices into the flattened [P*S] frontier
     num_ghosts: jnp.ndarray  # [P] actual ghost counts
+    # neighbor-exchange addressing: index into [recv_from_left; recv_from_
+    # right] ([2S]) when every ghost comes from shard p +- 1
+    ghost_src_nbr: jnp.ndarray = None  # [P, G]
 
 
 class ShardedSWE:
@@ -214,6 +217,7 @@ class ShardedSWE:
         ccoef = np.zeros((Pn, E_loc))
         send_ids = np.zeros((Pn, S_max), np.int64)
         ghost_src = np.zeros((Pn, max(G_max, 1)), np.int64)
+        ghost_src_nbr = np.zeros((Pn, max(G_max, 1)), np.int64)
         num_ghosts = np.zeros(Pn, np.int64)
         bnd_global_idx = np.zeros((Pn, Eb_loc), np.int64)
         bnd_mask = np.zeros((Pn, Eb_loc))
@@ -343,11 +347,26 @@ class ShardedSWE:
                 send_ids[p, i] = lmap[int(c)]
             for i, g in enumerate(shard_ghosts[p]):
                 ghost_src[p, i] = frontier_pos[int(g)]
+                po = int(owner(np.int64(g)))
+                idx_in_owner = frontier_pos[int(g)] - po * S_max
+                if po == p - 1:
+                    ghost_src_nbr[p, i] = idx_in_owner
+                elif po == p + 1:
+                    ghost_src_nbr[p, i] = S_max + idx_in_owner
 
         self.S_max = S_max
         self.Ei_loc = max(Ei_max, 1)
         self.Eb_loc = Eb_loc
         self.segments = tuple(new_segments)
+
+        # neighbor-only exchange eligibility: with a banded cell ordering
+        # (RCM / row-major), every ghost is owned by shard p-1 or p+1, so the
+        # halo can ride two ppermutes (O(frontier) traffic) instead of an
+        # all_gather (O(P * frontier))
+        self.neighbor_only = all(
+            all(abs(int(owner(np.int64(g))) - p) <= 1 for g in shard_ghosts[p])
+            for p in range(Pn)
+        )
 
         f = lambda x: jnp.asarray(x, dtype=dtype)
         ii = lambda x: jnp.asarray(x, dtype=jnp.int32)
@@ -382,7 +401,10 @@ class ShardedSWE:
             ),
         )
         self.halo = HaloMaps(
-            send_ids=ii(send_ids), ghost_src=ii(ghost_src), num_ghosts=ii(num_ghosts)
+            send_ids=ii(send_ids),
+            ghost_src=ii(ghost_src),
+            num_ghosts=ii(num_ghosts),
+            ghost_src_nbr=ii(ghost_src_nbr),
         )
         self.bnd_global_idx = ii(bnd_global_idx)
         self.bnd_mask = f(bnd_mask)
@@ -429,26 +451,47 @@ class ShardedSWE:
         axis = self.axis_name
         op = self.op
         S_max = self.S_max
+        Pn = self.P
+        # neighbor-only ppermute halo: O(frontier) traffic instead of the
+        # all_gather's O(P * frontier); valid when the banded cell ordering
+        # keeps every ghost on shard p +- 1
+        use_nbr = self.neighbor_only and Pn > 2
+        ndof = op.ndof
 
-        def shard_body(arrays, send_ids, ghost_src, bnd_gidx, bnd_mask,
+        def shard_body(arrays, send_ids, ghost_src, ghost_src_nbr,
+                       bnd_gidx, bnd_mask,
                        q, t0, dt, n_steps, t_end, bv_global, ext_src):
             # shard_map delivers blocks with a size-1 leading (sharded) axis;
             # strip it to recover the per-shard view
             arrays = jax.tree.map(lambda x: x[0], arrays)
             send_ids = send_ids[0]
             ghost_src = ghost_src[0]
+            ghost_src_nbr = ghost_src_nbr[0]
             bnd_gidx = bnd_gidx[0]
             bnd_mask = bnd_mask[0]
             q = q[0]
             ext_src = ext_src[0]
             B = self.B
 
-            def exchange(qq):
-                buf = qq[:, send_ids]  # [3, S]
-                allbuf = jax.lax.all_gather(buf, axis)  # [P, 3, S]
-                flat = jnp.moveaxis(allbuf, 0, 1).reshape(N_FLOW_DOF, -1)
-                ghosts = flat[:, ghost_src]  # [3, G]
-                return qq.at[:, B : B + ghosts.shape[1]].set(ghosts)
+            if use_nbr:
+                right = [(i, (i + 1) % Pn) for i in range(Pn)]
+                left = [(i, (i - 1) % Pn) for i in range(Pn)]
+
+                def exchange(qq):
+                    buf = qq[:, send_ids]  # [ndof, S]
+                    from_left = jax.lax.ppermute(buf, axis, right)
+                    from_right = jax.lax.ppermute(buf, axis, left)
+                    both = jnp.concatenate([from_left, from_right], axis=1)
+                    ghosts = both[:, ghost_src_nbr]  # [ndof, G]
+                    return qq.at[:, B : B + ghosts.shape[1]].set(ghosts)
+            else:
+
+                def exchange(qq):
+                    buf = qq[:, send_ids]  # [ndof, S]
+                    allbuf = jax.lax.all_gather(buf, axis)  # [P, ndof, S]
+                    flat = jnp.moveaxis(allbuf, 0, 1).reshape(ndof, -1)
+                    ghosts = flat[:, ghost_src]  # [ndof, G]
+                    return qq.at[:, B : B + ghosts.shape[1]].set(ghosts)
 
             bound_op = with_arrays(op, arrays)
             bv_local = bv_global[:, bnd_gidx] * bnd_mask
@@ -485,7 +528,7 @@ class ShardedSWE:
             mesh=device_mesh,
             in_specs=(
                 jax.tree.map(lambda _: pspec, self.arrays),
-                pspec, pspec, pspec, pspec,
+                pspec, pspec, pspec, pspec, pspec,
                 pspec, rep, rep, rep, rep, rep, pspec,
             ),
             out_specs=(pspec, rep, rep),
@@ -498,6 +541,7 @@ class ShardedSWE:
                 self.arrays,
                 self.halo.send_ids,
                 self.halo.ghost_src,
+                self.halo.ghost_src_nbr,
                 self.bnd_global_idx,
                 self.bnd_mask,
                 q_stacked,
