@@ -3,6 +3,7 @@
 import shutil
 
 import numpy as np
+import pytest
 
 from rdycore_tpu.config.yaml_input import load_config
 from rdycore_tpu.simulation import Simulation
@@ -85,3 +86,39 @@ def test_tracer_mass_conservation():
     )
     m1 = float((np.asarray(res.q[3]) * area).sum())
     assert abs(m1 - m0) < 1e-10 * abs(m0)
+
+
+def test_salinity_and_heat_tracers():
+    """Salinity + heat advect as passive tracers (ndof = 3 + sed + 2)."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.config.schema import Config
+    from rdycore_tpu.mesh import structured_quad
+
+    cfg = Config()
+    cfg.physics.salinity = True
+    cfg.physics.heat = True
+    cfg.time.stop = 0.1
+    cfg.time.time_step = 0.001
+    cfg.logging.level = "none"
+    cfg.validate()
+    mesh = structured_quad(10, 8)
+    sim = Simulation(cfg, mesh=mesh)
+    assert sim.ndof == 5
+    q0 = np.zeros((5, mesh.num_cells))
+    q0[0] = 1.0
+    q0[1] = 0.3  # uniform flow
+    q0[3] = 1.0 * 35.0  # h * salinity
+    q0[4] = 1.0 * 290.0  # h * temperature
+    sim.set_solution(q0)
+    sim.run()
+    q = sim.get_solution()
+    assert np.isfinite(q).all()
+    # passive tracers in a closed box: total h*c conserved
+    area = mesh.cell_area
+    assert float((q[3] * area).sum()) == pytest.approx(
+        float((q0[3] * area).sum()), rel=1e-10
+    )
+    assert float((q[4] * area).sum()) == pytest.approx(
+        float((q0[4] * area).sum()), rel=1e-10
+    )
