@@ -100,6 +100,54 @@ class Mesh:
         self.cell_z = z.copy()
 
 
+def reorder_cells(mesh: "Mesh", perm: np.ndarray) -> "Mesh":
+    """Reorder cells by `perm` (new index i holds old cell perm[i]).
+
+    Natural ids travel with the cells, so checkpoints/observations stay
+    stable under reordering -- the DMPlex global-to-natural analogue. Used
+    for RCM (gather locality / Pallas windows) and block orderings (2-D
+    partitions).
+    """
+    perm = np.asarray(perm)
+    C = mesh.num_cells
+    if sorted(perm.tolist()) != list(range(C)):
+        raise ValueError("perm must be a permutation of range(num_cells)")
+    return build_mesh(
+        mesh.points,
+        mesh.cell_vertices[perm],
+        mesh.cell_num_vertices[perm],
+        regions={
+            name: np.sort(np.argsort(perm)[ids]).astype(np.int32)
+            for name, ids in mesh.regions.items()
+        },
+        boundary_edges={
+            name: mesh.edge_vertices[eids]
+            for name, eids in mesh.boundaries.items()
+        },
+        natural_ids=mesh.natural_ids[perm],
+    )
+
+
+def rcm_reorder(mesh: "Mesh") -> "Mesh":
+    """Reverse Cuthill-McKee cell reordering (bandwidth reduction)."""
+    from . import native
+
+    perm = native.rcm_order(
+        mesh.num_cells, mesh.edge_cells[:, 0], mesh.edge_cells[:, 1]
+    )
+    if perm is None:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        ec = mesh.edge_cells[mesh.edge_cells[:, 1] >= 0]
+        g = sp.coo_matrix(
+            (np.ones(len(ec)), (ec[:, 0], ec[:, 1])),
+            shape=(mesh.num_cells, mesh.num_cells),
+        )
+        perm = np.asarray(reverse_cuthill_mckee(g.tocsr(), symmetric_mode=True))
+    return reorder_cells(mesh, perm)
+
+
 def save_mesh_npz(mesh: "Mesh", path: str) -> None:
     """Save a mesh in the native .npz format (points + connectivity +
     labels; geometry is rebuilt on load)."""

@@ -568,13 +568,14 @@ def build_operator(
     E = mesh.num_edges
     C = mesh.num_cells
 
-    # boundary segments: order boundary edges by (segment, edge id)
+    # boundary segments: order boundary edges by (segment, edge id);
+    # id-only sets with no named counterpart surface as boundary_<id>
+    from .mesh.core import named_boundary_sets
+
     segments: List[BoundarySegment] = []
     order: List[np.ndarray] = []
     start = 0
-    for name, eids in mesh.boundaries.items():
-        if name.startswith("__id_"):
-            continue  # alias sets; the named set covers the same edges
+    for name, eids in named_boundary_sets(mesh).items():
         bc = bc_types.get(name, bc_mod.BC_REFLECTING)
         segments.append(
             BoundarySegment(

@@ -110,3 +110,43 @@ def test_native_matches_numpy_edge_extraction():
     assert sorted(zip(*[x.tolist() for x in nat])) == sorted(
         zip(*[x.tolist() for x in npy])
     )
+
+
+def test_rcm_reorder_preserves_physics_and_enables_pallas():
+    import jax.numpy as jnp
+
+    from rdycore_tpu.mesh.core import rcm_reorder
+    from rdycore_tpu.mesh.exodus import read_exodus
+    from rdycore_tpu.operator import build_operator
+    from rdycore_tpu.ops.pallas.edge_flux import to_pallas_backend
+
+    m = read_exodus("/root/reference/share/meshes/Houston1km_with_z.exo")
+    mr = rcm_reorder(m)
+    ec = mr.edge_cells[mr.edge_cells[:, 1] >= 0]
+    assert int(np.abs(ec[:, 0] - ec[:, 1]).max()) < 100  # was 2683
+    assert np.isclose(mr.cell_area.sum(), m.cell_area.sum())
+    # natural ids travel with cells: sorting by natural id recovers originals
+    assert sorted(mr.natural_ids.tolist()) == sorted(m.natural_ids.tolist())
+    # the Pallas windowed kernel becomes feasible after RCM
+    op = build_operator(mr, mannings_n=np.zeros(mr.num_cells), dtype=jnp.float32)
+    assert to_pallas_backend(op, tile=512, window=1024).edge_flux_backend == "pallas"
+
+    # physics invariant under reordering: rhs(natural) identical
+    import jax.numpy as jnp
+
+    q = np.zeros((3, m.num_cells))
+    q[0] = 1.0 + 0.1 * np.sin(m.cell_centroid[:, 0] / 500.0)
+    op_a = build_operator(m, mannings_n=np.zeros(m.num_cells))
+    op_b = build_operator(mr, mannings_n=np.zeros(mr.num_cells))
+    ra = op_a.apply(jnp.asarray(q), 0.1, op_a.zero_boundary_values(), jnp.zeros_like(jnp.asarray(q)))
+    perm_nat_a = np.argsort(m.natural_ids)
+    perm_nat_b = np.argsort(mr.natural_ids)
+    qb = q[:, np.argsort(perm_nat_a)][:, :]  # natural-order q
+    # construct q on reordered mesh with matching per-cell values
+    inv_b = np.argsort(mr.natural_ids)
+    q_b = np.zeros_like(q)
+    q_b[:, :] = q[:, np.argsort(m.natural_ids)][:, np.argsort(np.argsort(mr.natural_ids))]
+    rb = op_b.apply(jnp.asarray(q_b), 0.1, op_b.zero_boundary_values(), jnp.zeros_like(jnp.asarray(q)))
+    ra_nat = np.asarray(ra.rhs)[:, perm_nat_a]
+    rb_nat = np.asarray(rb.rhs)[:, perm_nat_b]
+    np.testing.assert_allclose(ra_nat, rb_nat, atol=1e-10)
