@@ -109,6 +109,12 @@ class Numerics:
     # TPU-specific: computation precision (the reference is f64-only; on TPU
     # f32 is the native fast path)
     precision: str = "double"  # "single" | "double"
+    # TPU-specific: interior edge-flux backend ("xla" gather twin or
+    # "pallas" fused windowed kernel) and cell ordering ("file" keeps the
+    # mesh file order, "rcm" applies reverse Cuthill-McKee for gather
+    # locality -- required for pallas on most unstructured meshes)
+    edge_flux_backend: str = "xla"
+    cell_ordering: str = "file"  # "file" | "rcm"
 
 
 # ------------------------------- time
@@ -428,6 +434,14 @@ class Config:
         _check(n.riemann in RIEMANN, f"numerics.riemann must be one of {RIEMANN}")
         _check(n.limiter in LIMITERS, f"numerics.limiter must be one of {LIMITERS}")
         _check(n.precision in ("single", "double"), "numerics.precision must be single|double")
+        _check(
+            n.edge_flux_backend in ("xla", "pallas"),
+            "numerics.edge_flux_backend must be xla|pallas",
+        )
+        _check(
+            n.cell_ordering in ("file", "rcm"),
+            "numerics.cell_ordering must be file|rcm",
+        )
         _check(t.unit in TIME_UNITS, f"time.unit must be one of {TIME_UNITS}")
         _check(
             self.output.format in OUTPUT_FORMATS,

@@ -77,6 +77,11 @@ class Simulation:
         if config.grid.cell_elevation.file:
             z = read_petsc_vec(config.resolve_path(config.grid.cell_elevation.file))
             mesh.set_cell_elevations(z)
+        if config.numerics.cell_ordering == "rcm":
+            from .mesh.core import rcm_reorder
+
+            mesh = rcm_reorder(mesh)
+            self.log.detail("applied RCM cell ordering")
         self.mesh = mesh
 
         # ---- regions / boundaries (InitRegions / InitBoundaries) ----
@@ -202,6 +207,18 @@ class Simulation:
             limiter=config.numerics.limiter,
             dtype=self.dtype,
         )
+
+        if config.numerics.edge_flux_backend == "pallas":
+            from .ops.pallas.edge_flux import to_pallas_backend
+
+            new_op = to_pallas_backend(self.operator)
+            if new_op.edge_flux_backend != "pallas":
+                self.log.warning(
+                    "pallas edge-flux backend unavailable for this mesh/"
+                    "configuration (bandwidth too large or unsupported "
+                    "feature); using the XLA path. Try cell_ordering: rcm."
+                )
+            self.operator = new_op
 
         # ---- boundary geometry (edge centers, for BC expressions) ----
         self._bnd_centers = self._boundary_edge_centers()
