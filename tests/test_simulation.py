@@ -46,7 +46,8 @@ def test_ex2b_end_to_end(ex2b_dir):
     assert (out / "ex2b.xmf").exists()
     assert (out / "boundary_fluxes.dat").exists()
     assert (out / "observations.dat").exists()
-    assert (out / "ex2b.rdycore.r.0100.h5").exists()
+    # ex2b's checkpoint.format is 'binary' (ex2b.yaml:23)
+    assert (out / "ex2b.rdycore.r.0100.bin").exists()
 
 
 def test_checkpoint_restart_equivalence(ex2b_dir):
@@ -203,3 +204,26 @@ def test_preload_and_step_timer(ex2b_dir):
     s = timer.summary()
     assert s["steady_steps"] > 0
     assert s["cell_updates_per_s"] > 0
+
+
+def test_binary_checkpoint_restart_equivalence(ex2b_dir):
+    """ex2b's checkpoint.format is 'binary': the binary checkpoint must
+    round-trip to a bitwise-identical continuation (same oracle as HDF5)."""
+    ckpt = str(ex2b_dir / "mid.bin")
+
+    cfg = short_config(ex2b_dir / "ex2b.yaml", stop_n=100)
+    sim_a = Simulation(cfg)
+
+    def mid_ckpt(sim):
+        if sim.step == 50:
+            write_checkpoint(sim, ckpt)
+
+    sim_a.monitor_stride = 50
+    sim_a.add_monitor(mid_ckpt)
+    sim_a.run()
+
+    sim_c = Simulation(short_config(ex2b_dir / "ex2b.yaml", stop_n=100))
+    restore_from_checkpoint(sim_c, ckpt)
+    assert sim_c.step == 50
+    sim_c.run()
+    np.testing.assert_array_equal(sim_a.get_solution(), sim_c.get_solution())
