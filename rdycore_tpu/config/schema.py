@@ -386,6 +386,18 @@ class MMS:
     convergence: Optional[MMSConvergence] = None
 
 
+# ------------------------------- parallel (TPU-specific)
+
+
+@dataclass
+class Parallel:
+    """Multi-device execution over a jax.sharding.Mesh axis (the MPI
+    domain-decomposition replacement). n_devices = 0 -> single device."""
+
+    n_devices: int = 0
+    axis_name: str = "mesh"
+
+
 # ------------------------------- root
 
 
@@ -414,6 +426,7 @@ class Config:
     )
     ensemble: Ensemble = field(default_factory=Ensemble)
     mms: MMS = field(default_factory=MMS)
+    parallel: Parallel = field(default_factory=Parallel)
     # directory of the config file (for resolving relative paths)
     config_dir: str = "."
 

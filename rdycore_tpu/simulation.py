@@ -294,6 +294,12 @@ class Simulation:
         self.accum_prim = np.zeros((self.ndof, mesh.num_cells))
         self.accum_time = 0.0
 
+        # ---- multi-device execution (parallel.n_devices) ----
+        self._sharded = None
+        self._q_stacked = None
+        if config.parallel.n_devices > 1:
+            self._init_sharded()
+
         # restart (checkpoint.c:259-317)
         if config.restart.file:
             from .io.checkpoint import restore_from_checkpoint
@@ -433,6 +439,85 @@ class Simulation:
                         src[row, cells] = self._eval_cells(value, cells)
         return src
 
+    def _init_sharded(self):
+        """Set up shard_map execution over parallel.n_devices devices (the
+        MPI domain-decomposition replacement)."""
+        from jax.sharding import Mesh as DeviceMesh
+
+        from .parallel.sharded import ShardedSWE
+
+        cfg = self.config
+        n = cfg.parallel.n_devices
+        devices = jax.devices()
+        if len(devices) < n:
+            raise ConfigError(
+                f"parallel.n_devices = {n} but only {len(devices)} devices "
+                "are available"
+            )
+        if self.num_tracers:
+            raise ConfigError(
+                "parallel execution with tracers is not yet supported"
+            )
+        self._sharded = ShardedSWE(
+            self._mesh_for_op,
+            n,
+            bc_types={s.name: s.bc_type for s in self.operator.segments},
+            mannings_n=self.mannings_n,
+            dtype=self.dtype,
+            axis_name=cfg.parallel.axis_name,
+            tiny_h=cfg.physics.flow.tiny_h,
+            h_anuga=cfg.physics.flow.h_anuga_reg_parameter,
+            source_method=self.operator.source_method,
+            xq2018_threshold=self.operator.xq2018_threshold,
+            well_balancing_hr=self.operator.well_balancing_hr,
+            second_order=cfg.numerics.second_order,
+            limiter=cfg.numerics.limiter,
+        )
+        self._device_mesh = DeviceMesh(
+            np.array(devices[:n]), (cfg.parallel.axis_name,)
+        )
+        self._sharded_advance = None
+        self.log.info(
+            f"parallel: {n} devices, {self._sharded.B} owned cells/shard, "
+            f"halo {'ppermute' if self._sharded.neighbor_only else 'all_gather'}"
+        )
+
+    def _advance_sharded(self, n_steps: int, t_end: float):
+        import jax.numpy as jnp
+
+        sh = self._sharded
+        if self._sharded_advance is None:
+            self._sharded_advance = sh.make_interval_fn(
+                self._device_mesh, self._advance_scheme
+            )
+        if self._q_stacked is None:
+            self._q_stacked = sh.scatter_state(np.asarray(self.q))
+            self._src_stacked = jnp.zeros(
+                (sh.P, self.ndof, sh.C_loc), self.dtype
+            )
+            # scatter external sources into shard layout
+            src = np.asarray(self.ext_src)
+            s = np.zeros((sh.P, self.ndof, sh.C_loc))
+            C = self.mesh.num_cells
+            for p in range(sh.P):
+                lo, hi = p * sh.B, min((p + 1) * sh.B, C)
+                s[p, :, : hi - lo] = src[:, lo:hi]
+            self._src_stacked = jnp.asarray(s, self.dtype)
+        q_out, t_out, cmax = self._sharded_advance(
+            self._q_stacked,
+            self.t,
+            jnp.asarray(self.dt, self.dtype),
+            int(n_steps),
+            jnp.asarray(t_end, self.dtype),
+            self.boundary_values,
+            self._src_stacked,
+        )
+        self._q_stacked = q_out
+        self.q = jnp.asarray(sh.gather_state(q_out), self.dtype)
+        self.t = float(t_out)
+        self.step += int(n_steps)
+        return float(cmax)
+
     # ------------------------------------------------------------- lifecycle
     @classmethod
     def from_file(cls, path: str, **overrides) -> "Simulation":
@@ -520,6 +605,14 @@ class Simulation:
         done = 0
         while done < n_steps:
             chunk = min(stride, n_steps - done)
+            if self._sharded is not None:
+                cmax = self._advance_sharded(chunk, t_end)
+                done += chunk
+                max_courant = max(max_courant, cmax)
+                if self._monitors and self.monitor_stride and done < n_steps:
+                    for mon in self._monitors:
+                        mon(self)
+                continue
             res = self._advance_fn(
                 self.operator.arrays,
                 self.q,
@@ -580,6 +673,7 @@ class Simulation:
 
     def set_solution(self, q: np.ndarray):
         self.q = jnp.asarray(q, dtype=self.dtype)
+        self._q_stacked = None  # re-scatter on next sharded advance
 
     def get_cell_centroids(self) -> np.ndarray:
         return self.mesh.cell_centroid.copy()

@@ -118,3 +118,41 @@ def test_sharded_muscl_matches_single_device(n_shards):
     q_got = sh.gather_state(q_out)
     np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-13)
     assert float(cmax) == pytest.approx(float(res.max_courant), rel=1e-12)
+
+
+def test_simulation_parallel_config(tmp_path):
+    """parallel.n_devices in the config runs the same case distributed and
+    matches the single-device simulation exactly."""
+    import shutil
+
+    from rdycore_tpu.config.yaml_input import load_config
+    from rdycore_tpu.simulation import Simulation
+
+    shutil.copy(
+        "/root/reference/driver/tests/swe_roe/ex2b.yaml", tmp_path / "e.yaml"
+    )
+
+    def cfgn():
+        cfg = load_config(str(tmp_path / "e.yaml"))
+        cfg.time.stop_n = 60
+        cfg.time.stop = None
+        cfg.time.time_step = 5e-6
+        cfg.validate()
+        cfg.logging.level = "none"
+        cfg.output.format = "none"
+        cfg.checkpoint.interval = 0
+        return cfg
+
+    solo = Simulation(cfgn())
+    solo.run()
+
+    cfg = cfgn()
+    cfg.parallel.n_devices = 4
+    par = Simulation(cfg)
+    assert par._sharded is not None
+    par.run()
+
+    np.testing.assert_allclose(
+        par.get_solution(), solo.get_solution(), rtol=0, atol=1e-12
+    )
+    assert par.step == solo.step
