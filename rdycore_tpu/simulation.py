@@ -458,6 +458,11 @@ class Simulation:
             raise ConfigError(
                 "parallel execution with tracers is not yet supported"
             )
+        if self.operator.well_balancing_bs2002:
+            raise ConfigError(
+                "parallel execution with BS2002 well-balancing is not yet "
+                "supported (use hydrostatic_reconstruction)"
+            )
         self._sharded = ShardedSWE(
             self._mesh_for_op,
             n,
