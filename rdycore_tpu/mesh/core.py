@@ -148,6 +148,26 @@ def rcm_reorder(mesh: "Mesh") -> "Mesh":
     return reorder_cells(mesh, perm)
 
 
+def block_order(mesh: "Mesh", px: int, py: int) -> np.ndarray:
+    """2-D block partition ordering: cells sorted into a px * py grid of
+    spatial blocks (by centroid), block-major. With the equal-contiguous-
+    block shard partition this yields 2-D subdomains -- O(sqrt(B)) frontier
+    per shard instead of the strip partition's O(nx) (better surface/volume
+    at high device counts; ghosts span non-adjacent shards, so the halo
+    uses the all_gather path).
+    """
+    cx = mesh.cell_centroid[:, 0]
+    cy = mesh.cell_centroid[:, 1]
+    # quantile-based cuts so blocks are population-balanced
+    qx = np.quantile(cx, np.linspace(0, 1, px + 1)[1:-1]) if px > 1 else []
+    qy = np.quantile(cy, np.linspace(0, 1, py + 1)[1:-1]) if py > 1 else []
+    bx = np.searchsorted(np.asarray(qx), cx)
+    by = np.searchsorted(np.asarray(qy), cy)
+    block = by * px + bx
+    # within each block keep ascending original (bandwidth-friendly) order
+    return np.argsort(block, kind="stable")
+
+
 def save_mesh_npz(mesh: "Mesh", path: str) -> None:
     """Save a mesh in the native .npz format (points + connectivity +
     labels; geometry is rebuilt on load)."""
