@@ -10,8 +10,9 @@ materialized 24B, sources/geometry ~24B), against ~819 GB/s on TPU v5e
 baseline (flux arrays + RK bookkeeping make ~200 B/cell realistic).
 
 Modes (env): BENCH_MODE=structured (default, flagship raster path) |
-unstructured (general gather path); BENCH_NX/BENCH_NY/BENCH_STEPS;
-BENCH_CPU=1 to force CPU.
+unstructured (general gather path) | sharded (multi-device shard_map over
+BENCH_SHARDS devices); BENCH_NX/BENCH_NY/BENCH_STEPS; BENCH_CPU=1 to
+force CPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -77,6 +78,30 @@ def main():
 
         def run(q, n):
             q_out, t_out, cmax = adv(op.arrays, q, 0.0, dt, n, 1e9, src)
+            return q_out, cmax
+    elif mode == "sharded":
+        from jax.sharding import Mesh as DeviceMesh
+
+        from rdycore_tpu.mesh import structured_quad
+        from rdycore_tpu.parallel.sharded import ShardedSWE
+
+        n_shards = int(os.environ.get("BENCH_SHARDS", len(jax.devices())))
+        mesh = structured_quad(nx, ny, 0.0, nx * 0.002, 0.0, ny * 0.002)
+        C = mesh.num_cells
+        sh = ShardedSWE(
+            mesh, n_shards, mannings_n=np.full(C, 0.015), dtype=jnp.float32
+        )
+        dm = DeviceMesh(np.array(jax.devices()[:n_shards]), ("mesh",))
+        adv = sh.make_interval_fn(dm, "euler")
+        q0 = np.zeros((3, C), np.float32)
+        q0[0] = np.where(mesh.cell_centroid[:, 0] < nx * 0.001, 10.0, 5.0)
+        qs = sh.scatter_state(q0)
+        bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float32)
+        es = jnp.zeros((n_shards, 3, sh.C_loc), jnp.float32)
+        q0 = qs
+
+        def run(q, n):
+            q_out, t_out, cmax = adv(q, 0.0, dt, n, 1e9, bv, es)
             return q_out, cmax
     else:
         from rdycore_tpu.mesh import structured_quad
