@@ -65,7 +65,6 @@ class XDMFWriter:
         self.dir = os.path.join(cfg.config_dir, cfg.output.directory)
         os.makedirs(self.dir, exist_ok=True)
         self.prefix = cfg.output.prefix or "output"
-        self.h5_path = os.path.join(self.dir, f"{self.prefix}.h5")
         self.fields = cfg.output.fields or DEFAULT_FIELDS
         self.interval = cfg.output.output_interval or 1
         # temporal cadence (output.time_interval in output.time_unit)
@@ -97,15 +96,24 @@ class XDMFWriter:
             self._last_step = sim.step
             self._write_step()
 
+    def _h5_for_snapshot(self, index: int) -> str:
+        """Heavy data is split into files of batch_size snapshots
+        (xdmf_output.c batch behavior); the grid lives in its own file."""
+        batch = index // self.batch_size
+        return os.path.join(self.dir, f"{self.prefix}.{batch:03d}.h5")
+
     def _write_step(self):
         import h5py
 
         sim = self.sim
-        with h5py.File(self.h5_path, "a") as f:
-            if not self._wrote_grid:
+        if not self._wrote_grid:
+            grid_path = os.path.join(self.dir, f"{self.prefix}.grid.h5")
+            with h5py.File(grid_path, "w") as f:
                 self._write_grid(f)
-                self._wrote_grid = True
-            g = f.require_group(f"{len(self._times)}")
+            self._wrote_grid = True
+        snap = len(self._times)
+        with h5py.File(self._h5_for_snapshot(snap), "a") as f:
+            g = f.require_group(f"{snap}")
             sol = sim.get_solution()
             prim = None
             src = np.asarray(sim.ext_src)
@@ -154,7 +162,7 @@ class XDMFWriter:
     def _write_xmf(self):
         mesh = self.sim.mesh
         xmf_path = os.path.join(self.dir, f"{self.prefix}.xmf")
-        h5 = os.path.basename(self.h5_path)
+        grid_h5 = f"{self.prefix}.grid.h5"
         ncells = mesh.num_cells
         npts = mesh.num_vertices
         topo_len = sum(int(n) + 1 for n in mesh.cell_num_vertices)
@@ -165,14 +173,15 @@ class XDMFWriter:
             '<Grid Name="time_series" GridType="Collection" CollectionType="Temporal">',
         ]
         for i, t in enumerate(self._times):
+            h5 = os.path.basename(self._h5_for_snapshot(i))
             parts += [
                 f'<Grid Name="step_{i}" GridType="Uniform">',
                 f'<Time Value="{t}"/>',
                 f'<Topology TopologyType="Mixed" NumberOfElements="{ncells}">',
-                f'<DataItem Format="HDF" Dimensions="{topo_len}">{h5}:/grid/topology</DataItem>',
+                f'<DataItem Format="HDF" Dimensions="{topo_len}">{grid_h5}:/grid/topology</DataItem>',
                 "</Topology>",
                 '<Geometry GeometryType="XYZ">',
-                f'<DataItem Format="HDF" Dimensions="{npts} 3">{h5}:/grid/points</DataItem>',
+                f'<DataItem Format="HDF" Dimensions="{npts} 3">{grid_h5}:/grid/points</DataItem>',
                 "</Geometry>",
             ]
             for name in self.fields:

@@ -294,6 +294,8 @@ class Simulation:
         self.accum_prim = np.zeros((self.ndof, mesh.num_cells))
         self.accum_time = 0.0
 
+        self.log_domain_statistics()
+
         # ---- multi-device execution (parallel.n_devices) ----
         self._sharded = None
         self._q_stacked = None
@@ -848,7 +850,7 @@ class Simulation:
     # ---- diagnostics (rdysetup.c:1336-1368 partition statistics) ----
     def log_domain_statistics(self):
         C = self.mesh.num_cells
-        self.log.info(
+        self.log.detail(
             f"domain: {C} cells, {self.mesh.num_edges} edges "
             f"({self.mesh.num_internal_edges} internal), "
             f"{self.mesh.num_vertices} vertices; "

@@ -42,7 +42,8 @@ def test_ex2b_end_to_end(ex2b_dir):
     assert q[0].min() > 0.0
     # outputs exist
     out = ex2b_dir / "output"
-    assert (out / "ex2b.h5").exists()
+    assert (out / "ex2b.grid.h5").exists()
+    assert (out / "ex2b.000.h5").exists()
     assert (out / "ex2b.xmf").exists()
     assert (out / "boundary_fluxes.dat").exists()
     assert (out / "observations.dat").exists()
