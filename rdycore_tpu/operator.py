@@ -386,10 +386,27 @@ class SWEOperator:
         cil = safe_div(hci[:, il], hl, hl, tiny_h)
         cir = safe_div(hci[:, ir], hr, hr, tiny_h)
 
-        f_flow, f_tr, amax_i = tracer_roe_flux(
-            hl, ul, vl, cil, hr, ur, vr, cir, a.int_sn, a.int_cn, upwind
-        )
-        mask_i = ((hl > tiny_h) | (hr > tiny_h)).astype(dtype)
+        if self.well_balancing_hr:
+            # hydrostatic reconstruction for the coupled system
+            # (tracer_fluxes_hydro_recon_ceed.h:70-120): depths from
+            # eta - max(z); velocities and concentrations preserved
+            zl = a.cell_z[il]
+            zr = a.cell_z[ir]
+            zmax = jnp.maximum(zl, zr)
+            hl_raw, hr_raw = hl, hr
+            hl = jnp.maximum(0.0, hl + zl - zmax)
+            hr = jnp.maximum(0.0, hr + zr - zmax)
+            f_flow, f_tr, amax_i = tracer_roe_flux(
+                hl, ul, vl, cil, hr, ur, vr, cir, a.int_sn, a.int_cn, upwind
+            )
+            outer = (hl_raw > tiny_h) | (hr_raw > tiny_h)
+            inner = (hl > tiny_h) | (hr > tiny_h)
+            mask_i = (outer & inner).astype(dtype)
+        else:
+            f_flow, f_tr, amax_i = tracer_roe_flux(
+                hl, ul, vl, cil, hr, ur, vr, cir, a.int_sn, a.int_cn, upwind
+            )
+            mask_i = ((hl > tiny_h) | (hr > tiny_h)).astype(dtype)
         fi = jnp.concatenate([f_flow, f_tr], axis=0) * mask_i
         amax_i = amax_i * mask_i
 
@@ -448,6 +465,14 @@ class SWEOperator:
         flux_all = jnp.concatenate([fi, fb, jnp.zeros((ndof, 1), dtype)], axis=1)
         gathered = flux_all[:, a.cell_edges]
         flux_div = (gathered * a.cell_edge_coef).sum(axis=-1)
+
+        if self.well_balancing_hr:
+            # hydrostatic pressure correction on the momentum rows
+            # (tracer_fluxes_hydro_recon_ceed.h:128-137); boundary edges see
+            # equal bed elevations on both sides, so reconstruction there is
+            # the identity and needs no correction
+            corr = self._hr_pressure_correction(q[:3], dtype)
+            flux_div = flux_div.at[:3].add(corr)
 
         # ---- Courant diagnostics -------------------------------------------
         amax_all = jnp.concatenate([amax_i, amax_b])

@@ -122,3 +122,59 @@ def test_salinity_and_heat_tracers():
     assert float((q[4] * area).sum()) == pytest.approx(
         float((q0[4] * area).sum()), rel=1e-10
     )
+
+
+def test_tracer_hr_lake_at_rest():
+    """HR well-balancing with tracers: still water + uniform concentration
+    over bumpy bathymetry stays exactly still (flow AND tracer rows)."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.mesh import structured_tri
+    from rdycore_tpu.operator import build_operator
+
+    mesh = structured_tri(
+        10, 8, 0, 10, 0, 8, z_fn=lambda x, y: 0.3 * np.sin(x) * np.cos(y)
+    )
+    op = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells), num_tracers=1,
+        num_sediment=0, well_balancing_hr=True,
+    )
+    h0 = np.maximum(2.0 - mesh.cell_z, 0.0)
+    q0 = np.zeros((4, mesh.num_cells))
+    q0[0] = h0
+    q0[3] = h0 * 0.4  # uniform concentration
+    q0 = jnp.asarray(q0)
+    res = op.apply(q0, 0.01, op.zero_boundary_values(), jnp.zeros_like(q0))
+    assert float(jnp.abs(res.rhs).max()) < 1e-12
+
+
+def test_tracer_hr_conservation():
+    """HR + tracer advection over a sloped bed in a closed box conserves
+    water volume and tracer mass."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.mesh import structured_tri
+    from rdycore_tpu.operator import build_operator
+    from rdycore_tpu.timestepping import make_interval_advancer
+
+    mesh = structured_tri(
+        10, 8, 0, 10, 0, 8, z_fn=lambda x, y: 0.05 * x
+    )
+    op = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells), num_tracers=1,
+        num_sediment=0, well_balancing_hr=True,
+    )
+    rng = np.random.default_rng(9)
+    q0 = np.zeros((4, mesh.num_cells))
+    q0[0] = np.maximum(1.0 - mesh.cell_z + 0.3 * rng.random(mesh.num_cells), 0.0)
+    q0[3] = q0[0] * rng.random(mesh.num_cells)
+    area = mesh.cell_area
+    m_w = float((q0[0] * area).sum())
+    m_c = float((q0[3] * area).sum())
+    adv = make_interval_advancer(op, "euler")
+    res = adv(op.arrays, jnp.asarray(q0), 0.0, 1e-3, 100, 0.1,
+              op.zero_boundary_values(), jnp.zeros((4, mesh.num_cells)))
+    q = np.asarray(res.q)
+    assert np.isfinite(q).all()
+    assert float((q[0] * area).sum()) == pytest.approx(m_w, rel=1e-12)
+    assert float((q[3] * area).sum()) == pytest.approx(m_c, rel=1e-12)
