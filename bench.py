@@ -46,6 +46,17 @@ def main():
 
     if os.environ.get("BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the axon remote-compile service is
+    # intermittently slow/wedged; once a size compiles, later runs reuse it
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     mode = os.environ.get("BENCH_MODE", "structured")

@@ -465,6 +465,19 @@ class Config:
             f"logging.level must be one of {LOG_LEVELS}",
         )
 
+        from ..constants import MAX_NUM_SEDIMENT_CLASSES
+
+        _check(
+            0 <= p.sediment.num_classes <= MAX_NUM_SEDIMENT_CLASSES,
+            f"physics.sediment.num_classes must be in [0, {MAX_NUM_SEDIMENT_CLASSES}]",
+        )
+        if p.flow.well_balancing == "bs2002":
+            # the reference restricts BS2002 to sediment-free runs
+            # (yaml_input.c:917-919)
+            _check(
+                p.sediment.num_classes == 0,
+                "BS2002 well balancing requires sediment.num_classes = 0",
+            )
         if (
             p.flow.source.xq2018_threshold != DEFAULT_XQ2018_THRESHOLD
             and p.flow.source.method != "implicit_xq2018"
