@@ -90,6 +90,34 @@ def main():
         def run(q, n):
             q_out, t_out, cmax = adv(op.arrays, q, 0.0, dt, n, 1e9, src)
             return q_out, cmax
+    elif mode == "pallas":
+        from rdycore_tpu.mesh import structured_quad
+        from rdycore_tpu.operator import build_operator
+        from rdycore_tpu.ops.pallas.edge_flux import to_pallas_backend
+        from rdycore_tpu.timestepping import make_interval_advancer
+
+        mesh = structured_quad(nx, ny, 0.0, nx * 0.002, 0.0, ny * 0.002)
+        C = mesh.num_cells
+        op = build_operator(mesh, mannings_n=np.full(C, 0.015), dtype=jnp.float32)
+        op = to_pallas_backend(
+            op,
+            tile=int(os.environ.get("BENCH_TILE", 512)),
+            window=int(os.environ.get("BENCH_WINDOW", 4096)),
+        )
+        assert op.edge_flux_backend == "pallas", "pallas plan failed"
+        q0 = np.zeros((3, C), np.float32)
+        q0[0] = np.where(mesh.cell_centroid[:, 0] < nx * 0.001, 10.0, 5.0)
+        q0 = jnp.asarray(q0)
+        bv = jnp.zeros((3, op.num_boundary_edges), jnp.float32)
+        src = jnp.zeros((3, C), jnp.float32)
+        adv = jax.jit(
+            make_interval_advancer(op, "euler", accumulate=False),
+            donate_argnums=(1,),
+        )
+
+        def run(q, n):
+            res = adv(op.arrays, q, 0.0, dt, n, 1e9, bv, src)
+            return res.q, res.max_courant
     elif mode == "sharded":
         from jax.sharding import Mesh as DeviceMesh
 
