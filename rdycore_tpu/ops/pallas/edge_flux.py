@@ -102,6 +102,8 @@ def _kernel(ws_ref, il_ref, ir_ref, cn_ref, sn_ref, valid_ref, q_hbm,
     t = pl.program_id(0)
     ws = ws_ref[t]
 
+    # NOTE the state arrives padded to 8 rows ([8, C]): Mosaic requires the
+    # sliced sublane dimension to be tiling-aligned, and f32 tiles are (8, 128)
     dma = pltpu.make_async_copy(
         q_hbm.at[:, pl.ds(ws, window)], win_ref, sem
     )
@@ -111,12 +113,12 @@ def _kernel(ws_ref, il_ref, ir_ref, cn_ref, sn_ref, valid_ref, q_hbm,
     il = il_ref[:] - ws  # [TE]
     ir = ir_ref[:] - ws
 
-    # one-hot gather on the MXU: [TE, W] @ [W, 3]
+    # one-hot gather on the MXU: [TE, W] @ [W, 8]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
     onehot_l = (lanes == il[:, None]).astype(jnp.float32)
     onehot_r = (lanes == ir[:, None]).astype(jnp.float32)
-    win_t = win_ref[:].T  # [W, 3]
-    ql = jnp.dot(onehot_l, win_t, preferred_element_type=jnp.float32)  # [TE, 3]
+    win_t = win_ref[:].T  # [W, 8]
+    ql = jnp.dot(onehot_l, win_t, preferred_element_type=jnp.float32)  # [TE, 8]
     qr = jnp.dot(onehot_r, win_t, preferred_element_type=jnp.float32)
 
     hl, hul, hvl = ql[:, 0], ql[:, 1], ql[:, 2]
@@ -168,10 +170,10 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
     ntiles = E_pad // tile
 
     C = q.shape[1]
-    # windows must be in-bounds: operators pad the state array once here
-    # (window starts are static-bounded by construction <= C rounded down)
+    # pad columns so every window slice is in-bounds, and rows 3 -> 8 for
+    # Mosaic's (8, 128) f32 tiling of the DMA source
     pad = window  # safe upper bound: last window start < C
-    q = jnp.pad(q.astype(jnp.float32), ((0, 0), (0, pad)))
+    q = jnp.pad(q.astype(jnp.float32), ((0, 8 - q.shape[0]), (0, pad)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -189,7 +191,7 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
             for _ in range(4)
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, window), jnp.float32),
+            pltpu.VMEM((8, window), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
