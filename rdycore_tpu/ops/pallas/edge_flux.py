@@ -100,7 +100,7 @@ def _kernel(ws_ref, il_ref, ir_ref, cn_ref, sn_ref, valid_ref, q_hbm,
             fh_ref, fhu_ref, fhv_ref, amax_ref, win_ref, sem,
             *, tile, window, tiny_h, h_anuga):
     t = pl.program_id(0)
-    ws = ws_ref[t]
+    ws = pl.multiple_of(ws_ref[t], 128)  # window starts are 128-aligned
 
     # NOTE the state arrives padded to 8 rows ([8, C]): Mosaic requires the
     # sliced sublane dimension to be tiling-aligned, and f32 tiles are (8, 128)
@@ -184,7 +184,7 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
             pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[
             pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM)
