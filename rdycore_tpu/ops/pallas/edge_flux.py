@@ -225,7 +225,7 @@ def edge_flux_pallas(
     return _call_kernel(dev, q, tiny_h, h_anuga, plan.tile, plan.window, interpret)
 
 
-def to_pallas_backend(op, tile: int = 512, window: int = 2048,
+def to_pallas_backend(op, tile: int = 1024, window: int = 4096,
                       interpret: bool = False):
     """Rebuild an SWEOperator with the Pallas interior-flux backend.
 
