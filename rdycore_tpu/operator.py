@@ -96,6 +96,11 @@ class OperatorArrays(NamedTuple):
     pl_sn: jnp.ndarray = None
     pl_valid: jnp.ndarray = None
     pl_ws: jnp.ndarray = None  # [ntiles] int32 window starts
+    # cell-divergence kernel plan (indices remapped into the packed
+    # [interior E_pad | boundary | dummy] flux layout)
+    pl_cd_ws: jnp.ndarray = None  # [ctiles] int32
+    pl_cd_ce: jnp.ndarray = None  # [K, C_pad] int32
+    pl_cd_coef: jnp.ndarray = None  # [K, C_pad] f32
 
 
 class RHSResult(NamedTuple):
@@ -183,14 +188,16 @@ class SWEOperator:
         if use_pallas:
             from .ops.pallas.edge_flux import edge_flux_plan_apply
 
-            fi_h, fi_hu, fi_hv, amax_i = edge_flux_plan_apply(
+            packed_i = edge_flux_plan_apply(
                 a, q, self.tiny_h, self.h_anuga,
                 self.pallas_tile, self.pallas_window,
                 self.num_internal_edges, interpret=self.pallas_interpret,
-            )
+            )  # [8, E_pad]
+            Ei = self.num_internal_edges
             return self._finish_apply(
                 q, dt, boundary_values, ext_src,
-                fi_h, fi_hu, fi_hv, amax_i,
+                packed_i[0, :Ei], packed_i[1, :Ei], packed_i[2, :Ei],
+                packed_i[3, :Ei], packed_interior=packed_i,
             )
 
         # ---- interior edge states --------------------------------------
@@ -258,7 +265,7 @@ class SWEOperator:
 
     def _finish_apply(
         self, q, dt, boundary_values, ext_src, fi_h, fi_hu, fi_hv, amax_i,
-        eta_v=None,
+        eta_v=None, packed_interior=None,
     ) -> RHSResult:
         """Boundary fluxes + cell gather + Courant + sources (shared by the
         XLA and Pallas interior-flux backends)."""
@@ -319,11 +326,31 @@ class SWEOperator:
             amax_b = jnp.zeros((0,), dtype)
 
         # ---- cell gather of edge fluxes --------------------------------
-        flux_all = jnp.concatenate(
-            [jnp.stack([fi_h, fi_hu, fi_hv]), fb, jnp.zeros((3, 1), dtype)], axis=1
-        )  # [3, E+1] with dummy zero row at E
-        gathered = flux_all[:, a.cell_edges]  # [3, C, MAX_CE]
-        flux_div = (gathered * a.cell_edge_coef).sum(axis=-1)  # [3, C]
+        if packed_interior is not None and a.pl_cd_ce is not None:
+            # Pallas cell-divergence kernel over the interior flux array;
+            # boundary contributions land via a small scatter-add (Eb <<
+            # C updates -- no large XLA gather on the hot path)
+            from .ops.pallas.cell_div import cell_div_pallas
+
+            div8 = cell_div_pallas(
+                (a.pl_cd_ws, a.pl_cd_ce, a.pl_cd_coef),
+                packed_interior.astype(jnp.float32),
+                self.pallas_tile,
+                2 * self.pallas_window,
+                int(a.cell_edges.shape[1]),
+                interpret=self.pallas_interpret,
+            )
+            flux_div = div8[:3, : self.num_cells].astype(dtype)
+            if self.num_boundary_edges:
+                coefb = -a.bnd_len / a.area[a.bnd_left]
+                flux_div = flux_div.at[:, a.bnd_left].add(fb * coefb)
+        else:
+            flux_all = jnp.concatenate(
+                [jnp.stack([fi_h, fi_hu, fi_hv]), fb, jnp.zeros((3, 1), dtype)],
+                axis=1,
+            )  # [3, E+1] with dummy zero row at E
+            gathered = flux_all[:, a.cell_edges]  # [3, C, MAX_CE]
+            flux_div = (gathered * a.cell_edge_coef).sum(axis=-1)  # [3, C]
 
         if self.well_balancing_hr:
             flux_div = flux_div + self._hr_pressure_correction(q, dtype)

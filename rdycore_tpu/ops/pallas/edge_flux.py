@@ -97,7 +97,7 @@ def plan_edge_flux(
 
 
 def _kernel(ws_ref, il_ref, ir_ref, cn_ref, sn_ref, valid_ref, q_hbm,
-            fh_ref, fhu_ref, fhv_ref, amax_ref, win_ref, sem,
+            out_ref, win_ref, sem,
             *, tile, window, tiny_h, h_anuga):
     t = pl.program_id(0)
     ws = pl.multiple_of(ws_ref[t], 128)  # window starts are 128-aligned
@@ -131,10 +131,13 @@ def _kernel(ws_ref, il_ref, ir_ref, cn_ref, sn_ref, valid_ref, q_hbm,
     )
     dry = (hl < tiny_h) & (hr < tiny_h)
     mask = jnp.where(dry, 0.0, valid_ref[:])
-    fh_ref[:] = f_h * mask
-    fhu_ref[:] = f_hu * mask
-    fhv_ref[:] = f_hv * mask
-    amax_ref[:] = amax * mask
+    zero = jnp.zeros_like(f_h)
+    # packed output [8, TE]: rows f_h, f_hu, f_hv, amax, 0*4 (consumed
+    # directly by the cell-divergence kernel)
+    out_ref[:] = jnp.stack(
+        [f_h * mask, f_hu * mask, f_hv * mask, amax * mask,
+         zero, zero, zero, zero]
+    )
 
 
 def edge_flux_plan_apply(
@@ -142,18 +145,16 @@ def edge_flux_plan_apply(
     interpret=False,
 ):
     """Operator-facing wrapper: consume the plan arrays stored on
-    OperatorArrays (pl_*) and return interior fluxes aligned with the
-    operator's interior edge order (plan order == operator order when built
-    with edge_flux_backend='pallas')."""
+    OperatorArrays (pl_*) and return the PACKED interior flux array
+    [8, E_pad] (rows f_h, f_hu, f_hv, amax) in the operator's interior edge
+    order (plan order == operator order when built via to_pallas_backend)."""
     plan_arrays = _DevicePlan(
         il=arrays.pl_il, ir=arrays.pl_ir, cn=arrays.pl_cn, sn=arrays.pl_sn,
         valid=arrays.pl_valid, window_start=arrays.pl_ws,
     )
-    fh, fhu, fhv, amax = _call_kernel(
+    return _call_kernel(
         plan_arrays, q, tiny_h, h_anuga, tile, window, interpret
     )
-    E = num_internal_edges
-    return fh[:E], fhu[:E], fhv[:E], amax[:E]
 
 
 class _DevicePlan(NamedTuple):
@@ -186,10 +187,9 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
             pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[
-            pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ],
+        out_specs=pl.BlockSpec(
+            (8, tile), lambda t, ws: (0, t), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((8, window), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -199,7 +199,7 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
         _kernel, tile=tile, window=window,
         tiny_h=float(tiny_h), h_anuga=float(h_anuga),
     )
-    out_shape = [jax.ShapeDtypeStruct((E_pad,), jnp.float32) for _ in range(4)]
+    out_shape = jax.ShapeDtypeStruct((8, E_pad), jnp.float32)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
     )(plan.window_start, plan.il, plan.ir, plan.cn, plan.sn, plan.valid, q)
@@ -222,7 +222,11 @@ def edge_flux_pallas(
         valid=jnp.asarray(plan.valid),
         window_start=jnp.asarray(plan.window_start),
     )
-    return _call_kernel(dev, q, tiny_h, h_anuga, plan.tile, plan.window, interpret)
+    packed = _call_kernel(
+        dev, q, tiny_h, h_anuga, plan.tile, plan.window, interpret
+    )
+    E = plan.num_edges
+    return packed[0, :E], packed[1, :E], packed[2, :E], packed[3, :E]
 
 
 def to_pallas_backend(op, tile: int = 1024, window: int = 4096,
@@ -260,6 +264,29 @@ def to_pallas_backend(op, tile: int = 1024, window: int = 4096,
     ce = np.asarray(a.cell_edges)
     ce_new = np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
 
+    # cell-divergence kernel plan over the INTERIOR flux array [8, E_pad]:
+    # boundary contributions are added by a small XLA scatter afterwards
+    # (boundary slots would blow every tile's window to the array end)
+    from .cell_div import plan_cell_div
+
+    E_pad = len(plan.il)
+    coef = np.asarray(a.cell_edge_coef)
+    interior_slot = ce_new < Ei
+    ce_cd = np.where(interior_slot, ce_new, 0)
+    coef_cd = np.where(interior_slot, coef, 0.0)
+    # a cell tile spans ~2x the edge range of an edge tile, so the
+    # divergence kernel gets twice the window
+    cd_plan = plan_cell_div(
+        ce_cd,
+        coef_cd,
+        num_edge_slots=E_pad,
+        tile=tile,
+        max_window=2 * window,
+        dummy_id=E_pad,
+    )
+    if cd_plan is None:
+        return op
+
     f32 = lambda x: jnp.asarray(x, a.int_cn.dtype)
     arrays = a._replace(
         int_left=jnp.asarray(il[order], jnp.int32),
@@ -281,6 +308,9 @@ def to_pallas_backend(op, tile: int = 1024, window: int = 4096,
         pl_sn=jnp.asarray(plan.sn),
         pl_valid=jnp.asarray(plan.valid),
         pl_ws=jnp.asarray(plan.window_start),
+        pl_cd_ws=jnp.asarray(cd_plan.window_start),
+        pl_cd_ce=jnp.asarray(cd_plan.ce),
+        pl_cd_coef=jnp.asarray(cd_plan.coef),
     )
     return dataclasses.replace(
         op,
