@@ -110,8 +110,10 @@ def _kernel(ws_ref, il_ref, ir_ref, cn_ref, sn_ref, valid_ref, q_hbm,
     dma.start()
     dma.wait()
 
-    il = il_ref[:] - ws  # [TE]
-    ir = ir_ref[:] - ws
+    # per-edge inputs arrive as [1, TE] 2-D tiles (1-D i32 operands hit
+    # XLA/Mosaic layout tiling mismatches)
+    il = il_ref[0, :] - ws  # [TE]
+    ir = ir_ref[0, :] - ws
 
     # one-hot gather on the MXU: [TE, W] @ [W, 8]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (tile, window), 1)
@@ -127,10 +129,10 @@ def _kernel(ws_ref, il_ref, ir_ref, cn_ref, sn_ref, valid_ref, q_hbm,
     ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
 
     f_h, f_hu, f_hv, amax = roe_flux(
-        hl, ul, vl, hr, ur, vr, sn_ref[:], cn_ref[:]
+        hl, ul, vl, hr, ur, vr, sn_ref[0, :], cn_ref[0, :]
     )
     dry = (hl < tiny_h) & (hr < tiny_h)
-    mask = jnp.where(dry, 0.0, valid_ref[:])
+    mask = jnp.where(dry, 0.0, valid_ref[0, :])
     zero = jnp.zeros_like(f_h)
     # packed output [8, TE]: rows f_h, f_hu, f_hv, amax, 0*4 (consumed
     # directly by the cell-divergence kernel)
@@ -180,11 +182,11 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda t, ws: (t,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -200,9 +202,15 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
         tiny_h=float(tiny_h), h_anuga=float(h_anuga),
     )
     out_shape = jax.ShapeDtypeStruct((8, E_pad), jnp.float32)
+    def two_d(x):
+        return x.reshape(ntiles, tile)
+
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
-    )(plan.window_start, plan.il, plan.ir, plan.cn, plan.sn, plan.valid, q)
+    )(
+        plan.window_start, two_d(plan.il), two_d(plan.ir), two_d(plan.cn),
+        two_d(plan.sn), two_d(plan.valid), q,
+    )
 
 
 def edge_flux_pallas(
