@@ -182,11 +182,11 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda t, ws: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda t, ws: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
@@ -203,7 +203,7 @@ def _call_kernel(plan, q, tiny_h, h_anuga, tile, window, interpret):
     )
     out_shape = jax.ShapeDtypeStruct((8, E_pad), jnp.float32)
     def two_d(x):
-        return x.reshape(ntiles, tile)
+        return x.reshape(1, ntiles * tile)
 
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret
