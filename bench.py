@@ -90,6 +90,44 @@ def main():
         def run(q, n):
             q_out, t_out, cmax = adv(op.arrays, q, 0.0, dt, n, 1e9, src)
             return q_out, cmax
+    elif mode == "fused":
+        from rdycore_tpu.ops.pallas.structured_step import (
+            GC,
+            GR,
+            StructuredPlan,
+            make_fused_structured_stepper,
+            pad_plane,
+        )
+
+        C = nx * ny
+        plan = StructuredPlan(
+            nx=nx, ny=ny, dx=0.002, dy=0.002, tiny_h=1e-7, h_anuga=0.0,
+            bc_left=1, bc_right=1, bc_bottom=1, bc_top=1,  # reflecting
+        )
+        zeros = np.zeros((ny, nx), np.float32)
+        adv = jax.jit(
+            make_fused_structured_stepper(
+                plan, zeros, zeros, np.full((ny, nx), 0.015, np.float32)
+            ),
+            static_argnums=(),
+            donate_argnums=(0, 1, 2),
+        )
+        h0 = np.zeros((ny, nx), np.float32)
+        h0[:, : nx // 2] = 10.0
+        h0[:, nx // 2 :] = 5.0
+        hp = jnp.asarray(pad_plane(h0))
+        zp = jnp.asarray(pad_plane(zeros))
+        state = (hp, zp, jnp.asarray(pad_plane(zeros)))
+
+        def run(state, n):
+            h, hu, hv = state
+            h, hu, hv, t, cmax = adv(h, hu, hv, 0.0, dt, n, 1e9)
+            return (h, hu, hv), cmax
+
+        q0 = state
+
+        def _finite(s):
+            return np.isfinite(np.asarray(s[0])[GR:-GR, GC:-GC]).all()
     elif mode == "pallas":
         from rdycore_tpu.mesh import structured_quad
         from rdycore_tpu.operator import build_operator
@@ -166,18 +204,26 @@ def main():
 
     build_s = time.time() - t_build
 
+    def peek(q):
+        arr = q[0] if isinstance(q, tuple) else q
+        return np.asarray(arr.ravel()[:8])
+
+    def finite(q):
+        arr = q[0] if isinstance(q, tuple) else q
+        return np.isfinite(np.asarray(arr)).all()
+
     # warm-up/compile (the reference uses -preload similarly)
     t0 = time.time()
     q, cmax = run(q0, 3)
-    _ = np.asarray(q.ravel()[:8])  # force execution + device->host transfer
+    _ = peek(q)  # force execution + device->host transfer
     compile_s = time.time() - t0
 
     t0 = time.time()
     q, cmax = run(q, n_steps)
-    _ = np.asarray(q.ravel()[:8])
+    _ = peek(q)
     elapsed = time.time() - t0
 
-    assert np.isfinite(np.asarray(q)).all(), "bench produced non-finite state"
+    assert finite(q), "bench produced non-finite state"
 
     updates_per_s = n_steps * C / elapsed
     out = {
