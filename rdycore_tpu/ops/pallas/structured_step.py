@@ -267,11 +267,10 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
         )(dt_arr, h, hu, hv, dzx_p, dzy_p, mann_p)
-        # splice updated interior rows into the padded planes
-        h = jax.lax.dynamic_update_slice(h, ho[GR:GR + ny], (GR, 0))
-        hu = jax.lax.dynamic_update_slice(hu, huo[GR:GR + ny], (GR, 0))
-        hv = jax.lax.dynamic_update_slice(hv, hvo[GR:GR + ny], (GR, 0))
-        return h, hu, hv, cm.max()
+        # the kernel writes the interior row blocks of full padded planes;
+        # the ghost frame (unwritten garbage) is refreshed at the start of
+        # the next step, so the outputs ARE the new state -- no re-splice
+        return ho, huo, hvo, cm.max()
 
     def advance(h, hu, hv, t0, dt, n_steps, t_end, interpret=False):
         def body(i, carry):
