@@ -100,9 +100,11 @@ def main():
         )
 
         C = nx * ny
+        ty = int(os.environ.get("BENCH_TY", 64))
         plan = StructuredPlan(
             nx=nx, ny=ny, dx=0.002, dy=0.002, tiny_h=1e-7, h_anuga=0.0,
             bc_left=1, bc_right=1, bc_bottom=1, bc_top=1,  # reflecting
+            gr=ty,
         )
         zeros = np.zeros((ny, nx), np.float32)
         adv = jax.jit(
@@ -115,9 +117,9 @@ def main():
         h0 = np.zeros((ny, nx), np.float32)
         h0[:, : nx // 2] = 10.0
         h0[:, nx // 2 :] = 5.0
-        hp = jnp.asarray(pad_plane(h0))
-        zp = jnp.asarray(pad_plane(zeros))
-        state = (hp, zp, jnp.asarray(pad_plane(zeros)))
+        hp = jnp.asarray(pad_plane(h0, ty))
+        zp = jnp.asarray(pad_plane(zeros, ty))
+        state = (hp, zp, jnp.asarray(pad_plane(zeros, ty)))
 
         def run(state, n):
             h, hu, hv = state

@@ -33,9 +33,9 @@ from ...constants import GRAVITY
 from ..swe import boundary as bc_mod
 from ..swe.riemann import regularized_velocity, roe_flux
 
-GR = 8  # ghost rows each side (tile-aligned)
+GR = 8  # default ghost rows each side (= row-tile height)
 GC = 128  # ghost columns each side (lane-aligned)
-TY = 8  # rows per kernel tile
+TY = 8  # default rows per kernel tile (override via make_..., ty=)
 
 
 class StructuredPlan(NamedTuple):
@@ -49,11 +49,12 @@ class StructuredPlan(NamedTuple):
     bc_right: int
     bc_bottom: int
     bc_top: int
+    gr: int = GR  # ghost rows each side (= row-tile height ty)
 
 
-def pad_plane(x: np.ndarray) -> np.ndarray:
-    """[ny, nx] -> [ny + 2*GR, nx + 2*GC]."""
-    return np.pad(np.asarray(x, np.float32), ((GR, GR), (GC, GC)))
+def pad_plane(x: np.ndarray, gr: int = GR) -> np.ndarray:
+    """[ny, nx] -> [ny + 2*gr, nx + 2*GC]."""
+    return np.pad(np.asarray(x, np.float32), ((gr, gr), (GC, GC)))
 
 
 def _ghost(bc, h, hu, hv, sn, cn, tiny_h, h_anuga):
@@ -79,7 +80,7 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
     th, ta = plan.tiny_h, plan.h_anuga
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
-    r0, r1 = GR, GR + ny  # interior row range
+    r0, r1 = plan.gr, plan.gr + ny  # interior row range
     c0, c1 = GC, GC + nx
 
     # left wall: outward normal (-1, 0)
@@ -120,17 +121,17 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
 def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
             ho_ref, huo_ref, hvo_ref, cmax_ref,
             hw, huw, hvw, dzxw, dzyw, mw, sem,
-            *, nxp, tiny_h, h_anuga, inv_dx, inv_dy):
+            *, nxp, ty, gr, tiny_h, h_anuga, inv_dx, inv_dy):
     t = pl.program_id(0)
-    r = pl.multiple_of(t * TY, 8)  # window top row (padded coords)
+    # window rows [t*ty + gr - 8, +ty+16): 8-row halo blocks around the tile
+    r = pl.multiple_of(t * ty + (gr - 8), 8)
 
-    dmas = []
     for src, dst in ((h_hbm, hw), (hu_hbm, huw), (hv_hbm, hvw)):
-        d = pltpu.make_async_copy(src.at[pl.ds(r, TY + 16), :], dst, sem)
+        d = pltpu.make_async_copy(src.at[pl.ds(r, ty + 16), :], dst, sem)
         d.start()
         d.wait()
     for src, dst in ((dzx_hbm, dzxw), (dzy_hbm, dzyw), (mann_hbm, mw)):
-        d = pltpu.make_async_copy(src.at[pl.ds(r + GR, TY), :], dst, sem)
+        d = pltpu.make_async_copy(src.at[pl.ds(t * ty + gr, ty), :], dst, sem)
         d.start()
         d.wait()
 
@@ -159,8 +160,8 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     my = jnp.where((h < tiny_h) & (hN < tiny_h), 0.0, 1.0)
     fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my
 
-    # divergence for the 8 interior rows (local rows GR..GR+TY)
-    sl = slice(GR, GR + TY)
+    # divergence for the interior rows (local rows 8..8+ty)
+    sl = slice(8, 8 + ty)
 
     def div(fx, fy):
         dwx = (fx - pltpu.roll(fx, 1, 1)) * inv_dx  # east - west
@@ -200,10 +201,10 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     # - x-faces: columns GC-1 .. GC+nx-1 (left wall .. right wall)
     # - y-faces: rows GR-1 .. GR+TY-1 locally (south wall face of the first
     #   interior row comes from the ghost row below), columns GC .. GC+nx
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TY, nxp), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ty, nxp), 1)
     x_face = (cols >= GC - 1) & (cols < GC - 1 + (nxp - 2 * GC) + 1)
     y_face = (cols >= GC) & (cols < nxp - GC)
-    sly = slice(GR - 1, GR + TY - 1)
+    sly = slice(7, 7 + ty)
     cm = jnp.maximum(
         jnp.where(x_face, ax[sl] * inv_dx, 0.0).max(),
         jnp.maximum(
@@ -216,19 +217,23 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
 
 def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
     """Returns advance(h, hu, hv [padded planes], t0, dt, n_steps, t_end) ->
-    (h, hu, hv, t, cmax). Planes stay padded across steps."""
+    (h, hu, hv, t, cmax). Planes stay padded (gr = plan.gr rows) across
+    steps; larger gr (= taller row tiles) cuts the halo read amplification."""
     nx, ny = plan.nx, plan.ny
-    if nx % 128 or ny % TY:
-        raise ValueError("fused structured kernel needs nx % 128 == 0 and ny % 8 == 0")
+    ty = plan.gr
+    if ty < 8 or ty % 8:
+        raise ValueError("plan.gr must be a multiple of 8 (row-tile height)")
+    if nx % 128 or ny % ty:
+        raise ValueError("fused structured kernel needs nx % 128 == 0 and ny % gr == 0")
     nxp = nx + 2 * GC
-    ntiles = ny // TY
+    ntiles = ny // ty
 
-    dzx_p = jnp.asarray(pad_plane(dzdx))
-    dzy_p = jnp.asarray(pad_plane(dzdy))
-    mann_p = jnp.asarray(pad_plane(mannings))
+    dzx_p = jnp.asarray(pad_plane(dzdx, ty))
+    dzy_p = jnp.asarray(pad_plane(dzdy, ty))
+    mann_p = jnp.asarray(pad_plane(mannings, ty))
 
     kernel = functools.partial(
-        _kernel, nxp=nxp,
+        _kernel, nxp=nxp, ty=ty, gr=ty,
         tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
         inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
     )
@@ -238,22 +243,22 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
         out_specs=[
-            pl.BlockSpec((TY, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TY, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TY, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda t, d: (0, t), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((TY + 16, nxp), jnp.float32),
-            pltpu.VMEM((TY + 16, nxp), jnp.float32),
-            pltpu.VMEM((TY + 16, nxp), jnp.float32),
-            pltpu.VMEM((TY, nxp), jnp.float32),
-            pltpu.VMEM((TY, nxp), jnp.float32),
-            pltpu.VMEM((TY, nxp), jnp.float32),
+            pltpu.VMEM((ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((ty, nxp), jnp.float32),
+            pltpu.VMEM((ty, nxp), jnp.float32),
+            pltpu.VMEM((ty, nxp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    nyp = ny + 2 * GR
+    nyp = ny + 2 * ty
     out_shape = [
         jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
         jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
