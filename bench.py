@@ -100,7 +100,7 @@ def main():
         )
 
         C = nx * ny
-        ty = int(os.environ.get("BENCH_TY", 64))
+        ty = int(os.environ.get("BENCH_TY", 16))
         plan = StructuredPlan(
             nx=nx, ny=ny, dx=0.002, dy=0.002, tiny_h=1e-7, h_anuga=0.0,
             bc_left=1, bc_right=1, bc_bottom=1, bc_top=1,  # reflecting
