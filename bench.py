@@ -59,11 +59,19 @@ def main():
         pass
     import jax.numpy as jnp
 
-    mode = os.environ.get("BENCH_MODE", "structured")
     nx = int(os.environ.get("BENCH_NX", 2048))
     ny = int(os.environ.get("BENCH_NY", 1408))
     n_steps = int(os.environ.get("BENCH_STEPS", 100))
     dt = 5e-5  # stable for dx = 2 mm, h <= 10 m (c ~ 10 m/s)
+
+    # default mode: the fused Pallas kernel once its compile is known to be
+    # in the persistent cache (a cold pallas compile through a degraded
+    # remote-compile service can exceed the watchdog); structured otherwise.
+    # A successful fused run drops a marker, arming future runs.
+    ty_default = int(os.environ.get("BENCH_TY", 16))
+    marker = os.path.join(cache_dir, f"fused_ok_{nx}x{ny}_ty{ty_default}")
+    default_mode = "fused" if os.path.exists(marker) else "structured"
+    mode = os.environ.get("BENCH_MODE", default_mode)
 
     t_build = time.time()
     if mode == "structured":
@@ -226,6 +234,13 @@ def main():
     elapsed = time.time() - t0
 
     assert finite(q), "bench produced non-finite state"
+
+    if mode == "fused":
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            open(marker, "w").close()
+        except OSError:
+            pass
 
     updates_per_s = n_steps * C / elapsed
     out = {
