@@ -146,6 +146,7 @@ class SWEOperator:
     edge_flux_backend: str = "xla"
     pallas_tile: int = 0
     pallas_window: int = 0
+    pallas_cd_window: int = 0
     pallas_interpret: bool = False
 
     # ---------------------------------------------------------------- helpers
@@ -336,7 +337,7 @@ class SWEOperator:
                 (a.pl_cd_ws, a.pl_cd_ce, a.pl_cd_coef),
                 packed_interior.astype(jnp.float32),
                 self.pallas_tile,
-                2 * self.pallas_window,
+                self.pallas_cd_window,
                 int(a.cell_edges.shape[1]),
                 interpret=self.pallas_interpret,
             )

@@ -57,6 +57,7 @@ def plan_cell_div(
         coef[k, :C] = np.where(dummy, 0.0, cf)
 
     window_start = np.zeros(ntiles, np.int32)
+    need = 0
     for t in range(ntiles):
         sl = slice(t * tile, min((t + 1) * tile, C))
         block = ce[:, sl]
@@ -71,11 +72,13 @@ def plan_cell_div(
         if hi - ws + 1 > max_window:
             return None
         window_start[t] = ws
+        need = max(need, hi - ws + 1)
         # re-point dead slots inside the window so (idx - ws) stays valid
         ce[:, sl] = np.where(live, block, ws)
+    window = min(max_window, -(-need // 128) * 128)
     return CellDivPlan(
         ce=ce, coef=coef, window_start=window_start,
-        tile=tile, window=max_window, num_cells=C,
+        tile=tile, window=window, num_cells=C,
     )
 
 

@@ -81,6 +81,7 @@ def plan_edge_flux(
     )
 
     window_start = np.zeros(ntiles, np.int32)
+    need = 0
     for t in range(ntiles):
         sl = slice(t * tile, (t + 1) * tile)
         lo = min(il[sl].min(), ir[sl].min())
@@ -89,10 +90,13 @@ def plan_edge_flux(
         if hi - ws + 1 > max_window:
             return None
         window_start[t] = ws
-    # window must fit inside the padded state array
+        need = max(need, hi - ws + 1)
+    # shrink the window to the actual requirement (one-hot gather cost is
+    # proportional to the window size), rounded up to the lane tiling
+    window = min(max_window, -(-need // 128) * 128)
     return EdgeFluxPlan(
         il=il, ir=ir, cn=cn, sn=sn, window_start=window_start,
-        valid=valid, tile=tile, window=max_window, num_edges=E,
+        valid=valid, tile=tile, window=window, num_edges=E,
     )
 
 
@@ -326,5 +330,6 @@ def to_pallas_backend(op, tile: int = 1024, window: int = 4096,
         edge_flux_backend="pallas",
         pallas_tile=plan.tile,
         pallas_window=plan.window,
+        pallas_cd_window=cd_plan.window,
         pallas_interpret=interpret,
     )
