@@ -421,9 +421,10 @@ class ShardedSWE:
 
     # --------------------------------------------------------------- state
     def scatter_state(self, q_global: np.ndarray) -> jnp.ndarray:
-        """[3, C] global (natural order) -> [P, 3, C_loc] stacked local."""
+        """[ndof, C] global (natural order) -> [P, ndof, C_loc] stacked."""
         C = self.mesh.num_cells
-        q = np.zeros((self.P, N_FLOW_DOF, self.C_loc))
+        ndof = np.asarray(q_global).shape[0]
+        q = np.zeros((self.P, ndof, self.C_loc))
         for p in range(self.P):
             lo = p * self.B
             hi = min(lo + self.B, C)
@@ -431,9 +432,10 @@ class ShardedSWE:
         return jnp.asarray(q, dtype=self.dtype)
 
     def gather_state(self, q_stacked: jnp.ndarray) -> np.ndarray:
-        """[P, 3, C_loc] -> [3, C] global."""
+        """[P, ndof, C_loc] -> [ndof, C] global."""
         C = self.mesh.num_cells
-        q = np.zeros((N_FLOW_DOF, C))
+        ndof = q_stacked.shape[1]
+        q = np.zeros((ndof, C))
         qs = np.asarray(q_stacked)
         for p in range(self.P):
             lo = p * self.B
@@ -487,9 +489,10 @@ class ShardedSWE:
             else:
 
                 def exchange(qq):
+                    nd = qq.shape[0]
                     buf = qq[:, send_ids]  # [ndof, S]
                     allbuf = jax.lax.all_gather(buf, axis)  # [P, ndof, S]
-                    flat = jnp.moveaxis(allbuf, 0, 1).reshape(ndof, -1)
+                    flat = jnp.moveaxis(allbuf, 0, 1).reshape(nd, -1)
                     ghosts = flat[:, ghost_src]  # [ndof, G]
                     return qq.at[:, B : B + ghosts.shape[1]].set(ghosts)
 

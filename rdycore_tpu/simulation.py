@@ -456,10 +456,6 @@ class Simulation:
                 f"parallel.n_devices = {n} but only {len(devices)} devices "
                 "are available"
             )
-        if self.num_tracers:
-            raise ConfigError(
-                "parallel execution with tracers is not yet supported"
-            )
         if self.operator.well_balancing_bs2002:
             raise ConfigError(
                 "parallel execution with BS2002 well-balancing is not yet "
@@ -479,6 +475,9 @@ class Simulation:
             well_balancing_hr=self.operator.well_balancing_hr,
             second_order=cfg.numerics.second_order,
             limiter=cfg.numerics.limiter,
+            num_tracers=self.num_tracers,
+            num_sediment=self.num_sediment,
+            riemann=cfg.numerics.riemann,
         )
         self._device_mesh = DeviceMesh(
             np.array(devices[:n]), (cfg.parallel.axis_name,)

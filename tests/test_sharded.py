@@ -189,3 +189,35 @@ def test_2d_block_partition_matches():
     es = jnp.zeros((8, 3, sh.C_loc), jnp.float64)
     q_out, _, _ = adv_s(qs, 0.0, dt, n, t_end, bv, es)
     np.testing.assert_allclose(sh.gather_state(q_out), q_ref, rtol=0, atol=1e-13)
+
+
+def test_sharded_sediment_matches_single_device(tmp_path):
+    """Distributed coupled flow+sediment run matches single device."""
+    import shutil
+
+    from rdycore_tpu.config.yaml_input import load_config
+    from rdycore_tpu.simulation import Simulation
+
+    shutil.copy(
+        "/root/reference/driver/tests/sediment/sediment.yaml", tmp_path / "s.yaml"
+    )
+
+    def cfgn():
+        cfg = load_config(str(tmp_path / "s.yaml"))
+        cfg.time.stop_n = 40
+        cfg.time.stop = None
+        cfg.validate()
+        cfg.logging.level = "none"
+        cfg.output.format = "none"
+        return cfg
+
+    solo = Simulation(cfgn())
+    solo.run()
+
+    cfg = cfgn()
+    cfg.parallel.n_devices = 4
+    par = Simulation(cfg)
+    par.run()
+    np.testing.assert_allclose(
+        par.get_solution(), solo.get_solution(), rtol=0, atol=1e-12
+    )
