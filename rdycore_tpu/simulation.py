@@ -244,6 +244,7 @@ class Simulation:
         self.max_steps = tc.stop_n if tc.stop_n else None
         self.coupling_interval = time_to_seconds(tc.coupling_interval, tc.unit)
         self.prev_max_courant: Optional[float] = None
+        self.prev_courant_edge: Optional[int] = None
 
         # ---- stepper ----
         self._advance_fn = None
@@ -633,6 +634,8 @@ class Simulation:
             self.t = float(res.t)
             self.step += int(chunk)
             done += chunk
+            if float(res.max_courant) >= max_courant:
+                self.prev_courant_edge = int(res.courant_edge)
             max_courant = max(max_courant, float(res.max_courant))
             self.bflux_accum += np.asarray(res.bflux_accum)
             self.accum_sol += np.asarray(res.accum_sol)
@@ -857,3 +860,30 @@ class Simulation:
             f"{self.mesh.cell_area.max():.4g}], "
             f"min edge length {self.mesh.min_edge_length():.4g}"
         )
+
+    def get_courant_number_diagnostics(self):
+        """Max-wave-speed diagnostics from the last coupling interval.
+
+        The reference's CourantNumberDiagnostics struct
+        (include/private/rdyoperatorimpl.h:21-26, reduced across ranks via a
+        custom MPI op, src/operator.c:698-893): the max Courant number plus
+        the edge and cell at which it was encountered. Returns
+        (max_courant_num, global_edge_id, global_cell_id) with the cell id
+        in natural order; (-1, -1) ids before the first interval or on the
+        sharded path (which reduces only the scalar via pmax).
+        """
+        if self.prev_max_courant is None:
+            return (0.0, -1, -1)
+        e = self.prev_courant_edge
+        if e is None or e < 0:
+            return (float(self.prev_max_courant), -1, -1)
+        a = self.operator.arrays
+        Ei = self.operator.num_internal_edges
+        if e < Ei:
+            cell = int(np.asarray(a.int_left)[e])
+        else:
+            cell = int(np.asarray(a.bnd_left)[e - Ei])
+        nat = self._mesh_for_op.natural_ids
+        if nat is not None:
+            cell = int(nat[cell])
+        return (float(self.prev_max_courant), int(e), cell)

@@ -88,3 +88,20 @@ def test_checkpoint_roundtrip(sim, tmp_path):
     sim.set_solution(np.zeros_like(q))
     sim.read_checkpoint(p)
     np.testing.assert_array_equal(sim.get_solution(), q)
+
+
+def test_courant_number_diagnostics(sim):
+    """Diagnostics locate the max-Courant edge/cell (rdyoperatorimpl.h:21-26)."""
+    assert sim.get_courant_number_diagnostics() == (0.0, -1, -1)
+    sim.advance()
+    cmax, eid, cid = sim.get_courant_number_diagnostics()
+    assert cmax == sim.prev_max_courant > 0
+    assert 0 <= eid < sim.operator.num_edges
+    assert 0 <= cid < sim.mesh.num_cells
+    # the reported cell must be incident to the reported edge
+    a = sim.operator.arrays
+    Ei = sim.operator.num_internal_edges
+    if eid < Ei:
+        assert cid == int(np.asarray(a.int_left)[eid])
+    else:
+        assert cid == int(np.asarray(a.bnd_left)[eid - Ei])
