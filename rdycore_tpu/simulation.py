@@ -861,6 +861,46 @@ class Simulation:
             f"min edge length {self.mesh.min_edge_length():.4g}"
         )
 
+    @property
+    def restarted(self) -> bool:
+        """True if this simulation was initialized from a checkpoint
+        (RDyRestarted, src/rdycore.c)."""
+        return bool(self.config.restart.file)
+
+    def get_build_configuration(self) -> str:
+        """Version/build info string (RDyGetVersion /
+        RDyGetBuildConfiguration, src/rdycore.c)."""
+        from . import __version__
+
+        return (
+            f"rdycore_tpu {__version__} (jax {jax.__version__}, "
+            f"backend {jax.default_backend()}, dtype {jnp.dtype(self.dtype).name})"
+        )
+
+    def mark_cells_for_amr(self, refine_cell: np.ndarray) -> None:
+        """Save per-cell refinement flags for the next perform_amr()
+        (RDyMarkOwnedCellsForAMR, src/rdyamr.c:46-60)."""
+        flags = np.asarray(refine_cell, dtype=bool)
+        if flags.shape != (self.mesh.num_cells,):
+            raise ValueError(
+                f"refine_cell must have shape ({self.mesh.num_cells},)"
+            )
+        self._amr_marked = flags.copy()
+
+    def perform_amr(self) -> None:
+        """Refine marked cells, transfer state, rebuild operators
+        (RDyPerformAMR, src/rdyamr.c:482+). Cells must have been marked
+        with mark_cells_for_amr() first."""
+        from .amr import perform_amr as _do
+
+        marked = getattr(self, "_amr_marked", None)
+        if marked is None:
+            raise RuntimeError(
+                "no cells marked: call mark_cells_for_amr() first"
+            )
+        self._amr_marked = None
+        _do(self, marked)
+
     def get_courant_number_diagnostics(self):
         """Max-wave-speed diagnostics from the last coupling interval.
 

@@ -91,3 +91,42 @@ def test_amr_on_reference_mesh():
     fine, parent = refine_marked(mesh, marked)
     assert np.isclose(fine.cell_area.sum(), mesh.cell_area.sum())
     assert fine.num_cells > mesh.num_cells
+
+
+def test_rdy_style_mark_then_perform():
+    """The reference driver's two-call workflow (driver/amr.c):
+    RDyMarkOwnedCellsForAMR -> RDyPerformAMR, via Simulation methods."""
+    from rdycore_tpu.config.schema import Config
+    from rdycore_tpu.simulation import Simulation
+
+    cfg = Config()
+    cfg.time.stop = 0.2
+    cfg.time.time_step = 0.002
+    cfg.time.coupling_interval = 0.1
+    cfg.logging.level = "none"
+    cfg.validate()
+    mesh = structured_tri(10, 8, 0, 10, 0, 8)
+    sim = Simulation(cfg, mesh=mesh)
+    q = np.zeros((3, mesh.num_cells))
+    q[0] = 1.0
+    q[0, mesh.cell_centroid[:, 0] < 5.0] = 2.0
+    sim.set_solution(q)
+
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError):
+        sim.perform_amr()
+    with _pt.raises(ValueError):
+        sim.mark_cells_for_amr(np.ones(3, bool))
+
+    sim.advance()
+    v0 = float((sim.get_height() * sim.mesh.cell_area).sum())
+    sim.mark_cells_for_amr(sim.get_height() > 1.5)
+    sim.perform_amr()
+    assert sim.mesh.num_cells > mesh.num_cells
+    v1 = float((sim.get_height() * sim.mesh.cell_area).sum())
+    assert v1 == pytest.approx(v0, rel=1e-12)
+    sim.advance()
+    assert sim.finished and np.isfinite(sim.get_solution()).all()
+    assert not sim.restarted
+    assert "rdycore_tpu" in sim.get_build_configuration()
