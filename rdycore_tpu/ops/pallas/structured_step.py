@@ -268,9 +268,15 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
 
     def one_step(h, hu, hv, dt_arr, interpret=False):
         h, hu, hv = fill_ghost_frame(plan, h, hu, hv)
+        # raise Mosaic's scoped-VMEM cap (default 16MB) toward the chip's
+        # physical VMEM: wide meshes (nx >= 8192 -> 8448-col blocks) need
+        # ~20-32MB of stack for the flux temporaries at ty=8..16
         ho, huo, hvo, cm = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )(dt_arr, h, hu, hv, dzx_p, dzy_p, mann_p)
         # the kernel writes the interior row blocks of full padded planes;
         # the ghost frame (unwritten garbage) is refreshed at the start of
