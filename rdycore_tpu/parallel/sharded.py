@@ -141,6 +141,42 @@ class ShardedSWE:
             shard_ghosts.append(ghosts)
             shard_ghost1_counts.append(len(ghosts1))
 
+        # BS2002 well-balancing needs eta at edge-endpoint VERTICES, averaged
+        # over every cell adjacent to the vertex (SWEEtaVertex,
+        # operator_fluxes_ceed.c:807+). Extend the halo to the vertex ring of
+        # owned-incident edges (corner neighbors the edge-adjacency halo
+        # misses) -- the DMPlex "star" adjacency analogue.
+        bs2002 = bool(getattr(ref_op, "well_balancing_bs2002", False))
+        if bs2002:
+            gbs = ref_op.arrays.bs2002
+            g_ivb = np.asarray(gbs.int_vbeg)
+            g_ive = np.asarray(gbs.int_vend)
+            g_bvb = np.asarray(gbs.bnd_vbeg)
+            g_bve = np.asarray(gbs.bnd_vend)
+            g_vc = np.asarray(gbs.vertex_cells)  # [NV, K] padded with C
+            for p in range(Pn):
+                eids = shard_int_edges[p]
+                own_inc = eids[
+                    (int_lo[eids] == p) | (int_ro[eids] == p)
+                ] if len(eids) else eids
+                bsel = np.nonzero(bnd_o == p)[0]
+                vs = np.unique(
+                    np.concatenate(
+                        [g_ivb[own_inc], g_ive[own_inc], g_bvb[bsel], g_bve[bsel]]
+                    )
+                ) if (len(own_inc) or len(bsel)) else np.zeros(0, np.int64)
+                adj = np.unique(g_vc[vs]) if len(vs) else np.zeros(0, np.int64)
+                adj = adj[adj < C]
+                extra = adj[np.minimum(adj // B, Pn - 1) != p]
+                cur = set(int(g) for g in shard_ghosts[p])
+                add = np.array(
+                    [c for c in extra.tolist() if c not in cur], dtype=np.int64
+                )
+                if len(add):
+                    shard_ghosts[p] = np.concatenate(
+                        [shard_ghosts[p].astype(np.int64), add]
+                    )
+
         G_max = max((len(g) for g in shard_ghosts), default=0)
         Ei_max = max((len(e) for e in shard_int_edges), default=0)
         C_loc = B + G_max + 1  # + dummy cell
@@ -221,6 +257,28 @@ class ShardedSWE:
         num_ghosts = np.zeros(Pn, np.int64)
         bnd_global_idx = np.zeros((Pn, Eb_loc), np.int64)
         bnd_mask = np.zeros((Pn, Eb_loc))
+        if bs2002:
+            g_z1 = np.asarray(gbs.z1)
+            g_z2 = np.asarray(gbs.z2)
+            g_z3 = np.asarray(gbs.z3)
+            g_izvb = np.asarray(gbs.int_zvbeg)
+            g_izve = np.asarray(gbs.int_zvend)
+            g_bzvb = np.asarray(gbs.bnd_zvbeg)
+            g_bzve = np.asarray(gbs.bnd_zvend)
+            K_v = g_vc.shape[1]
+            bz1 = np.zeros((Pn, C_loc))
+            bz2 = np.zeros((Pn, C_loc))
+            bz3 = np.zeros((Pn, C_loc))
+            ivb = np.zeros((Pn, max(Ei_max, 1)), np.int64)
+            ive = np.zeros((Pn, max(Ei_max, 1)), np.int64)
+            izvb = np.zeros((Pn, max(Ei_max, 1)))
+            izve = np.zeros((Pn, max(Ei_max, 1)))
+            bvb = np.zeros((Pn, Eb_loc), np.int64)
+            bve = np.zeros((Pn, Eb_loc), np.int64)
+            bzvb = np.zeros((Pn, Eb_loc))
+            bzve = np.zeros((Pn, Eb_loc))
+            shard_vcs: List[np.ndarray] = []
+            shard_vinv: List[np.ndarray] = []
         # map owned global solution rows for scatter/gather at the host level
         # (owned block p is global cells [pB, pB+B) clipped to C)
 
@@ -269,6 +327,10 @@ class ShardedSWE:
             dz_dy[p, :nown] = ref_dzdy[lo:hi]
             cell_z[p, :nown] = ref_z[lo:hi]
             mann[p, :nown] = ref_mann[lo:hi]
+            if bs2002:
+                bz1[p, :nown] = g_z1[lo:hi]
+                bz2[p, :nown] = g_z2[lo:hi]
+                bz3[p, :nown] = g_z3[lo:hi]
             if len(shard_ghosts[p]):
                 gs = shard_ghosts[p]
                 area[p, B : B + len(gs)] = ref_area[gs]
@@ -276,6 +338,10 @@ class ShardedSWE:
                 dz_dy[p, B : B + len(gs)] = ref_dzdy[gs]
                 cell_z[p, B : B + len(gs)] = ref_z[gs]
                 mann[p, B : B + len(gs)] = ref_mann[gs]
+                if bs2002:
+                    bz1[p, B : B + len(gs)] = g_z1[gs]
+                    bz2[p, B : B + len(gs)] = g_z2[gs]
+                    bz3[p, B : B + len(gs)] = g_z3[gs]
 
             # interior edges
             eids = shard_int_edges[p]
@@ -308,6 +374,50 @@ class ShardedSWE:
                     bnd_mask[p, out_j] = 1.0
                     emap[Ei + int(be)] = max(Ei_max, 1) + out_j
                     ccoef[p, max(Ei_max, 1) + out_j] = ref_ccoef[Ei + be]
+
+            if bs2002:
+                # local vertex universe: endpoints of local interior +
+                # boundary edges
+                bnd_vs: List[int] = []
+                for s_i, seg in enumerate(ref_op.segments):
+                    for be in seg_edge_lists[s_i][p]:
+                        bnd_vs += [int(g_bvb[be]), int(g_bve[be])]
+                parts = [g_ivb[eids], g_ive[eids], np.asarray(bnd_vs, np.int64)]
+                vset = np.unique(np.concatenate(parts).astype(np.int64))
+                if not len(vset):
+                    vset = np.zeros(1, np.int64)
+                vmap = {int(v): i for i, v in enumerate(vset)}
+                for j, e in enumerate(eids):
+                    ivb[p, j] = vmap[int(g_ivb[e])]
+                    ive[p, j] = vmap[int(g_ive[e])]
+                    izvb[p, j] = g_izvb[e]
+                    izve[p, j] = g_izve[e]
+                for s_i, seg in enumerate(ref_op.segments):
+                    nseg = new_segments[s_i]
+                    for j, be in enumerate(seg_edge_lists[s_i][p]):
+                        out_j = nseg.start + j
+                        bvb[p, out_j] = vmap[int(g_bvb[be])]
+                        bve[p, out_j] = vmap[int(g_bve[be])]
+                        bzvb[p, out_j] = g_bzvb[be]
+                        bzve[p, out_j] = g_bzve[be]
+                # vertex -> local adjacent cells; cells outside the halo are
+                # dropped (exact for vertices of owned-incident edges thanks
+                # to the vertex-ring halo extension; farther vertices only
+                # feed ghost-edge corrections whose updates are discarded)
+                vc_p = np.full((len(vset), K_v), -1, np.int64)
+                inv_p = np.ones(len(vset))
+                for i, v in enumerate(vset):
+                    cnt = 0
+                    for c in g_vc[int(v)]:
+                        if c >= C:
+                            continue
+                        li = lmap.get(int(c))
+                        if li is not None:
+                            vc_p[i, cnt] = li
+                            cnt += 1
+                    inv_p[i] = 1.0 / max(cnt, 1)
+                shard_vcs.append(vc_p)
+                shard_vinv.append(inv_p)
 
             # cell -> edge map for owned cells (+ 1-deep ghosts for MUSCL:
             # their LS gradients are computed locally off the 2-deep halo)
@@ -370,6 +480,28 @@ class ShardedSWE:
 
         f = lambda x: jnp.asarray(x, dtype=dtype)
         ii = lambda x: jnp.asarray(x, dtype=jnp.int32)
+        bs_fields = {}
+        if bs2002:
+            from ..ops.swe.bs2002 import BS2002Arrays
+
+            NV_max = max(v.shape[0] for v in shard_vcs)
+            vc_all = np.full((Pn, NV_max, K_v), C_loc, np.int64)
+            inv_all = np.ones((Pn, NV_max))
+            for p in range(Pn):
+                vp = shard_vcs[p]
+                vc_all[p, : vp.shape[0]] = np.where(vp < 0, C_loc, vp)
+                inv_all[p, : vp.shape[0]] = shard_vinv[p]
+            bs_fields = dict(
+                bs2002=BS2002Arrays(
+                    z1=f(bz1), z2=f(bz2), z3=f(bz3),
+                    vertex_cells=ii(vc_all),
+                    vertex_inv_count=f(inv_all),
+                    int_vbeg=ii(ivb), int_vend=ii(ive),
+                    int_zvbeg=f(izvb), int_zvend=f(izve),
+                    bnd_vbeg=ii(bvb), bnd_vend=ii(bve),
+                    bnd_zvbeg=f(bzvb), bnd_zvend=f(bzve),
+                )
+            )
         self.arrays = OperatorArrays(
             area=f(area),
             dz_dx=f(dz_dx),
@@ -399,6 +531,7 @@ class ShardedSWE:
                 if second_order
                 else {}
             ),
+            **bs_fields,
         )
         self.halo = HaloMaps(
             send_ids=ii(send_ids),

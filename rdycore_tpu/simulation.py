@@ -457,11 +457,6 @@ class Simulation:
                 f"parallel.n_devices = {n} but only {len(devices)} devices "
                 "are available"
             )
-        if self.operator.well_balancing_bs2002:
-            raise ConfigError(
-                "parallel execution with BS2002 well-balancing is not yet "
-                "supported (use hydrostatic_reconstruction)"
-            )
         self._sharded = ShardedSWE(
             self._mesh_for_op,
             n,
@@ -474,6 +469,7 @@ class Simulation:
             source_method=self.operator.source_method,
             xq2018_threshold=self.operator.xq2018_threshold,
             well_balancing_hr=self.operator.well_balancing_hr,
+            well_balancing_bs2002=self.operator.well_balancing_bs2002,
             second_order=cfg.numerics.second_order,
             limiter=cfg.numerics.limiter,
             num_tracers=self.num_tracers,

@@ -221,3 +221,46 @@ def test_sharded_sediment_matches_single_device(tmp_path):
     np.testing.assert_allclose(
         par.get_solution(), solo.get_solution(), rtol=0, atol=1e-12
     )
+
+
+def test_sharded_bs2002_matches_single_device():
+    """BS2002 well-balancing sharded == single device: exercises the
+    vertex-ring halo extension (eta averaging needs corner neighbors)."""
+    from rdycore_tpu.mesh import structured_tri
+
+    def bumpy(x, y):
+        return 0.3 * np.sin(x) * np.cos(y) + 0.02 * x
+
+    mesh = structured_tri(12, 10, 0, 12, 0, 10, z_fn=bumpy)
+    mannings = np.full(mesh.num_cells, 0.02)
+    rng = np.random.default_rng(7)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = np.maximum(1.5 - mesh.cell_z + 0.2 * rng.random(mesh.num_cells), 0.0)
+
+    dt, n, t_end = 1e-3, 20, 0.02
+    op = build_operator(
+        mesh, mannings_n=mannings, dtype=jnp.float64,
+        well_balancing_bs2002=True,
+    )
+    adv1 = make_interval_advancer(op, "euler")
+    res = adv1(
+        op.arrays, jnp.asarray(q0), 0.0, dt, n, t_end,
+        op.zero_boundary_values(), jnp.zeros_like(jnp.asarray(q0)),
+    )
+    q_ref = np.asarray(res.q)
+
+    n_shards = 4
+    dm = DeviceMesh(np.array(jax.devices("cpu")[:n_shards]), ("mesh",))
+    sh = ShardedSWE(
+        mesh, n_shards, mannings_n=mannings, dtype=jnp.float64,
+        well_balancing_bs2002=True,
+    )
+    adv = sh.make_interval_fn(dm, "euler")
+    qs = sh.scatter_state(q0)
+    bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float64)
+    es = jnp.zeros((n_shards, 3, sh.C_loc), jnp.float64)
+    q_out, t_out, cmax = adv(qs, 0.0, dt, n, t_end, bv, es)
+    q_got = sh.gather_state(q_out)
+
+    np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-13)
+    assert float(cmax) == pytest.approx(float(res.max_courant), rel=1e-12)
