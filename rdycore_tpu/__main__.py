@@ -28,6 +28,11 @@ def main(argv=None):
     ap.add_argument("--raster-rain-dir", default=None)
     ap.add_argument("--homogeneous-bc-file", default=None, metavar="BOUNDARY=FILE")
     # AMR driver options (driver/amr.c: time-stamped refinement rasters)
+    ap.add_argument(
+        "--pause", action="store_true",
+        help="print PID and wait for Enter (debugger attach; the reference's "
+             "-pause, rdysetup.c:1292-1332)",
+    )
     ap.add_argument("--amr-dataset-dir", default=None)
     ap.add_argument("--amr-area-threshold", type=float, default=0.125)
     args = ap.parse_args(argv)
@@ -38,6 +43,12 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
 
     from rdycore_tpu.config.yaml_input import load_config
+
+    if args.pause:
+        import os as _os
+
+        print(f"rdycore_tpu pid: {_os.getpid()} -- press Enter to continue")
+        input()
 
     cfg = load_config(args.config)
     if args.dt is not None:
