@@ -484,6 +484,16 @@ class Simulation:
             f"parallel: {n} devices, {self._sharded.B} owned cells/shard, "
             f"halo {'ppermute' if self._sharded.neighbor_only else 'all_gather'}"
         )
+        # domain-decomposition statistics (rdysetup.c:1336-1368 logs min/max/
+        # median cells per rank; blocks are equal here, so the varying load
+        # is the ghost/frontier work)
+        ng = np.asarray(self._sharded.halo.num_ghosts)
+        self.log.detail(
+            f"partition: ghosts/shard min {int(ng.min())} / "
+            f"median {int(np.median(ng))} / max {int(ng.max())}, "
+            f"frontier {self._sharded.S_max} cells/shard, "
+            f"local cell space {self._sharded.C_loc}"
+        )
 
     def _advance_sharded(self, n_steps: int, t_end: float):
         import jax.numpy as jnp
