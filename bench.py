@@ -61,7 +61,7 @@ def main():
 
     nx = int(os.environ.get("BENCH_NX", 2048))
     ny = int(os.environ.get("BENCH_NY", 1408))
-    n_steps = int(os.environ.get("BENCH_STEPS", 100))
+    n_steps = int(os.environ.get("BENCH_STEPS", 500))
     dt = 5e-5  # stable for dx = 2 mm, h <= 10 m (c ~ 10 m/s)
 
     # default mode: the fused Pallas kernel once its compile is known to be
@@ -114,10 +114,14 @@ def main():
             bc_left=1, bc_right=1, bc_bottom=1, bc_top=1,  # reflecting
             gr=ty,
         )
+        geo_const = bool(os.environ.get("BENCH_GEO_CONST"))
         zeros = np.zeros((ny, nx), np.float32)
+        mann2d = np.full((ny, nx), 0.015, np.float32)
         adv = jax.jit(
             make_fused_structured_stepper(
-                plan, zeros, zeros, np.full((ny, nx), 0.015, np.float32)
+                plan, zeros if geo_const else None,
+                zeros if geo_const else None,
+                mann2d if geo_const else None,
             ),
             static_argnums=(),
             donate_argnums=(0, 1, 2),
@@ -126,13 +130,30 @@ def main():
         h0[:, : nx // 2] = 10.0
         h0[:, nx // 2 :] = 5.0
         hp = jnp.asarray(pad_plane(h0, ty))
-        zp = jnp.asarray(pad_plane(zeros, ty))
-        state = (hp, zp, jnp.asarray(pad_plane(zeros, ty)))
+        zpln = np.zeros((ny, nx), np.float32)
+        # geometry planes as runtime args (NOT closure constants): at 184M
+        # cells, baked constants inflate the program body past what the
+        # remote-compile relay accepts. They must be distinct buffers from
+        # the (donated) state planes.
+        zgeo = jnp.asarray(pad_plane(zpln, ty))
+        dzx_a = zgeo
+        dzy_a = zgeo
+        mann_a = jnp.asarray(pad_plane(mann2d, ty))
+        state = (hp, jnp.asarray(pad_plane(zpln, ty)),
+                 jnp.asarray(pad_plane(zpln, ty)))
 
-        def run(state, n):
-            h, hu, hv = state
-            h, hu, hv, t, cmax = adv(h, hu, hv, 0.0, dt, n, 1e9)
-            return (h, hu, hv), cmax
+        if geo_const:
+            def run(state, n):
+                h, hu, hv = state
+                h, hu, hv, t, cmax = adv(h, hu, hv, 0.0, dt, n, 1e9)
+                return (h, hu, hv), cmax
+        else:
+            def run(state, n):
+                h, hu, hv = state
+                h, hu, hv, t, cmax = adv(
+                    h, hu, hv, 0.0, dt, n, 1e9, dzx_a, dzy_a, mann_a
+                )
+                return (h, hu, hv), cmax
 
         q0 = state
 

@@ -228,9 +228,10 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
     nxp = nx + 2 * GC
     ntiles = ny // ty
 
-    dzx_p = jnp.asarray(pad_plane(dzdx, ty))
-    dzy_p = jnp.asarray(pad_plane(dzdy, ty))
-    mann_p = jnp.asarray(pad_plane(mannings, ty))
+    # None => caller passes padded geometry planes to advance() at run time
+    dzx_p = None if dzdx is None else jnp.asarray(pad_plane(dzdx, ty))
+    dzy_p = None if dzdy is None else jnp.asarray(pad_plane(dzdy, ty))
+    mann_p = None if mannings is None else jnp.asarray(pad_plane(mannings, ty))
 
     kernel = functools.partial(
         _kernel, nxp=nxp, ty=ty, gr=ty,
@@ -266,7 +267,7 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
         jax.ShapeDtypeStruct((1, ntiles * 128), jnp.float32),
     ]
 
-    def one_step(h, hu, hv, dt_arr, interpret=False):
+    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, interpret=False):
         h, hu, hv = fill_ghost_frame(plan, h, hu, hv)
         # raise Mosaic's scoped-VMEM cap (default 16MB) toward the chip's
         # physical VMEM: wide meshes (nx >= 8192 -> 8448-col blocks) need
@@ -277,18 +278,28 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
-        )(dt_arr, h, hu, hv, dzx_p, dzy_p, mann_p)
+        )(dt_arr, h, hu, hv, dzx, dzy, mann)
         # the kernel writes the interior row blocks of full padded planes;
         # the ghost frame (unwritten garbage) is refreshed at the start of
         # the next step, so the outputs ARE the new state -- no re-splice
         return ho, huo, hvo, cm.max()
 
-    def advance(h, hu, hv, t0, dt, n_steps, t_end, interpret=False):
+    def advance(h, hu, hv, t0, dt, n_steps, t_end,
+                dzx=None, dzy=None, mann=None, interpret=False):
+        # geometry planes default to the factory-captured constants; VERY
+        # large meshes should pass them as runtime args instead (constants
+        # are inlined into the compiled program -- a 184M-cell mesh bakes
+        # ~2.3 GB of MLIR, which remote-compile services may reject)
+        dzx = dzx_p if dzx is None else dzx
+        dzy = dzy_p if dzy is None else dzy
+        mann = mann_p if mann is None else mann
+
         def body(i, carry):
             h, hu, hv, tt, cmax = carry
             dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
             hn, hun, hvn, cm = one_step(
                 h, hu, hv, jnp.reshape(dt_i.astype(jnp.float32), (1,)),
+                dzx, dzy, mann,
                 interpret=interpret,
             )
             # dt_i == 0 leaves the state unchanged (q + 0 * rhs), so no
