@@ -448,8 +448,10 @@ class Config:
         _check(n.limiter in LIMITERS, f"numerics.limiter must be one of {LIMITERS}")
         _check(n.precision in ("single", "double"), "numerics.precision must be single|double")
         _check(
-            n.edge_flux_backend in ("xla", "pallas"),
-            "numerics.edge_flux_backend must be xla|pallas",
+            n.edge_flux_backend
+            in ("xla", "pallas", "structured", "fused_structured"),
+            "numerics.edge_flux_backend must be "
+            "xla|pallas|structured|fused_structured",
         )
         _check(
             n.cell_ordering in ("file", "rcm"),

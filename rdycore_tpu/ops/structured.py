@@ -152,6 +152,35 @@ class StructuredSWEOperator:
         return rhs, cmax
 
 
+def detect_uniform_raster(mesh, rtol: float = 1e-9):
+    """Detect a uniform row-major quad raster: returns (nx, ny, dx, dy) or
+    None. The structured fast paths require exactly this layout (cell c at
+    row c // nx, column c % nx); meshes from `structured_quad` qualify,
+    RCM-reordered or genuinely unstructured meshes do not."""
+    C = mesh.num_cells
+    if (np.asarray(mesh.cell_num_vertices) != 4).any():
+        return None
+    cx = np.asarray(mesh.cell_centroid[:, 0])
+    cy = np.asarray(mesh.cell_centroid[:, 1])
+    ux = np.unique(cx)
+    uy = np.unique(cy)
+    nx, ny = len(ux), len(uy)
+    if nx * ny != C or nx < 2 or ny < 2:
+        return None
+    ddx = np.diff(ux)
+    ddy = np.diff(uy)
+    dx = float(ddx[0])
+    dy = float(ddy[0])
+    span = max(abs(ux[-1] - ux[0]), abs(uy[-1] - uy[0]), 1.0)
+    if (abs(ddx - dx) > rtol * span).any() or (abs(ddy - dy) > rtol * span).any():
+        return None
+    ix = np.searchsorted(ux, cx)
+    iy = np.searchsorted(uy, cy)
+    if not np.array_equal(iy * nx + ix, np.arange(C)):
+        return None
+    return nx, ny, dx, dy
+
+
 def build_structured_operator(
     nx: int,
     ny: int,
@@ -160,9 +189,14 @@ def build_structured_operator(
     z: Optional[np.ndarray] = None,  # [ny, nx] cell-center bed elevation
     mannings_n: Optional[np.ndarray] = None,
     dtype=jnp.float32,
+    dz_dx: Optional[np.ndarray] = None,  # [ny, nx] overrides z-derived slopes
+    dz_dy: Optional[np.ndarray] = None,
     **kwargs,
 ) -> StructuredSWEOperator:
-    if z is None:
+    if dz_dx is not None or dz_dy is not None:
+        dz_dx = np.zeros((ny, nx)) if dz_dx is None else np.asarray(dz_dx)
+        dz_dy = np.zeros((ny, nx)) if dz_dy is None else np.asarray(dz_dy)
+    elif z is None:
         dz_dx = np.zeros((ny, nx))
         dz_dy = np.zeros((ny, nx))
     else:

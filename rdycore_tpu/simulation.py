@@ -220,6 +220,13 @@ class Simulation:
                 )
             self.operator = new_op
 
+        # ---- structured raster fast paths (TPU flagship performance) ----
+        self._structured = None
+        if config.numerics.edge_flux_backend in (
+            "structured", "fused_structured"
+        ):
+            self._init_structured_backend()
+
         # ---- boundary geometry (edge centers, for BC expressions) ----
         self._bnd_centers = self._boundary_edge_centers()
 
@@ -495,6 +502,201 @@ class Simulation:
             f"local cell space {self._sharded.C_loc}"
         )
 
+    def _init_structured_backend(self):
+        """Wire the uniform-raster fast paths into the config surface.
+
+        'structured' = the zero-gather XLA slicing operator
+        (ops/structured.py); 'fused_structured' = the fully-fused Pallas
+        TPU kernel (ops/pallas/structured_step.py, one HBM pass/step).
+        Both require a row-major uniform quad raster and flow-only
+        first-order physics; anything else is a ConfigError so the user
+        isn't silently handed different numerics.
+        """
+        from .ops.structured import (
+            build_structured_operator,
+            detect_uniform_raster,
+            make_structured_stepper,
+        )
+
+        cfg = self.config
+        kind = cfg.numerics.edge_flux_backend
+        raster = detect_uniform_raster(self._mesh_for_op)
+        if raster is None:
+            raise ConfigError(
+                f"edge_flux_backend: {kind} requires a uniform row-major "
+                "quad raster mesh (and numerics.cell_ordering: natural)"
+            )
+        nx, ny, dx, dy = raster
+        unsupported = []
+        if self.num_tracers:
+            unsupported.append("tracers/sediment")
+        if cfg.numerics.second_order:
+            unsupported.append("second_order")
+        if cfg.physics.flow.well_balancing not in (None, "", "none"):
+            unsupported.append("well_balancing")
+        if cfg.parallel.n_devices > 1:
+            unsupported.append("parallel.n_devices > 1")
+        if cfg.output.time_series.boundary_fluxes:
+            unsupported.append("time_series.boundary_fluxes")
+        if any(f.endswith("_Mean") for f in (cfg.output.fields or [])):
+            unsupported.append("time-averaged output fields")
+        if unsupported:
+            raise ConfigError(
+                f"edge_flux_backend: {kind} does not support: "
+                + ", ".join(unsupported)
+            )
+
+        # wall BCs from the operator's boundary segments via outward normals
+        a = self.operator.arrays
+        walls = {}  # (cn, sn) -> bc code
+        for seg in self.operator.segments:
+            sl = slice(seg.start, seg.start + seg.count)
+            cns = np.asarray(a.bnd_cn[sl]).round().astype(int)
+            sns = np.asarray(a.bnd_sn[sl]).round().astype(int)
+            for w in set(zip(cns.tolist(), sns.tolist())):
+                prev = walls.setdefault(w, seg.bc_type)
+                if prev != seg.bc_type:
+                    raise ConfigError(
+                        f"edge_flux_backend: {kind}: wall with normal {w} "
+                        "has mixed boundary conditions"
+                    )
+        if any(bc == bc_mod.BC_DIRICHLET for bc in walls.values()):
+            raise ConfigError(
+                f"edge_flux_backend: {kind} does not support Dirichlet "
+                "walls (use the xla/pallas backends)"
+            )
+        bc_left = walls.get((-1, 0), bc_mod.BC_REFLECTING)
+        bc_right = walls.get((1, 0), bc_mod.BC_REFLECTING)
+        bc_bottom = walls.get((0, -1), bc_mod.BC_REFLECTING)
+        bc_top = walls.get((0, 1), bc_mod.BC_REFLECTING)
+
+        mesh = self._mesh_for_op
+        dzx = np.asarray(mesh.cell_dz_dx).reshape(ny, nx)
+        dzy = np.asarray(mesh.cell_dz_dy).reshape(ny, nx)
+        mann = np.asarray(self.mannings_n).reshape(ny, nx)
+
+        if kind == "fused_structured":
+            scheme = self._structured_scheme()
+            if scheme != "euler":
+                raise ConfigError(
+                    "edge_flux_backend: fused_structured supports temporal: "
+                    "euler only"
+                )
+            if self.operator.source_method != SOURCE_SEMI_IMPLICIT:
+                raise ConfigError(
+                    "edge_flux_backend: fused_structured supports the "
+                    "semi_implicit source method only"
+                )
+            ty = 16 if ny % 16 == 0 else 8
+            if nx % 128 or ny % ty:
+                self.log.warning(
+                    f"fused_structured needs nx % 128 == 0 and ny % {ty} == "
+                    f"0 (got {nx}x{ny}); falling back to the structured XLA "
+                    "path"
+                )
+                kind = "structured"
+        if kind == "fused_structured":
+            from .ops.pallas.structured_step import (
+                StructuredPlan,
+                make_fused_structured_stepper,
+            )
+
+            plan = StructuredPlan(
+                nx=nx, ny=ny, dx=dx, dy=dy,
+                tiny_h=cfg.physics.flow.tiny_h,
+                h_anuga=cfg.physics.flow.h_anuga_reg_parameter,
+                bc_left=bc_left, bc_right=bc_right,
+                bc_bottom=bc_bottom, bc_top=bc_top,
+                gr=ty,
+            )
+            adv = make_fused_structured_stepper(plan, dzx, dzy, mann)
+            interp = jax.default_backend() == "cpu"
+            self._structured = dict(
+                kind="fused", plan=plan, nx=nx, ny=ny,
+                adv=jax.jit(
+                    lambda *args: adv(*args, interpret=interp)
+                ),
+            )
+            self.log.info(
+                f"structured raster {nx}x{ny}: fused Pallas kernel "
+                f"(ty={ty}{', interpret' if interp else ''})"
+            )
+        else:
+            op = build_structured_operator(
+                nx, ny, dx, dy,
+                mannings_n=mann,
+                dtype=self.dtype,
+                dz_dx=dzx, dz_dy=dzy,
+                bc_left=bc_left, bc_right=bc_right,
+                bc_bottom=bc_bottom, bc_top=bc_top,
+                tiny_h=cfg.physics.flow.tiny_h,
+                h_anuga=cfg.physics.flow.h_anuga_reg_parameter,
+                source_method=self.operator.source_method,
+                xq2018_threshold=self.operator.xq2018_threshold,
+            )
+            scheme = self._structured_scheme()
+            if scheme not in ("euler", "ssprk2", "rk4"):
+                raise ConfigError(
+                    "edge_flux_backend: structured supports temporal: "
+                    "euler|ssprk2|rk4"
+                )
+            self._structured = dict(
+                kind="xla", op=op, nx=nx, ny=ny,
+                adv=jax.jit(make_structured_stepper(op, scheme)),
+            )
+            self.log.info(
+                f"structured raster {nx}x{ny}: zero-gather XLA path "
+                f"({scheme})"
+            )
+
+    def _structured_scheme(self) -> str:
+        s = self.config.numerics.temporal
+        return "euler" if s == "ark_imex" else s
+
+    def _advance_structured(self, n_steps: int, t_end: float) -> float:
+        st = self._structured
+        nx, ny = st["nx"], st["ny"]
+        if st["kind"] == "xla":
+            q3 = jnp.reshape(self.q, (N_FLOW_DOF, ny, nx))
+            src3 = jnp.reshape(self.ext_src, (N_FLOW_DOF, ny, nx))
+            q_out, t_out, cmax = st["adv"](
+                st["op"].arrays, q3, self.t,
+                jnp.asarray(self.dt, self.dtype), int(n_steps),
+                jnp.asarray(t_end, self.dtype), src3,
+            )
+            self.q = jnp.reshape(q_out, (N_FLOW_DOF, ny * nx))
+        else:
+            from .ops.pallas.structured_step import GC, pad_plane
+
+            if float(jnp.abs(self.ext_src).max()) != 0.0:
+                raise ConfigError(
+                    "edge_flux_backend: fused_structured does not support "
+                    "external sources/forcing (use structured)"
+                )
+            gr = st["plan"].gr
+            q3 = np.asarray(
+                jnp.reshape(self.q, (N_FLOW_DOF, ny, nx)), np.float32
+            )
+            h, hu, hv, t_out, cmax = st["adv"](
+                jnp.asarray(pad_plane(q3[0], gr)),
+                jnp.asarray(pad_plane(q3[1], gr)),
+                jnp.asarray(pad_plane(q3[2], gr)),
+                np.float32(self.t),
+                np.float32(self.dt),
+                np.int32(n_steps),
+                np.float32(t_end),
+            )
+            planes = [
+                jnp.asarray(p)[gr : gr + ny, GC : GC + nx] for p in (h, hu, hv)
+            ]
+            self.q = jnp.reshape(
+                jnp.stack(planes), (N_FLOW_DOF, ny * nx)
+            ).astype(self.dtype)
+        self.t = float(t_out)
+        self.step += int(n_steps)
+        self.prev_courant_edge = None
+        return float(cmax)
+
     def _advance_sharded(self, n_steps: int, t_end: float):
         import jax.numpy as jnp
 
@@ -592,7 +794,7 @@ class Simulation:
             n_steps = min(n_steps, self.max_steps - self.step)
             t_end = min(t_end, self.t + n_steps * self.dt)
 
-        if self._advance_fn is None:
+        if self._advance_fn is None and self._structured is None:
             # accumulate time-averaged/boundary-flux diagnostics only when
             # some output consumes them (the accumulators add ~100 B/cell/
             # step of HBM traffic)
@@ -618,8 +820,11 @@ class Simulation:
         done = 0
         while done < n_steps:
             chunk = min(stride, n_steps - done)
-            if self._sharded is not None:
-                cmax = self._advance_sharded(chunk, t_end)
+            if self._sharded is not None or self._structured is not None:
+                if self._sharded is not None:
+                    cmax = self._advance_sharded(chunk, t_end)
+                else:
+                    cmax = self._advance_structured(chunk, t_end)
                 done += chunk
                 max_courant = max(max_courant, cmax)
                 if self._monitors and self.monitor_stride and done < n_steps:
