@@ -162,7 +162,7 @@ def main():
     elif mode == "pallas":
         from rdycore_tpu.mesh import structured_quad
         from rdycore_tpu.operator import build_operator
-        from rdycore_tpu.ops.pallas.edge_flux import to_pallas_backend
+        from rdycore_tpu.ops.pallas.slotted import to_pallas_backend
         from rdycore_tpu.timestepping import make_interval_advancer
 
         mesh = structured_quad(nx, ny, 0.0, nx * 0.002, 0.0, ny * 0.002)
@@ -170,8 +170,8 @@ def main():
         op = build_operator(mesh, mannings_n=np.full(C, 0.015), dtype=jnp.float32)
         op = to_pallas_backend(
             op,
-            tile=int(os.environ.get("BENCH_TILE", 512)),
-            window=int(os.environ.get("BENCH_WINDOW", 4096)),
+            max_sup=int(os.environ.get("BENCH_MAX_SUP", 4)),
+            max_sup_cd=int(os.environ.get("BENCH_MAX_SUP_CD", 8)),
         )
         assert op.edge_flux_backend == "pallas", "pallas plan failed"
         q0 = np.zeros((3, C), np.float32)

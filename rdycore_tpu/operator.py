@@ -87,20 +87,29 @@ class OperatorArrays(NamedTuple):
     int_dyr: jnp.ndarray = None
     # BS2002 well-balancing arrays (None unless enabled)
     bs2002: object = None
-    # Pallas edge-flux kernel plan arrays (None unless backend == "pallas";
-    # interior edges are rebuilt in plan order at operator build time so
-    # kernel outputs align 1:1 with the operator's interior edge slots)
-    pl_il: jnp.ndarray = None  # [E_pad] int32
-    pl_ir: jnp.ndarray = None
-    pl_cn: jnp.ndarray = None  # [E_pad] f32
+    # Slot-routed Pallas kernel plan arrays (None unless backend ==
+    # "pallas"; interior edges are rebuilt in sorted order at backend-build
+    # time; see ops/pallas/slotted.py for the layout)
+    pl_ws: jnp.ndarray = None  # [ntiles] i32 q-window starts (8-row units)
+    pl_supL: jnp.ndarray = None  # [ntiles*8, 128] i32
+    pl_supR: jnp.ndarray = None  # [ntiles*16, 128] i32
+    pl_m: jnp.ndarray = None  # align R->L lane shuffle
+    pl_g: jnp.ndarray = None  # align R->L row pick
+    pl_gi: jnp.ndarray = None  # route L->R row pick
+    pl_mi: jnp.ndarray = None  # route L->R lane shuffle
+    pl_validL: jnp.ndarray = None
+    pl_validR: jnp.ndarray = None
+    pl_cn: jnp.ndarray = None  # slotted edge geometry [ntiles*8, 128]
     pl_sn: jnp.ndarray = None
-    pl_valid: jnp.ndarray = None
-    pl_ws: jnp.ndarray = None  # [ntiles] int32 window starts
-    # cell-divergence kernel plan (indices remapped into the packed
-    # [interior E_pad | boundary | dummy] flux layout)
-    pl_cd_ws: jnp.ndarray = None  # [ctiles] int32
-    pl_cd_ce: jnp.ndarray = None  # [K, C_pad] int32
-    pl_cd_coef: jnp.ndarray = None  # [K, C_pad] f32
+    pl_courant_coef: jnp.ndarray = None
+    pl_slot_edge: jnp.ndarray = None  # [ntiles*8*128] i32 slot -> edge
+    # divergence kernel plan (per-cell incident-edge slots)
+    pl_cd_wsL: jnp.ndarray = None  # [ctiles] i32 fluxL row-window starts
+    pl_cd_wsR: jnp.ndarray = None
+    pl_cd_supL: jnp.ndarray = None  # [KL, ctiles*8, 128] i32
+    pl_cd_cfL: jnp.ndarray = None  # [KL, ctiles*8, 128] f32
+    pl_cd_supR: jnp.ndarray = None
+    pl_cd_cfR: jnp.ndarray = None
 
 
 class RHSResult(NamedTuple):
@@ -144,9 +153,9 @@ class SWEOperator:
     # windowed TPU kernel); the twin-backend pattern mirrors the reference's
     # PETSc/CEED split and is load-bearing for testing
     edge_flux_backend: str = "xla"
-    pallas_tile: int = 0
-    pallas_window: int = 0
-    pallas_cd_window: int = 0
+    pallas_nsup: int = 0  # q-window supers (slot-routed kernel)
+    pallas_cd_nsup_l: int = 0  # fluxL window supers (divergence kernel)
+    pallas_cd_nsup_r: int = 0
     pallas_interpret: bool = False
 
     # ---------------------------------------------------------------- helpers
@@ -181,24 +190,21 @@ class SWEOperator:
 
         use_pallas = (
             self.edge_flux_backend == "pallas"
-            and a.pl_il is not None
+            and a.pl_supL is not None
             and not self.second_order
             and not self.well_balancing_hr
             and not self.well_balancing_bs2002
         )
         if use_pallas:
-            from .ops.pallas.edge_flux import edge_flux_plan_apply
+            from .ops.pallas.slotted import edge_flux_slotted
 
-            packed_i = edge_flux_plan_apply(
-                a, q, self.tiny_h, self.h_anuga,
-                self.pallas_tile, self.pallas_window,
-                self.num_internal_edges, interpret=self.pallas_interpret,
-            )  # [8, E_pad]
-            Ei = self.num_internal_edges
+            fluxL, fluxR = edge_flux_slotted(
+                a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
+                interpret=self.pallas_interpret,
+            )
             return self._finish_apply(
                 q, dt, boundary_values, ext_src,
-                packed_i[0, :Ei], packed_i[1, :Ei], packed_i[2, :Ei],
-                packed_i[3, :Ei], packed_interior=packed_i,
+                None, None, None, None, slotted_flux=(fluxL, fluxR),
             )
 
         # ---- interior edge states --------------------------------------
@@ -266,7 +272,7 @@ class SWEOperator:
 
     def _finish_apply(
         self, q, dt, boundary_values, ext_src, fi_h, fi_hu, fi_hv, amax_i,
-        eta_v=None, packed_interior=None,
+        eta_v=None, slotted_flux=None,
     ) -> RHSResult:
         """Boundary fluxes + cell gather + Courant + sources (shared by the
         XLA and Pallas interior-flux backends)."""
@@ -327,21 +333,22 @@ class SWEOperator:
             amax_b = jnp.zeros((0,), dtype)
 
         # ---- cell gather of edge fluxes --------------------------------
-        if packed_interior is not None and a.pl_cd_ce is not None:
-            # Pallas cell-divergence kernel over the interior flux array;
+        if slotted_flux is not None:
+            # Pallas divergence kernel over the two slotted flux layouts;
             # boundary contributions land via a small scatter-add (Eb <<
             # C updates -- no large XLA gather on the hot path)
-            from .ops.pallas.cell_div import cell_div_pallas
+            from .ops.pallas.slotted import cell_div_slotted
 
-            div8 = cell_div_pallas(
-                (a.pl_cd_ws, a.pl_cd_ce, a.pl_cd_coef),
-                packed_interior.astype(jnp.float32),
-                self.pallas_tile,
-                self.pallas_cd_window,
-                int(a.cell_edges.shape[1]),
+            div = cell_div_slotted(
+                a, slotted_flux[0], slotted_flux[1],
+                self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
                 interpret=self.pallas_interpret,
+            )  # [Ct*8, 3, 128]
+            flux_div = (
+                div.transpose(1, 0, 2)
+                .reshape(3, -1)[:, : self.num_cells]
+                .astype(dtype)
             )
-            flux_div = div8[:3, : self.num_cells].astype(dtype)
             if self.num_boundary_edges:
                 coefb = -a.bnd_len / a.area[a.bnd_left]
                 flux_div = flux_div.at[:, a.bnd_left].add(fb * coefb)
@@ -357,14 +364,31 @@ class SWEOperator:
             flux_div = flux_div + self._hr_pressure_correction(q, dtype)
 
         # ---- Courant diagnostics ---------------------------------------
-        amax_all = jnp.concatenate([amax_i, amax_b])
-        courant_per_dt = amax_all * a.edge_courant_coef
-        max_courant_per_dt = courant_per_dt.max() if self.num_edges else jnp.zeros((), dtype)
-        courant_edge = (
-            jnp.argmax(courant_per_dt).astype(jnp.int32)
-            if self.num_edges
-            else jnp.zeros((), jnp.int32)
-        )
+        if slotted_flux is not None:
+            Ei = self.num_internal_edges
+            ci = (slotted_flux[0][:, 3, :] * a.pl_courant_coef).reshape(-1)
+            mi = ci.max()
+            ei = a.pl_slot_edge[jnp.argmax(ci)]
+            if self.num_boundary_edges:
+                cb = amax_b.astype(jnp.float32) * jnp.asarray(
+                    a.edge_courant_coef[Ei:], jnp.float32
+                )
+                mb = cb.max()
+                max_courant_per_dt = jnp.maximum(mi, mb).astype(dtype)
+                courant_edge = jnp.where(
+                    mi >= mb, ei, Ei + jnp.argmax(cb).astype(jnp.int32)
+                )
+            else:
+                max_courant_per_dt = mi.astype(dtype)
+                courant_edge = ei
+        elif self.num_edges:
+            amax_all = jnp.concatenate([amax_i, amax_b])
+            courant_per_dt = amax_all * a.edge_courant_coef
+            max_courant_per_dt = courant_per_dt.max()
+            courant_edge = jnp.argmax(courant_per_dt).astype(jnp.int32)
+        else:
+            max_courant_per_dt = jnp.zeros((), dtype)
+            courant_edge = jnp.zeros((), jnp.int32)
 
         # ---- sources ----------------------------------------------------
         if self.source_method == SOURCE_IMPLICIT_XQ2018:

@@ -1,0 +1,600 @@
+"""Slot-routed Pallas TPU kernels for the unstructured SWE hot loop.
+
+The hot loop (SURVEY §3.2: libCEED JIT kernel over all edges,
+swe_fluxes_ceed.h SWEFlux_Roe + cell scatter) is per interior edge: gather
+the two adjacent cell states, solve the Roe problem, scatter the flux into
+both cells. TPU has no hardware gather to HBM, and a full 128-lane dynamic
+shuffle costs ~77 cycles/vreg — but an 8-deep *sublane* gather
+(`take_along_axis(axis=0)` on an [8, 128] vreg) costs ~12, the same as an
+add. These kernels arrange all mesh-indirection so that every hot gather is
+a sublane gather:
+
+- **L-layout**: interior edges (sorted by min cell id) are packed into
+  tiles of 1024 slots = 8 rows x 128 lanes, where an edge's lane ==
+  `left_cell % 128`. The left-state gather then only has to pick a *row*
+  per lane (the cell's row within the tile's q window) — pure sublane
+  gathers over the window supers.
+- **R-layout**: a parallel 16 x 128 per-tile layout with lane ==
+  `right_cell % 128` (right-state gather is sublane-only there), plus a
+  static routing (one 128-lane shuffle + sublane gathers per component)
+  that aligns the gathered right states to the L slots. The route always
+  exists: a slot color k < 16 with (k, laneR) and (k, laneL) both unused
+  can always be found since each lane holds < 8 edges on either side
+  (7 + 7 < 16, a König-type argument), so the host coloring is greedy
+  with no search.
+- The kernel computes Roe fluxes on [8, 128] vregs in the L-layout, and
+  *also* emits the fluxes routed to the R-layout (one inverse shuffle).
+- **Cell divergence**: a cell at natural position c sits at lane c % 128 —
+  which is exactly the slot lane of both its left-edges (in the L-layout
+  flux) and its right-edges (in the R-layout flux). The divergence kernel
+  is therefore sublane-gathers only: per incident-edge slot, pick the flux
+  row and multiply by the signed len/area coefficient.
+
+RCM cell ordering (numerics.cell_ordering: rcm) keeps the q/flux row
+windows small; meshes whose windows exceed the static budget fall back to
+the XLA gather twin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..swe.riemann import regularized_velocity, roe_flux
+
+TE = 1024  # L-slots (edges) per tile: 8 rows x 128 lanes
+RROWS = 16  # R-layout rows per tile
+
+
+class SlottedPlan(NamedTuple):
+    """Host-built tiling/routing plan (all arrays numpy)."""
+
+    order: np.ndarray  # [Ei] original -> sorted interior edge permutation
+    ntiles: int
+    nsup: int  # q window size in 8-row supers
+    ws: np.ndarray  # [ntiles] i32 q-window start (units of 8 rows)
+    supL: np.ndarray  # [ntiles*8, 128] i32 window row of left cell
+    supR: np.ndarray  # [ntiles*16, 128] i32 window row of right cell
+    m: np.ndarray  # [ntiles*16, 128] i32 align R->L lane shuffle
+    g: np.ndarray  # [ntiles*8, 128] i32 align R->L row pick
+    gi: np.ndarray  # [ntiles*16, 128] i32 route L->R row pick
+    mi: np.ndarray  # [ntiles*16, 128] i32 route L->R lane shuffle
+    validL: np.ndarray  # [ntiles*8, 128] f32
+    validR: np.ndarray  # [ntiles*16, 128] f32
+    cn: np.ndarray  # [ntiles*8, 128] f32 slotted edge normals
+    sn: np.ndarray
+    courant_coef: np.ndarray  # [ntiles*8, 128] f32 slotted len/min(area)
+    slot_edge: np.ndarray  # [ntiles*8*128] i32 slot -> interior edge (-1 pad)
+    eposL: np.ndarray  # [Ei] edge -> L-layout flat position
+    eposR: np.ndarray  # [Ei] edge -> R-layout flat position
+
+
+class CellPlan(NamedTuple):
+    ntiles: int  # cell tiles (1024 cells each)
+    nsupL: int  # fluxL window supers
+    nsupR: int
+    wsL: np.ndarray  # [ntiles] i32 fluxL row-window starts (8-row units)
+    wsR: np.ndarray
+    supL: np.ndarray  # [KL, ntiles*8, 128] i32
+    cfL: np.ndarray  # [KL, ntiles*8, 128] f32 signed len/area (0 = none)
+    supR: np.ndarray  # [KR, ntiles*8, 128] i32
+    cfR: np.ndarray
+
+
+def _cumcount(x: np.ndarray) -> np.ndarray:
+    """Per-value running occurrence count (vectorized groupby-cumcount)."""
+    n = len(x)
+    o = np.argsort(x, kind="stable")
+    xo = x[o]
+    grp_start = np.r_[0, np.flatnonzero(np.diff(xo)) + 1]
+    starts = np.repeat(grp_start, np.diff(np.r_[grp_start, n]))
+    c = np.empty(n, np.int64)
+    c[o] = np.arange(n) - starts
+    return c
+
+
+def build_slotted_plan(
+    int_left: np.ndarray,
+    int_right: np.ndarray,
+    int_cn: np.ndarray,
+    int_sn: np.ndarray,
+    courant_coef: np.ndarray,  # [Ei]
+    num_cells: int,
+    max_sup: int = 4,
+) -> Optional[SlottedPlan]:
+    """Pack sorted interior edges into slot tiles. Returns None when any
+    tile's cell window would exceed max_sup supers (mesh bandwidth too
+    large for the static window budget — reorder with RCM)."""
+    E = len(int_left)
+    if E == 0:
+        return None
+    order = np.argsort(np.minimum(int_left, int_right), kind="stable")
+    il = int_left[order].astype(np.int64)
+    ir = int_right[order].astype(np.int64)
+    laneL = il & 127
+    laneR = ir & 127
+
+    # ---- first-fit packing under per-lane caps + window budget ----
+    tiles = []
+    pos = 0
+    while pos < E:
+        n = min(TE, E - pos)
+        bad = (_cumcount(laneL[pos:pos + n]) >= 8) | (
+            _cumcount(laneR[pos:pos + n]) >= RROWS
+        )
+        n_ok = int(np.argmax(bad)) if bad.any() else n
+        while n_ok > 0:
+            seg_il = il[pos:pos + n_ok]
+            seg_ir = ir[pos:pos + n_ok]
+            lo = min(seg_il.min(), seg_ir.min())
+            hi = max(seg_il.max(), seg_ir.max())
+            ws_row = (lo >> 10) << 3  # 8-row aligned window start
+            if (hi >> 7) - ws_row < max_sup * 8:
+                break
+            n_ok -= max(1, n_ok // 8)
+        if n_ok <= 0:
+            return None
+        tiles.append((pos, n_ok))
+        pos += n_ok
+
+    ntiles = len(tiles)
+    slot_row = np.zeros(E, np.int64)
+    color = np.zeros(E, np.int64)
+    tile_of = np.zeros(E, np.int64)
+    ws_rows = np.zeros(ntiles, np.int64)
+    need_sup = 1
+    for t, (s0, cnt) in enumerate(tiles):
+        lL = laneL[s0:s0 + cnt]
+        lR = laneR[s0:s0 + cnt]
+        cntL = np.zeros(128, np.int64)
+        usedS = np.zeros(128, np.int64)
+        usedD = np.zeros(128, np.int64)
+        for i in range(cnt):
+            a, b = lL[i], lR[i]
+            slot_row[s0 + i] = cntL[a]
+            cntL[a] += 1
+            free = int(~(usedS[b] | usedD[a]) & 0xFFFF)
+            color[s0 + i] = k = (free & -free).bit_length() - 1
+            usedS[b] |= 1 << k
+            usedD[a] |= 1 << k
+        tile_of[s0:s0 + cnt] = t
+        ws_rows[t] = (min(il[s0:s0 + cnt].min(), ir[s0:s0 + cnt].min())
+                      >> 10) << 3
+        hi_row = max(il[s0:s0 + cnt].max(), ir[s0:s0 + cnt].max()) >> 7
+        need_sup = max(need_sup, int(hi_row - ws_rows[t]) // 8 + 1)
+
+    R_l, R_r = ntiles * 8, ntiles * RROWS
+    supL = np.zeros((R_l, 128), np.int32)
+    supR = np.zeros((R_r, 128), np.int32)
+    m_al = np.zeros((R_r, 128), np.int32)
+    g_al = np.zeros((R_l, 128), np.int32)
+    gi = np.zeros((R_r, 128), np.int32)
+    mi = np.zeros((R_r, 128), np.int32)
+    validL = np.zeros((R_l, 128), np.float32)
+    validR = np.zeros((R_r, 128), np.float32)
+    cn_s = np.zeros((R_l, 128), np.float32)
+    sn_s = np.zeros((R_l, 128), np.float32)
+    cc_s = np.zeros((R_l, 128), np.float32)
+    slot_edge = np.full(R_l * 128, -1, np.int32)
+
+    rl = il // 128 - ws_rows[tile_of]
+    rr = ir // 128 - ws_rows[tile_of]
+    rowsL = tile_of * 8 + slot_row
+    rowsR = tile_of * RROWS + color
+    supL[rowsL, laneL] = rl
+    validL[rowsL, laneL] = 1.0
+    supR[rowsR, laneR] = rr
+    validR[rowsR, laneR] = 1.0
+    m_al[rowsR, laneL] = laneR
+    g_al[rowsL, laneL] = color
+    gi[rowsR, laneL] = slot_row
+    mi[rowsR, laneR] = laneL
+    cn_c = int_cn[order].astype(np.float32)
+    sn_c = int_sn[order].astype(np.float32)
+    cc = courant_coef[order].astype(np.float32)
+    cn_s[rowsL, laneL] = cn_c
+    sn_s[rowsL, laneL] = sn_c
+    cc_s[rowsL, laneL] = cc
+    eposL = rowsL * 128 + laneL
+    eposR = rowsR * 128 + laneR
+    slot_edge[eposL] = np.arange(E, dtype=np.int32)
+
+    return SlottedPlan(
+        order=order, ntiles=ntiles, nsup=need_sup,
+        ws=(ws_rows // 8).astype(np.int32),
+        supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
+        validL=validL, validR=validR, cn=cn_s, sn=sn_s,
+        courant_coef=cc_s, slot_edge=slot_edge,
+        eposL=eposL, eposR=eposR,
+    )
+
+
+def build_cell_plan(
+    plan: SlottedPlan,
+    il_sorted: np.ndarray,  # sorted interior left cells [Ei]
+    ir_sorted: np.ndarray,
+    coefL: np.ndarray,  # [Ei] signed len/area wrt the left cell
+    coefR: np.ndarray,
+    num_cells: int,
+    max_supL: int = 4,
+    max_supR: int = 8,
+) -> Optional[CellPlan]:
+    C = num_cells
+    E = len(il_sorted)
+    rowL = plan.eposL // 128
+    rowR = plan.eposR // 128
+    Ct = -(-C // TE)
+
+    KL = int(np.bincount(il_sorted, minlength=C).max()) if E else 0
+    KR = int(np.bincount(ir_sorted, minlength=C).max()) if E else 0
+    if KL == 0 or KR == 0:
+        return None
+
+    ctile_l = il_sorted // TE
+    ctile_r = ir_sorted // TE
+    tL_lo = np.full(Ct, np.iinfo(np.int64).max)
+    tL_hi = np.zeros(Ct, np.int64)
+    tR_lo = np.full(Ct, np.iinfo(np.int64).max)
+    tR_hi = np.zeros(Ct, np.int64)
+    np.minimum.at(tL_lo, ctile_l, rowL)
+    np.maximum.at(tL_hi, ctile_l, rowL)
+    np.minimum.at(tR_lo, ctile_r, rowR)
+    np.maximum.at(tR_hi, ctile_r, rowR)
+    tL_lo = np.minimum(tL_lo, tL_hi)
+    tR_lo = np.minimum(tR_lo, tR_hi)
+    wsL = (tL_lo >> 3) << 3
+    wsR = (tR_lo >> 3) << 3
+    nsupL = int((tL_hi - wsL).max()) // 8 + 1
+    nsupR = int((tR_hi - wsR).max()) // 8 + 1
+    if nsupL > max_supL or nsupR > max_supR:
+        return None
+
+    supLc = np.zeros((KL, Ct * 8, 128), np.int32)
+    cfL = np.zeros((KL, Ct * 8, 128), np.float32)
+    supRc = np.zeros((KR, Ct * 8, 128), np.int32)
+    cfR = np.zeros((KR, Ct * 8, 128), np.float32)
+
+    kL = _cumcount(il_sorted)
+    kR = _cumcount(ir_sorted)
+    crowL = il_sorted // 128
+    claneL = il_sorted & 127
+    crowR = ir_sorted // 128
+    claneR = ir_sorted & 127
+    supLc[kL, crowL, claneL] = (rowL - wsL[ctile_l]).astype(np.int32)
+    cfL[kL, crowL, claneL] = coefL.astype(np.float32)
+    supRc[kR, crowR, claneR] = (rowR - wsR[ctile_r]).astype(np.int32)
+    cfR[kR, crowR, claneR] = coefR.astype(np.float32)
+
+    return CellPlan(
+        ntiles=Ct, nsupL=nsupL, nsupR=nsupR,
+        wsL=(wsL // 8).astype(np.int32), wsR=(wsR // 8).astype(np.int32),
+        supL=supLc, cfL=cfL, supR=supRc, cfR=cfR,
+    )
+
+
+# --------------------------------------------------------------- kernels
+
+def _window_gather(q_refs, sup_idx, comp, nsup):
+    """Sublane-gather one component over nsup window supers."""
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for s in range(nsup):
+        src = q_refs[s][comp]
+        gat = jnp.take_along_axis(
+            src, jnp.clip(sup_idx - s * 8, 0, 7), axis=0
+        )
+        acc = jnp.where((sup_idx >> 3) == s, gat, acc)
+    return acc
+
+
+def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
+                 vL_ref, vR_ref, cn_ref, sn_ref, *rest,
+                 nsup, tiny_h, h_anuga):
+    q_refs = rest[:nsup]
+    oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
+
+    supL = supL_ref[:, :]
+    supR0 = supR_ref[0:8, :]
+    supR1 = supR_ref[8:16, :]
+    mm0 = m_ref[0:8, :]
+    mm1 = m_ref[8:16, :]
+    g = g_ref[:, :]
+
+    qs = []
+    for comp in range(3):
+        qL = _window_gather(q_refs, supL, comp, nsup)
+        z1a = _window_gather(q_refs, supR0, comp, nsup)
+        z1b = _window_gather(q_refs, supR1, comp, nsup)
+        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+        z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+        yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+        qR = jnp.where(g < 8, ya, yb)
+        qs.append((qL, qR))
+
+    (hl, hr), (hul, hur), (hvl, hvr) = qs
+    ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
+    ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
+    f_h, f_hu, f_hv, amax = roe_flux(
+        hl, ul, vl, hr, ur, vr, sn_ref[:, :], cn_ref[:, :]
+    )
+    dry = (hl < tiny_h) & (hr < tiny_h)
+    mask = jnp.where(dry, 0.0, vL_ref[:, :])
+    fluxes = (f_h * mask, f_hu * mask, f_hv * mask)
+    oL_ref[:, 0, :] = fluxes[0]
+    oL_ref[:, 1, :] = fluxes[1]
+    oL_ref[:, 2, :] = fluxes[2]
+    oL_ref[:, 3, :] = amax * mask
+
+    # route fluxes into the R-layout for the divergence kernel
+    gi0 = gi_ref[0:8, :]
+    gi1 = gi_ref[8:16, :]
+    mi0 = mi_ref[0:8, :]
+    mi1 = mi_ref[8:16, :]
+    vR = vR_ref[:, :]
+    for comp in range(3):
+        fL = fluxes[comp]
+        u0 = jnp.take_along_axis(fL, gi0, axis=0)
+        u1 = jnp.take_along_axis(fL, gi1, axis=0)
+        oR_ref[0:8, comp, :] = (
+            jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
+        )
+        oR_ref[8:16, comp, :] = (
+            jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
+        )
+
+
+def edge_flux_slotted(
+    arrays, q, tiny_h, h_anuga, nsup, interpret=False,
+):
+    """Run the slot-routed edge kernel.
+
+    q: [>=3, C] f32. Returns (fluxL [ntiles*8, 4, 128] with rows
+    f_h/f_hu/f_hv/amax, fluxR [ntiles*16, 3, 128])."""
+    supL = arrays.pl_supL
+    ntiles = supL.shape[0] // 8
+    C = q.shape[1]
+    Crows = -(-C // 128)
+    q32 = q[:3].astype(jnp.float32)
+    if C % 128:
+        q32 = jnp.pad(q32, ((0, 0), (0, Crows * 128 - C)))
+    q2d = jnp.pad(
+        q32.reshape(3, Crows, 128), ((0, 0), (0, nsup * 8 + 8), (0, 0))
+    )
+
+    in_specs = [
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # supL
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # g
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # validL
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # cn
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # sn
+    ] + [
+        pl.BlockSpec((3, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
+        for s in range(nsup)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((8, 4, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+        ],
+    )
+    f = pl.pallas_call(
+        functools.partial(
+            _edge_kernel, nsup=nsup,
+            tiny_h=float(tiny_h), h_anuga=float(h_anuga),
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles * 8, 4, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * RROWS, 3, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    return f(
+        arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
+        arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
+        arrays.pl_cn, arrays.pl_sn, *([q2d] * nsup),
+    )
+
+
+def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
+                 nsupL, nsupR, KL, KR):
+    fL_refs = rest[:nsupL]
+    fR_refs = rest[nsupL:nsupL + nsupR]
+    o_ref = rest[nsupL + nsupR]
+
+    acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
+
+    def side(refs, s_ref, c_ref, K, nsup):
+        for k in range(K):
+            sup = s_ref[k]
+            cf = c_ref[k]
+            for comp in range(3):
+                gat = jnp.zeros((8, 128), jnp.float32)
+                for s in range(nsup):
+                    src = refs[s][:, comp, :]
+                    gg = jnp.take_along_axis(
+                        src, jnp.clip(sup - s * 8, 0, 7), axis=0
+                    )
+                    gat = jnp.where((sup >> 3) == s, gg, gat)
+                acc[comp] = acc[comp] + gat * cf
+
+    side(fL_refs, sL_ref, cL_ref, KL, nsupL)
+    side(fR_refs, sR_ref, cR_ref, KR, nsupR)
+    for comp in range(3):
+        o_ref[:, comp, :] = acc[comp]
+
+
+def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, interpret=False):
+    """Flux divergence from the two slotted flux layouts.
+
+    Returns [Ct*8, 3, 128]; flatten with
+    `out.transpose(1, 0, 2).reshape(3, -1)[:, :C]`."""
+    supL = arrays.pl_cd_supL
+    KL, RcL, _ = supL.shape
+    KR = arrays.pl_cd_supR.shape[0]
+    Ct = RcL // 8
+    fluxL = jnp.pad(fluxL, ((0, nsupL * 8 + 8), (0, 0), (0, 0)))
+    fluxR = jnp.pad(fluxR, ((0, nsupR * 8 + RROWS), (0, 0), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
+    ] + [
+        pl.BlockSpec((8, 4, 128), lambda t, wl, wr, s=s: (wl[t] + s, 0, 0))
+        for s in range(nsupL)
+    ] + [
+        pl.BlockSpec((8, 3, 128), lambda t, wl, wr, s=s: (wr[t] + s, 0, 0))
+        for s in range(nsupR)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Ct,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, 3, 128), lambda t, wl, wr: (t, 0, 0)),
+    )
+    f = pl.pallas_call(
+        functools.partial(
+            _cell_kernel, nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Ct * 8, 3, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    return f(
+        arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_cd_supL, arrays.pl_cd_cfL,
+        arrays.pl_cd_supR, arrays.pl_cd_cfR,
+        *([fluxL] * nsupL), *([fluxR] * nsupR),
+    )
+
+
+# --------------------------------------------------------- operator glue
+
+def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 8,
+                      interpret: bool = False):
+    """Rebuild an SWEOperator with the slot-routed Pallas backend.
+
+    Reorders interior edges into sorted (min-cell) order, builds the slot
+    plans, and attaches the plan arrays. Returns the operator unchanged if
+    the mesh's bandwidth exceeds the static window budget (use
+    cell_ordering: rcm) or an unsupported feature is enabled.
+    """
+    if op.num_tracers or op.second_order or op.well_balancing_hr \
+            or op.well_balancing_bs2002:
+        return op
+    a = op.arrays
+    Ei = op.num_internal_edges
+    if Ei == 0:
+        return op
+    il = np.asarray(a.int_left)
+    ir = np.asarray(a.int_right)
+
+    plan = build_slotted_plan(
+        il, ir, np.asarray(a.int_cn), np.asarray(a.int_sn),
+        np.asarray(a.edge_courant_coef)[:Ei], op.num_cells, max_sup=max_sup,
+    )
+    if plan is None:
+        return op
+
+    order = plan.order
+    il_s = il[order]
+    ir_s = ir[order]
+
+    # per-edge signed len/area coefficients wrt the left and right cells,
+    # extracted from the operator's gather maps (robust to conventions)
+    ce = np.asarray(a.cell_edges)  # [C, K] into [0, E]
+    coef = np.asarray(a.cell_edge_coef)
+    C, K = ce.shape
+    coefL = np.zeros(Ei)
+    coefR = np.zeros(Ei)
+    cells = np.repeat(np.arange(C), K)
+    edges = ce.reshape(-1)
+    cfs = coef.reshape(-1)
+    interior = edges < Ei
+    e_i = edges[interior]
+    c_i = cells[interior]
+    f_i = cfs[interior]
+    is_left = il[e_i] == c_i
+    coefL[e_i[is_left]] = f_i[is_left]
+    coefR[e_i[~is_left]] = f_i[~is_left]
+
+    cell_plan = build_cell_plan(
+        plan, il_s, ir_s, coefL[order], coefR[order], op.num_cells,
+        max_supL=max_sup_cd, max_supR=max_sup_cd,
+    )
+    if cell_plan is None:
+        return op
+
+    # remap operator interior-edge order to plan (sorted) order
+    inv = np.empty(Ei, dtype=np.int64)
+    inv[order] = np.arange(Ei)
+    ce_new = np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
+
+    j = lambda x, dt: jnp.asarray(x, dt)
+    f32 = lambda x: jnp.asarray(x, a.int_cn.dtype)
+    arrays = a._replace(
+        int_left=j(il_s, jnp.int32),
+        int_right=j(ir_s, jnp.int32),
+        int_cn=f32(np.asarray(a.int_cn)[order]),
+        int_sn=f32(np.asarray(a.int_sn)[order]),
+        cell_edges=j(ce_new, jnp.int32),
+        edge_courant_coef=f32(
+            np.concatenate(
+                [
+                    np.asarray(a.edge_courant_coef)[:Ei][order],
+                    np.asarray(a.edge_courant_coef)[Ei:],
+                ]
+            )
+        ),
+        pl_ws=j(plan.ws, jnp.int32),
+        pl_supL=j(plan.supL, jnp.int32),
+        pl_supR=j(plan.supR, jnp.int32),
+        pl_m=j(plan.m, jnp.int32),
+        pl_g=j(plan.g, jnp.int32),
+        pl_gi=j(plan.gi, jnp.int32),
+        pl_mi=j(plan.mi, jnp.int32),
+        pl_validL=j(plan.validL, jnp.float32),
+        pl_validR=j(plan.validR, jnp.float32),
+        pl_cn=j(plan.cn, jnp.float32),
+        pl_sn=j(plan.sn, jnp.float32),
+        pl_courant_coef=j(plan.courant_coef, jnp.float32),
+        pl_slot_edge=j(plan.slot_edge, jnp.int32),
+        pl_cd_wsL=j(cell_plan.wsL, jnp.int32),
+        pl_cd_wsR=j(cell_plan.wsR, jnp.int32),
+        pl_cd_supL=j(cell_plan.supL, jnp.int32),
+        pl_cd_cfL=j(cell_plan.cfL, jnp.float32),
+        pl_cd_supR=j(cell_plan.supR, jnp.int32),
+        pl_cd_cfR=j(cell_plan.cfR, jnp.float32),
+    )
+    return dataclasses.replace(
+        op,
+        arrays=arrays,
+        edge_flux_backend="pallas",
+        pallas_nsup=plan.nsup,
+        pallas_cd_nsup_l=cell_plan.nsupL,
+        pallas_cd_nsup_r=cell_plan.nsupR,
+        pallas_interpret=interpret,
+    )

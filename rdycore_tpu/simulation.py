@@ -209,9 +209,11 @@ class Simulation:
         )
 
         if config.numerics.edge_flux_backend == "pallas":
-            from .ops.pallas.edge_flux import to_pallas_backend
+            from .ops.pallas.slotted import to_pallas_backend
 
-            new_op = to_pallas_backend(self.operator)
+            new_op = to_pallas_backend(
+                self.operator, interpret=jax.default_backend() == "cpu"
+            )
             if new_op.edge_flux_backend != "pallas":
                 self.log.warning(
                     "pallas edge-flux backend unavailable for this mesh/"

@@ -118,7 +118,7 @@ def test_rcm_reorder_preserves_physics_and_enables_pallas():
     from rdycore_tpu.mesh.core import rcm_reorder
     from rdycore_tpu.mesh.exodus import read_exodus
     from rdycore_tpu.operator import build_operator
-    from rdycore_tpu.ops.pallas.edge_flux import to_pallas_backend
+    from rdycore_tpu.ops.pallas.slotted import to_pallas_backend
 
     m = read_exodus("/root/reference/share/meshes/Houston1km_with_z.exo")
     mr = rcm_reorder(m)
@@ -127,9 +127,12 @@ def test_rcm_reorder_preserves_physics_and_enables_pallas():
     assert np.isclose(mr.cell_area.sum(), m.cell_area.sum())
     # natural ids travel with cells: sorting by natural id recovers originals
     assert sorted(mr.natural_ids.tolist()) == sorted(m.natural_ids.tolist())
-    # the Pallas windowed kernel becomes feasible after RCM
+    # the slot-routed Pallas kernel becomes feasible after RCM (the
+    # natural ordering's bandwidth 2683 exceeds a 2048-cell window)
+    op_nat = build_operator(m, mannings_n=np.zeros(m.num_cells), dtype=jnp.float32)
+    assert to_pallas_backend(op_nat, max_sup=2) is op_nat
     op = build_operator(mr, mannings_n=np.zeros(mr.num_cells), dtype=jnp.float32)
-    assert to_pallas_backend(op, tile=512, window=1024).edge_flux_backend == "pallas"
+    assert to_pallas_backend(op, max_sup=2).edge_flux_backend == "pallas"
 
     # physics invariant under reordering: rhs(natural) identical
     import jax.numpy as jnp
