@@ -171,7 +171,7 @@ def main():
         op = to_pallas_backend(
             op,
             max_sup=int(os.environ.get("BENCH_MAX_SUP", 4)),
-            max_sup_cd=int(os.environ.get("BENCH_MAX_SUP_CD", 8)),
+            max_sup_cd=int(os.environ.get("BENCH_MAX_SUP_CD", 16)),
         )
         assert op.edge_flux_backend == "pallas", "pallas plan failed"
         q0 = np.zeros((3, C), np.float32)

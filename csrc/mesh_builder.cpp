@@ -190,4 +190,68 @@ void rdy_block_halos(int64_t num_cells, int64_t num_edges, int64_t block,
   }
 }
 
+// One-pass slot packing + coloring for the slot-routed Pallas kernels
+// (rdycore_tpu/ops/pallas/slotted.py). Edges arrive sorted by
+// min(left, right). Each tile holds <= 1024 edges in an 8x128 L-layout
+// (lane = left % 128, row = running count per lane) and a 16x128 R-layout
+// (lane = right % 128, row = a color k with (k, laneR) and (k, laneL) both
+// unused). A tile closes when the edge count, a lane cap, the color
+// search, or the cell-window budget (max_sup supers of 1024 cells, start
+// aligned to the tile's first edge) would be violated.
+//
+// Outputs (caller-allocated): slot_row/color/tile_of [E], ws_rows [<=E]
+// (window starts in rows). need_sup[0] gets the max supers actually
+// needed. Returns the tile count, or -1 when a single edge alone exceeds
+// the window budget (mesh bandwidth too large -- caller falls back).
+int64_t rdy_slot_pack(int64_t E, const int64_t* il, const int64_t* ir,
+                      int64_t max_sup, int64_t* slot_row, int64_t* color,
+                      int64_t* tile_of, int64_t* ws_rows,
+                      int64_t* need_sup) {
+  int64_t ntiles = 0;
+  int64_t count = 0, ws_row = 0, hi_row = 0;
+  int32_t cntL[128];
+  uint32_t usedS[128], usedD[128];
+  auto open_tile = [&](int64_t lo) {
+    std::memset(cntL, 0, sizeof cntL);
+    std::memset(usedS, 0, sizeof usedS);
+    std::memset(usedD, 0, sizeof usedD);
+    count = 0;
+    ws_row = ((lo >> 10) << 3);
+    ws_rows[ntiles] = ws_row;
+    ++ntiles;
+  };
+  *need_sup = 1;
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t l = il[e], r = ir[e];
+    const int64_t lo = l < r ? l : r;
+    const int64_t hi = l < r ? r : l;
+    const int32_t a = (int32_t)(l & 127), b = (int32_t)(r & 127);
+    for (int attempt = 0;; ++attempt) {
+      bool fresh = (ntiles == 0) || (count == 0 && attempt > 0);
+      if (ntiles == 0) open_tile(lo);
+      uint32_t freemask =
+          ~(usedS[b] | usedD[a]) & 0xFFFFu;
+      bool fits = count < 1024 && cntL[a] < 8 && freemask != 0 &&
+                  ((hi >> 7) - ws_row) < max_sup * 8;
+      if (fits) {
+        slot_row[e] = cntL[a]++;
+        const int k = __builtin_ctz(freemask);
+        color[e] = k;
+        usedS[b] |= 1u << k;
+        usedD[a] |= 1u << k;
+        tile_of[e] = ntiles - 1;
+        const int64_t row_here = hi >> 7;
+        if (row_here > hi_row || count == 0) hi_row = row_here;
+        const int64_t sup = (hi_row - ws_row) / 8 + 1;
+        if (sup > *need_sup) *need_sup = sup;
+        ++count;
+        break;
+      }
+      if (fresh) return -1;  // a lone edge exceeds the window budget
+      open_tile(lo);
+    }
+  }
+  return ntiles;
+}
+
 }  // extern "C"

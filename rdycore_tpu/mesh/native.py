@@ -64,6 +64,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, i32p, i64p,
     ]
+    if hasattr(lib, "rdy_slot_pack"):
+        lib.rdy_slot_pack.restype = ctypes.c_int64
+        lib.rdy_slot_pack.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p,
+        ]
     _lib = lib
     return _lib
 
@@ -91,6 +97,33 @@ def extract_edges(
     if n < 0:
         raise ValueError("non-manifold mesh: an edge is shared by >2 cells")
     return left[:n], right[:n], lslot[:n], rslot[:n]
+
+
+def slot_pack(
+    il: np.ndarray, ir: np.ndarray, max_sup: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]]:
+    """Native one-pass slot packing/coloring for the slotted Pallas plan.
+
+    Returns (slot_row, color, tile_of, ws_rows[ntiles], need_sup), raises
+    ValueError when the mesh bandwidth exceeds the window budget, or
+    returns None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rdy_slot_pack"):
+        return None
+    E = len(il)
+    il = np.ascontiguousarray(il, dtype=np.int64)
+    ir = np.ascontiguousarray(ir, dtype=np.int64)
+    slot_row = np.empty(E, np.int64)
+    color = np.empty(E, np.int64)
+    tile_of = np.empty(E, np.int64)
+    ws_rows = np.empty(E, np.int64)
+    need_sup = np.empty(1, np.int64)
+    ntiles = lib.rdy_slot_pack(
+        E, il, ir, max_sup, slot_row, color, tile_of, ws_rows, need_sup
+    )
+    if ntiles < 0:
+        raise ValueError("bandwidth exceeds window budget")
+    return slot_row, color, tile_of, ws_rows[:ntiles], int(need_sup[0])
 
 
 def rcm_order(

@@ -17,11 +17,9 @@ a sublane gather:
 - **R-layout**: a parallel 16 x 128 per-tile layout with lane ==
   `right_cell % 128` (right-state gather is sublane-only there), plus a
   static routing (one 128-lane shuffle + sublane gathers per component)
-  that aligns the gathered right states to the L slots. The route always
-  exists: a slot color k < 16 with (k, laneR) and (k, laneL) both unused
-  can always be found since each lane holds < 8 edges on either side
-  (7 + 7 < 16, a König-type argument), so the host coloring is greedy
-  with no search.
+  that aligns the gathered right states to the L slots: a slot color
+  k < 16 with (k, laneR) and (k, laneL) both unused, assigned greedily;
+  when no color is free the tile simply closes early (padding).
 - The kernel computes Roe fluxes on [8, 128] vregs in the L-layout, and
   *also* emits the fluxes routed to the R-layout (one inverse shuffle).
 - **Cell divergence**: a cell at natural position c sits at lane c % 128 —
@@ -100,6 +98,64 @@ def _cumcount(x: np.ndarray) -> np.ndarray:
     return c
 
 
+def _slot_pack_py(il, ir, max_sup):
+    """Python twin of csrc rdy_slot_pack (one-pass packing + coloring).
+    Returns (slot_row, color, tile_of, ws_rows, need_sup); raises
+    ValueError when a lone edge exceeds the window budget."""
+    E = len(il)
+    slot_row = np.zeros(E, np.int64)
+    color = np.zeros(E, np.int64)
+    tile_of = np.zeros(E, np.int64)
+    ws_list = []
+    cntL = np.zeros(128, np.int64)
+    usedS = np.zeros(128, np.int64)
+    usedD = np.zeros(128, np.int64)
+    count = 0
+    ws_row = 0
+    need_sup = 1
+
+    def open_tile(lo):
+        nonlocal count, ws_row
+        cntL[:] = 0
+        usedS[:] = 0
+        usedD[:] = 0
+        count = 0
+        ws_row = (int(lo) >> 10) << 3
+        ws_list.append(ws_row)
+
+    for e in range(E):
+        l, r = int(il[e]), int(ir[e])
+        lo, hi = (l, r) if l < r else (r, l)
+        a, b = l & 127, r & 127
+        attempt = 0
+        while True:
+            fresh = not ws_list or (count == 0 and attempt > 0)
+            if not ws_list:
+                open_tile(lo)
+            freemask = ~(usedS[b] | usedD[a]) & 0xFFFF
+            fits = (
+                count < TE and cntL[a] < 8 and freemask
+                and ((hi >> 7) - ws_row) < max_sup * 8
+            )
+            if fits:
+                slot_row[e] = cntL[a]
+                cntL[a] += 1
+                k = (int(freemask) & -int(freemask)).bit_length() - 1
+                color[e] = k
+                usedS[b] |= 1 << k
+                usedD[a] |= 1 << k
+                tile_of[e] = len(ws_list) - 1
+                need_sup = max(need_sup, ((hi >> 7) - ws_row) // 8 + 1)
+                count += 1
+                break
+            if fresh:
+                raise ValueError("bandwidth exceeds window budget")
+            open_tile(lo)
+            attempt += 1
+    return (slot_row, color, tile_of,
+            np.asarray(ws_list, np.int64), need_sup)
+
+
 def build_slotted_plan(
     int_left: np.ndarray,
     int_right: np.ndarray,
@@ -121,54 +177,18 @@ def build_slotted_plan(
     laneL = il & 127
     laneR = ir & 127
 
-    # ---- first-fit packing under per-lane caps + window budget ----
-    tiles = []
-    pos = 0
-    while pos < E:
-        n = min(TE, E - pos)
-        bad = (_cumcount(laneL[pos:pos + n]) >= 8) | (
-            _cumcount(laneR[pos:pos + n]) >= RROWS
-        )
-        n_ok = int(np.argmax(bad)) if bad.any() else n
-        while n_ok > 0:
-            seg_il = il[pos:pos + n_ok]
-            seg_ir = ir[pos:pos + n_ok]
-            lo = min(seg_il.min(), seg_ir.min())
-            hi = max(seg_il.max(), seg_ir.max())
-            ws_row = (lo >> 10) << 3  # 8-row aligned window start
-            if (hi >> 7) - ws_row < max_sup * 8:
-                break
-            n_ok -= max(1, n_ok // 8)
-        if n_ok <= 0:
-            return None
-        tiles.append((pos, n_ok))
-        pos += n_ok
+    # ---- one-pass packing + coloring (native, Python twin fallback) ----
+    from ...mesh import native
 
-    ntiles = len(tiles)
-    slot_row = np.zeros(E, np.int64)
-    color = np.zeros(E, np.int64)
-    tile_of = np.zeros(E, np.int64)
-    ws_rows = np.zeros(ntiles, np.int64)
-    need_sup = 1
-    for t, (s0, cnt) in enumerate(tiles):
-        lL = laneL[s0:s0 + cnt]
-        lR = laneR[s0:s0 + cnt]
-        cntL = np.zeros(128, np.int64)
-        usedS = np.zeros(128, np.int64)
-        usedD = np.zeros(128, np.int64)
-        for i in range(cnt):
-            a, b = lL[i], lR[i]
-            slot_row[s0 + i] = cntL[a]
-            cntL[a] += 1
-            free = int(~(usedS[b] | usedD[a]) & 0xFFFF)
-            color[s0 + i] = k = (free & -free).bit_length() - 1
-            usedS[b] |= 1 << k
-            usedD[a] |= 1 << k
-        tile_of[s0:s0 + cnt] = t
-        ws_rows[t] = (min(il[s0:s0 + cnt].min(), ir[s0:s0 + cnt].min())
-                      >> 10) << 3
-        hi_row = max(il[s0:s0 + cnt].max(), ir[s0:s0 + cnt].max()) >> 7
-        need_sup = max(need_sup, int(hi_row - ws_rows[t]) // 8 + 1)
+    try:
+        packed = native.slot_pack(il, ir, max_sup)
+        if packed is None:
+            packed = _slot_pack_py(il, ir, max_sup)
+    except ValueError:
+        return None
+    slot_row, color, tile_of, ws_tile, need_sup = packed
+    ntiles = len(ws_tile)
+    ws_rows = ws_tile[tile_of]  # [E] window start of each edge's tile
 
     R_l, R_r = ntiles * 8, ntiles * RROWS
     supL = np.zeros((R_l, 128), np.int32)
@@ -184,8 +204,8 @@ def build_slotted_plan(
     cc_s = np.zeros((R_l, 128), np.float32)
     slot_edge = np.full(R_l * 128, -1, np.int32)
 
-    rl = il // 128 - ws_rows[tile_of]
-    rr = ir // 128 - ws_rows[tile_of]
+    rl = il // 128 - ws_rows
+    rr = ir // 128 - ws_rows
     rowsL = tile_of * 8 + slot_row
     rowsR = tile_of * RROWS + color
     supL[rowsL, laneL] = rl
@@ -208,7 +228,7 @@ def build_slotted_plan(
 
     return SlottedPlan(
         order=order, ntiles=ntiles, nsup=need_sup,
-        ws=(ws_rows // 8).astype(np.int32),
+        ws=(ws_tile // 8).astype(np.int32),
         supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
         validL=validL, validR=validR, cn=cn_s, sn=sn_s,
         courant_coef=cc_s, slot_edge=slot_edge,
@@ -493,7 +513,7 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, interpret=False):
 
 # --------------------------------------------------------- operator glue
 
-def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 8,
+def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
                       interpret: bool = False):
     """Rebuild an SWEOperator with the slot-routed Pallas backend.
 
