@@ -153,6 +153,10 @@ class SWEOperator:
     # windowed TPU kernel); the twin-backend pattern mirrors the reference's
     # PETSc/CEED split and is load-bearing for testing
     edge_flux_backend: str = "xla"
+    # host-side (numpy) copies of the arrays the Pallas plan builder needs;
+    # reading device arrays back through the axon relay can take minutes,
+    # so to_pallas_backend must never do a device->host round trip
+    host_arrays: object = None
     pallas_nsup: int = 0  # q-window supers (slot-routed kernel)
     pallas_cd_nsup_l: int = 0  # fluxL window supers (divergence kernel)
     pallas_cd_nsup_r: int = 0
@@ -430,6 +434,26 @@ class SWEOperator:
         h, hu, hv = q[0], q[1], q[2]
         hci = q[3:]
 
+        use_pallas = (
+            self.edge_flux_backend == "pallas"
+            and a.pl_supL is not None
+            and not self.second_order
+            and not self.well_balancing_hr
+            and not self.well_balancing_bs2002
+        )
+        slotted_flux = None
+        if use_pallas:
+            from .ops.pallas.slotted import edge_flux_slotted
+
+            slotted_flux = edge_flux_slotted(
+                a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
+                ndof=ndof, upwind=upwind, interpret=self.pallas_interpret,
+            )
+            fi = amax_i = None
+            return self._finish_tracer(
+                q, dt, boundary_values, ext_src, fi, amax_i, slotted_flux
+            )
+
         # ---- interior edges ------------------------------------------------
         il, ir = a.int_left, a.int_right
         hl, hr = h[il], h[ir]
@@ -461,6 +485,25 @@ class SWEOperator:
             mask_i = ((hl > tiny_h) | (hr > tiny_h)).astype(dtype)
         fi = jnp.concatenate([f_flow, f_tr], axis=0) * mask_i
         amax_i = amax_i * mask_i
+        return self._finish_tracer(
+            q, dt, boundary_values, ext_src, fi, amax_i, None
+        )
+
+    def _finish_tracer(
+        self, q, dt, boundary_values, ext_src, fi, amax_i, slotted_flux
+    ) -> RHSResult:
+        from .ops.tracer.flux import safe_div, tracer_roe_flux
+        from .ops.tracer.sources import SedimentParams, tracer_source_terms
+
+        a = self.arrays
+        dtype = q.dtype
+        tiny_h = jnp.asarray(self.tiny_h, dtype)
+        h_anuga = jnp.asarray(self.h_anuga, dtype)
+        nt = self.num_tracers
+        ndof = 3 + nt
+        upwind = self.riemann == "upwind_roe"
+        h, hu, hv = q[0], q[1], q[2]
+        hci = q[3:]
 
         # ---- boundary edges per segment ------------------------------------
         hb = h[a.bnd_left]
@@ -514,9 +557,28 @@ class SWEOperator:
             amax_b = jnp.zeros((0,), dtype)
 
         # ---- cell gather ---------------------------------------------------
-        flux_all = jnp.concatenate([fi, fb, jnp.zeros((ndof, 1), dtype)], axis=1)
-        gathered = flux_all[:, a.cell_edges]
-        flux_div = (gathered * a.cell_edge_coef).sum(axis=-1)
+        if slotted_flux is not None:
+            from .ops.pallas.slotted import cell_div_slotted
+
+            div = cell_div_slotted(
+                a, slotted_flux[0], slotted_flux[1],
+                self.pallas_cd_nsup_l, self.pallas_cd_nsup_r, ncomp=ndof,
+                interpret=self.pallas_interpret,
+            )
+            flux_div = (
+                div.transpose(1, 0, 2)
+                .reshape(ndof, -1)[:, : self.num_cells]
+                .astype(dtype)
+            )
+            if self.num_boundary_edges:
+                coefb = -a.bnd_len / a.area[a.bnd_left]
+                flux_div = flux_div.at[:, a.bnd_left].add(fb * coefb)
+        else:
+            flux_all = jnp.concatenate(
+                [fi, fb, jnp.zeros((ndof, 1), dtype)], axis=1
+            )
+            gathered = flux_all[:, a.cell_edges]
+            flux_div = (gathered * a.cell_edge_coef).sum(axis=-1)
 
         if self.well_balancing_hr:
             # hydrostatic pressure correction on the momentum rows
@@ -527,10 +589,28 @@ class SWEOperator:
             flux_div = flux_div.at[:3].add(corr)
 
         # ---- Courant diagnostics -------------------------------------------
-        amax_all = jnp.concatenate([amax_i, amax_b])
-        courant_per_dt = amax_all * a.edge_courant_coef
-        max_courant_per_dt = courant_per_dt.max()
-        courant_edge = jnp.argmax(courant_per_dt).astype(jnp.int32)
+        if slotted_flux is not None:
+            Ei = self.num_internal_edges
+            ci = (slotted_flux[0][:, ndof, :] * a.pl_courant_coef).reshape(-1)
+            mi = ci.max()
+            ei = a.pl_slot_edge[jnp.argmax(ci)]
+            if self.num_boundary_edges:
+                cb = amax_b.astype(jnp.float32) * jnp.asarray(
+                    a.edge_courant_coef[Ei:], jnp.float32
+                )
+                mb = cb.max()
+                max_courant_per_dt = jnp.maximum(mi, mb).astype(dtype)
+                courant_edge = jnp.where(
+                    mi >= mb, ei, Ei + jnp.argmax(cb).astype(jnp.int32)
+                )
+            else:
+                max_courant_per_dt = mi.astype(dtype)
+                courant_edge = ei
+        else:
+            amax_all = jnp.concatenate([amax_i, amax_b])
+            courant_per_dt = amax_all * a.edge_courant_coef
+            max_courant_per_dt = courant_per_dt.max()
+            courant_edge = jnp.argmax(courant_per_dt).astype(jnp.int32)
 
         # ---- sources -------------------------------------------------------
         rhs_src, prim = tracer_source_terms(
@@ -746,8 +826,19 @@ def build_operator(
         **bs_fields,
     )
 
+    host_arrays = dict(
+        int_left=np.asarray(left[:Ei]),
+        int_right=np.asarray(right[:Ei]),
+        int_cn=np.asarray(mesh.edge_cn[edge_perm][:Ei]),
+        int_sn=np.asarray(mesh.edge_sn[edge_perm][:Ei]),
+        cell_edges=np.asarray(cell_edges),
+        cell_edge_coef=np.asarray(coef),
+        edge_courant_coef=np.asarray(ccoef),
+    )
+
     return SWEOperator(
         arrays=arrays,
+        host_arrays=host_arrays,
         segments=tuple(segments),
         num_cells=C,
         num_internal_edges=Ei,

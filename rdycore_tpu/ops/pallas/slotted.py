@@ -315,7 +315,7 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
 
 def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
                  vL_ref, vR_ref, cn_ref, sn_ref, *rest,
-                 nsup, tiny_h, h_anuga):
+                 nsup, ndof, upwind, tiny_h, h_anuga):
     q_refs = rest[:nsup]
     oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
 
@@ -327,7 +327,7 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
     g = g_ref[:, :]
 
     qs = []
-    for comp in range(3):
+    for comp in range(ndof):
         qL = _window_gather(q_refs, supL, comp, nsup)
         z1a = _window_gather(q_refs, supR0, comp, nsup)
         z1b = _window_gather(q_refs, supR1, comp, nsup)
@@ -338,19 +338,31 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
         qR = jnp.where(g < 8, ya, yb)
         qs.append((qL, qR))
 
-    (hl, hr), (hul, hur), (hvl, hvr) = qs
+    (hl, hr), (hul, hur), (hvl, hvr) = qs[:3]
     ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
     ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
-    f_h, f_hu, f_hv, amax = roe_flux(
-        hl, ul, vl, hr, ur, vr, sn_ref[:, :], cn_ref[:, :]
-    )
+    sn = sn_ref[:, :]
+    cn = cn_ref[:, :]
+    if ndof == 3:
+        f_h, f_hu, f_hv, amax = roe_flux(hl, ul, vl, hr, ur, vr, sn, cn)
+        flux_list = [f_h, f_hu, f_hv]
+    else:
+        from ..tracer.flux import safe_div, tracer_roe_flux
+
+        cil = jnp.stack([safe_div(c[0], hl, hl, tiny_h) for c in qs[3:]])
+        cir = jnp.stack([safe_div(c[1], hr, hr, tiny_h) for c in qs[3:]])
+        f_flow, f_tr, amax = tracer_roe_flux(
+            hl, ul, vl, cil, hr, ur, vr, cir, sn, cn, upwind
+        )
+        flux_list = [f_flow[0], f_flow[1], f_flow[2]] + [
+            f_tr[j] for j in range(ndof - 3)
+        ]
     dry = (hl < tiny_h) & (hr < tiny_h)
     mask = jnp.where(dry, 0.0, vL_ref[:, :])
-    fluxes = (f_h * mask, f_hu * mask, f_hv * mask)
-    oL_ref[:, 0, :] = fluxes[0]
-    oL_ref[:, 1, :] = fluxes[1]
-    oL_ref[:, 2, :] = fluxes[2]
-    oL_ref[:, 3, :] = amax * mask
+    fluxes = [f * mask for f in flux_list]
+    for comp in range(ndof):
+        oL_ref[:, comp, :] = fluxes[comp]
+    oL_ref[:, ndof, :] = amax * mask
 
     # route fluxes into the R-layout for the divergence kernel
     gi0 = gi_ref[0:8, :]
@@ -358,7 +370,7 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
     mi0 = mi_ref[0:8, :]
     mi1 = mi_ref[8:16, :]
     vR = vR_ref[:, :]
-    for comp in range(3):
+    for comp in range(ndof):
         fL = fluxes[comp]
         u0 = jnp.take_along_axis(fL, gi0, axis=0)
         u1 = jnp.take_along_axis(fL, gi1, axis=0)
@@ -371,21 +383,22 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
 
 
 def edge_flux_slotted(
-    arrays, q, tiny_h, h_anuga, nsup, interpret=False,
+    arrays, q, tiny_h, h_anuga, nsup, ndof=3, upwind=False, interpret=False,
 ):
     """Run the slot-routed edge kernel.
 
-    q: [>=3, C] f32. Returns (fluxL [ntiles*8, 4, 128] with rows
-    f_h/f_hu/f_hv/amax, fluxR [ntiles*16, 3, 128])."""
+    q: [>=ndof, C] f32 (rows 0..2 flow, 3.. tracers). Returns
+    (fluxL [ntiles*8, ndof+1, 128] with the last row = amax,
+    fluxR [ntiles*16, ndof, 128])."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
     C = q.shape[1]
     Crows = -(-C // 128)
-    q32 = q[:3].astype(jnp.float32)
+    q32 = q[:ndof].astype(jnp.float32)
     if C % 128:
         q32 = jnp.pad(q32, ((0, 0), (0, Crows * 128 - C)))
     q2d = jnp.pad(
-        q32.reshape(3, Crows, 128), ((0, 0), (0, nsup * 8 + 8), (0, 0))
+        q32.reshape(ndof, Crows, 128), ((0, 0), (0, nsup * 8 + 8), (0, 0))
     )
 
     in_specs = [
@@ -400,7 +413,7 @@ def edge_flux_slotted(
         pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # cn
         pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # sn
     ] + [
-        pl.BlockSpec((3, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
+        pl.BlockSpec((ndof, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
         for s in range(nsup)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -408,19 +421,19 @@ def edge_flux_slotted(
         grid=(ntiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((8, 4, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((8, ndof + 1, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((RROWS, ndof, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
     f = pl.pallas_call(
         functools.partial(
-            _edge_kernel, nsup=nsup,
+            _edge_kernel, nsup=nsup, ndof=ndof, upwind=bool(upwind),
             tiny_h=float(tiny_h), h_anuga=float(h_anuga),
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles * 8, 4, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * RROWS, 3, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, ndof + 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * RROWS, ndof, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -435,18 +448,18 @@ def edge_flux_slotted(
 
 
 def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
-                 nsupL, nsupR, KL, KR):
+                 nsupL, nsupR, KL, KR, ncomp):
     fL_refs = rest[:nsupL]
     fR_refs = rest[nsupL:nsupL + nsupR]
     o_ref = rest[nsupL + nsupR]
 
-    acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
+    acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ncomp)]
 
     def side(refs, s_ref, c_ref, K, nsup):
         for k in range(K):
             sup = s_ref[k]
             cf = c_ref[k]
-            for comp in range(3):
+            for comp in range(ncomp):
                 gat = jnp.zeros((8, 128), jnp.float32)
                 for s in range(nsup):
                     src = refs[s][:, comp, :]
@@ -458,15 +471,16 @@ def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
 
     side(fL_refs, sL_ref, cL_ref, KL, nsupL)
     side(fR_refs, sR_ref, cR_ref, KR, nsupR)
-    for comp in range(3):
+    for comp in range(ncomp):
         o_ref[:, comp, :] = acc[comp]
 
 
-def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, interpret=False):
+def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
+                     interpret=False):
     """Flux divergence from the two slotted flux layouts.
 
-    Returns [Ct*8, 3, 128]; flatten with
-    `out.transpose(1, 0, 2).reshape(3, -1)[:, :C]`."""
+    Returns [Ct*8, ncomp, 128]; flatten with
+    `out.transpose(1, 0, 2).reshape(ncomp, -1)[:, :C]`."""
     supL = arrays.pl_cd_supL
     KL, RcL, _ = supL.shape
     KR = arrays.pl_cd_supR.shape[0]
@@ -480,24 +494,29 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, interpret=False):
         pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
         pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
     ] + [
-        pl.BlockSpec((8, 4, 128), lambda t, wl, wr, s=s: (wl[t] + s, 0, 0))
+        pl.BlockSpec(
+            (8, ncomp + 1, 128), lambda t, wl, wr, s=s: (wl[t] + s, 0, 0)
+        )
         for s in range(nsupL)
     ] + [
-        pl.BlockSpec((8, 3, 128), lambda t, wl, wr, s=s: (wr[t] + s, 0, 0))
+        pl.BlockSpec(
+            (8, ncomp, 128), lambda t, wl, wr, s=s: (wr[t] + s, 0, 0)
+        )
         for s in range(nsupR)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Ct,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, 3, 128), lambda t, wl, wr: (t, 0, 0)),
+        out_specs=pl.BlockSpec((8, ncomp, 128), lambda t, wl, wr: (t, 0, 0)),
     )
     f = pl.pallas_call(
         functools.partial(
-            _cell_kernel, nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR
+            _cell_kernel, nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR,
+            ncomp=ncomp,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Ct * 8, 3, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Ct * 8, ncomp, 128), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
         ),
@@ -522,19 +541,26 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     the mesh's bandwidth exceeds the static window budget (use
     cell_ordering: rcm) or an unsupported feature is enabled.
     """
-    if op.num_tracers or op.second_order or op.well_balancing_hr \
-            or op.well_balancing_bs2002:
+    if op.second_order or op.well_balancing_hr or op.well_balancing_bs2002:
         return op
     a = op.arrays
     Ei = op.num_internal_edges
     if Ei == 0:
         return op
-    il = np.asarray(a.int_left)
-    ir = np.asarray(a.int_right)
+    # host numpy copies (build_operator keeps them): NEVER np.asarray a
+    # device array here -- a device->host readback through the axon relay
+    # has been observed to take minutes
+    ha = op.host_arrays or {}
+    asnp = lambda key, dev: ha[key] if key in ha else np.asarray(dev)
+    il = asnp("int_left", a.int_left)
+    ir = asnp("int_right", a.int_right)
+    cn_h = asnp("int_cn", a.int_cn)
+    sn_h = asnp("int_sn", a.int_sn)
+    ccoef_h = asnp("edge_courant_coef", a.edge_courant_coef)
 
     plan = build_slotted_plan(
-        il, ir, np.asarray(a.int_cn), np.asarray(a.int_sn),
-        np.asarray(a.edge_courant_coef)[:Ei], op.num_cells, max_sup=max_sup,
+        il, ir, cn_h, sn_h,
+        ccoef_h[:Ei], op.num_cells, max_sup=max_sup,
     )
     if plan is None:
         return op
@@ -545,8 +571,8 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
 
     # per-edge signed len/area coefficients wrt the left and right cells,
     # extracted from the operator's gather maps (robust to conventions)
-    ce = np.asarray(a.cell_edges)  # [C, K] into [0, E]
-    coef = np.asarray(a.cell_edge_coef)
+    ce = asnp("cell_edges", a.cell_edges)  # [C, K] into [0, E]
+    coef = asnp("cell_edge_coef", a.cell_edge_coef)
     C, K = ce.shape
     coefL = np.zeros(Ei)
     coefR = np.zeros(Ei)
@@ -575,27 +601,36 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
 
     j = lambda x, dt: jnp.asarray(x, dt)
     f32 = lambda x: jnp.asarray(x, a.int_cn.dtype)
+    host2 = dict(ha)
+    host2.update(
+        int_left=il_s, int_right=ir_s,
+        int_cn=cn_h[order], int_sn=sn_h[order],
+        cell_edges=ce_new,
+        edge_courant_coef=np.concatenate(
+            [ccoef_h[:Ei][order], ccoef_h[Ei:]]
+        ),
+    )
+    # NOTE: keep these as plain host->device transfers. Widening on device
+    # (i8 transfer + device astype) looks attractive but each tiny cast is
+    # its own XLA program: a dozen remote compiles cost ~45 s on the axon
+    # relay, while the extra transfer bytes cost < 0.3 s.
+    ji = lambda x: jnp.asarray(x, jnp.int32)
     arrays = a._replace(
         int_left=j(il_s, jnp.int32),
         int_right=j(ir_s, jnp.int32),
-        int_cn=f32(np.asarray(a.int_cn)[order]),
-        int_sn=f32(np.asarray(a.int_sn)[order]),
+        int_cn=f32(cn_h[order]),
+        int_sn=f32(sn_h[order]),
         cell_edges=j(ce_new, jnp.int32),
         edge_courant_coef=f32(
-            np.concatenate(
-                [
-                    np.asarray(a.edge_courant_coef)[:Ei][order],
-                    np.asarray(a.edge_courant_coef)[Ei:],
-                ]
-            )
+            np.concatenate([ccoef_h[:Ei][order], ccoef_h[Ei:]])
         ),
         pl_ws=j(plan.ws, jnp.int32),
-        pl_supL=j(plan.supL, jnp.int32),
-        pl_supR=j(plan.supR, jnp.int32),
-        pl_m=j(plan.m, jnp.int32),
-        pl_g=j(plan.g, jnp.int32),
-        pl_gi=j(plan.gi, jnp.int32),
-        pl_mi=j(plan.mi, jnp.int32),
+        pl_supL=ji(plan.supL),
+        pl_supR=ji(plan.supR),
+        pl_m=ji(plan.m),
+        pl_g=ji(plan.g),
+        pl_gi=ji(plan.gi),
+        pl_mi=ji(plan.mi),
         pl_validL=j(plan.validL, jnp.float32),
         pl_validR=j(plan.validR, jnp.float32),
         pl_cn=j(plan.cn, jnp.float32),
@@ -604,14 +639,15 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         pl_slot_edge=j(plan.slot_edge, jnp.int32),
         pl_cd_wsL=j(cell_plan.wsL, jnp.int32),
         pl_cd_wsR=j(cell_plan.wsR, jnp.int32),
-        pl_cd_supL=j(cell_plan.supL, jnp.int32),
+        pl_cd_supL=ji(cell_plan.supL),
         pl_cd_cfL=j(cell_plan.cfL, jnp.float32),
-        pl_cd_supR=j(cell_plan.supR, jnp.int32),
+        pl_cd_supR=ji(cell_plan.supR),
         pl_cd_cfR=j(cell_plan.cfR, jnp.float32),
     )
     return dataclasses.replace(
         op,
         arrays=arrays,
+        host_arrays=host2,
         edge_flux_backend="pallas",
         pallas_nsup=plan.nsup,
         pallas_cd_nsup_l=cell_plan.nsupL,

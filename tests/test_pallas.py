@@ -136,3 +136,39 @@ def test_pallas_simulation_config_surface():
         sims["pallas"].get_solution(), sims["xla"].get_solution(),
         rtol=0, atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("riemann", ["roe", "upwind_roe"])
+def test_pallas_tracer_matches_xla(riemann):
+    """Coupled flow+sediment+salinity RHS through the slotted kernels
+    matches the XLA twin (ndof = 6)."""
+    mesh = structured_quad(40, 24)
+    rng = np.random.default_rng(3)
+    C = mesh.num_cells
+    kw = dict(
+        mannings_n=np.full(C, 0.02), num_tracers=3, num_sediment=2,
+        riemann=riemann, dtype=jnp.float32,
+    )
+    op = build_operator(mesh, **kw)
+    op_p = to_pallas_backend(op, max_sup=2, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+
+    q = np.zeros((6, C), np.float32)
+    q[0] = (1.0 + rng.random(C)).astype(np.float32)
+    q[1] = 0.3 * rng.standard_normal(C).astype(np.float32)
+    q[2] = 0.3 * rng.standard_normal(C).astype(np.float32)
+    q[3:] = (0.1 * rng.random((3, C)) * q[0]).astype(np.float32)
+    q[:, 50:80] = 0.0  # dry block
+    q = jnp.asarray(q)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
