@@ -24,7 +24,13 @@ import time
 
 import numpy as np
 
-ROOFLINE = 4.0e9  # practical cell-updates/s/chip target on v5e (see docstring)
+# vs_baseline denominator: the measured throughput of the plain XLA
+# structured path on this same chip (1.22e9 cell-updates/s at 2.88M cells,
+# BASELINE.md) -- i.e. what a straightforward non-kernel port achieves. The
+# reference publishes no absolute numbers (BASELINE.md), so this is the
+# self-defined baseline; the practical Pallas target remains ~4e9 (HBM
+# roofline ~1.1e10, docstring above).
+BASELINE = 1.22e9
 
 
 def main():
@@ -268,7 +274,7 @@ def main():
         "metric": f"swe_cell_updates_per_sec_per_chip_{mode}",
         "value": round(updates_per_s, 1),
         "unit": "cell-updates/s",
-        "vs_baseline": round(updates_per_s / ROOFLINE, 4),
+        "vs_baseline": round(updates_per_s / BASELINE, 4),
     }
     print(json.dumps(out))
     print(

@@ -110,6 +110,15 @@ class OperatorArrays(NamedTuple):
     pl_cd_cfL: jnp.ndarray = None  # [KL, ctiles*8, 128] f32
     pl_cd_supR: jnp.ndarray = None
     pl_cd_cfR: jnp.ndarray = None
+    # MUSCL second-order plan arrays (None unless second_order)
+    pl_dxl: jnp.ndarray = None  # slotted centroid->midpoint displacements
+    pl_dyl: jnp.ndarray = None
+    pl_dxr: jnp.ndarray = None
+    pl_dyr: jnp.ndarray = None
+    pl_cd_cxL: jnp.ndarray = None  # [KL, ctiles*8, 128] LS gradient coefs
+    pl_cd_cyL: jnp.ndarray = None
+    pl_cd_cxR: jnp.ndarray = None
+    pl_cd_cyR: jnp.ndarray = None
 
 
 class RHSResult(NamedTuple):
@@ -195,17 +204,24 @@ class SWEOperator:
         use_pallas = (
             self.edge_flux_backend == "pallas"
             and a.pl_supL is not None
-            and not self.second_order
             and not self.well_balancing_hr
             and not self.well_balancing_bs2002
+            and (not self.second_order or a.pl_dxl is not None)
         )
         if use_pallas:
-            from .ops.pallas.slotted import edge_flux_slotted
+            if self.second_order:
+                from .ops.pallas.slotted import edge_flux_muscl_slotted
 
-            fluxL, fluxR = edge_flux_slotted(
-                a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
-                interpret=self.pallas_interpret,
-            )
+                fluxL, fluxR = edge_flux_muscl_slotted(
+                    self, q, interpret=self.pallas_interpret
+                )
+            else:
+                from .ops.pallas.slotted import edge_flux_slotted
+
+                fluxL, fluxR = edge_flux_slotted(
+                    a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
+                    interpret=self.pallas_interpret,
+                )
             return self._finish_apply(
                 q, dt, boundary_values, ext_src,
                 None, None, None, None, slotted_flux=(fluxL, fluxR),
@@ -804,6 +820,13 @@ def build_operator(
             int_dxr=f(dxr),
             int_dyr=f(dyr),
         )
+        muscl_host = dict(
+            cell_ls_cx=np.asarray(cx), cell_ls_cy=np.asarray(cy),
+            int_dxl=np.asarray(dxl), int_dyl=np.asarray(dyl),
+            int_dxr=np.asarray(dxr), int_dyr=np.asarray(dyr),
+        )
+    else:
+        muscl_host = {}
 
     arrays = OperatorArrays(
         area=f(area),
@@ -834,6 +857,7 @@ def build_operator(
         cell_edges=np.asarray(cell_edges),
         cell_edge_coef=np.asarray(coef),
         edge_courant_coef=np.asarray(ccoef),
+        **muscl_host,
     )
 
     return SWEOperator(

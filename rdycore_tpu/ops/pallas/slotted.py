@@ -292,11 +292,26 @@ def build_cell_plan(
     supRc[kR, crowR, claneR] = (rowR - wsR[ctile_r]).astype(np.int32)
     cfR[kR, crowR, claneR] = coefR.astype(np.float32)
 
-    return CellPlan(
+    def slot_coefs(valsL, valsR):
+        """Fill extra per-edge-side coefficient sets with the same
+        (cell, slot) indexing (for the MUSCL LS-gradient kernel)."""
+        outL, outR = [], []
+        for v in valsL:
+            arr = np.zeros((KL, Ct * 8, 128), np.float32)
+            arr[kL, crowL, claneL] = v.astype(np.float32)
+            outL.append(arr)
+        for v in valsR:
+            arr = np.zeros((KR, Ct * 8, 128), np.float32)
+            arr[kR, crowR, claneR] = v.astype(np.float32)
+            outR.append(arr)
+        return outL, outR
+
+    cp = CellPlan(
         ntiles=Ct, nsupL=nsupL, nsupR=nsupR,
         wsL=(wsL // 8).astype(np.int32), wsR=(wsR // 8).astype(np.int32),
         supL=supLc, cfL=cfL, supR=supRc, cfR=cfR,
     )
+    return cp, slot_coefs
 
 
 # --------------------------------------------------------------- kernels
@@ -530,6 +545,352 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
     )
 
 
+
+# ---------------------------------------------------- MUSCL (second order)
+
+def _muscl_pre_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
+                      mi_ref, vL_ref, vR_ref, *rest, nsup):
+    """Gather qL/qR per edge slot and emit (qL, qR) in the L-layout plus
+    dq = qR - qL in both layouts (for the LS gradient kernel)."""
+    q_refs = rest[:nsup]
+    oQ_ref, oDqL_ref, oDqR_ref = rest[nsup], rest[nsup + 1], rest[nsup + 2]
+
+    supL = supL_ref[:, :]
+    supR0 = supR_ref[0:8, :]
+    supR1 = supR_ref[8:16, :]
+    mm0 = m_ref[0:8, :]
+    mm1 = m_ref[8:16, :]
+    g = g_ref[:, :]
+    gi0 = gi_ref[0:8, :]
+    gi1 = gi_ref[8:16, :]
+    mi0 = mi_ref[0:8, :]
+    mi1 = mi_ref[8:16, :]
+    vL = vL_ref[:, :]
+    vR = vR_ref[:, :]
+
+    for comp in range(3):
+        qL = _window_gather(q_refs, supL, comp, nsup)
+        z1a = _window_gather(q_refs, supR0, comp, nsup)
+        z1b = _window_gather(q_refs, supR1, comp, nsup)
+        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+        z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+        yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+        qR = jnp.where(g < 8, ya, yb)
+        dq = (qR - qL) * vL
+        oQ_ref[:, comp, :] = qL
+        oQ_ref[:, 3 + comp, :] = qR
+        oDqL_ref[:, comp, :] = dq
+        u0 = jnp.take_along_axis(dq, gi0, axis=0)
+        u1 = jnp.take_along_axis(dq, gi1, axis=0)
+        oDqR_ref[0:8, comp, :] = jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
+        oDqR_ref[8:16, comp, :] = jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
+
+
+def muscl_pre_slotted(arrays, q, nsup, interpret=False):
+    """Returns (oQ [R8, 6, 128] = (qL, qR), dqL [R8, 3, 128],
+    dqR [R16, 3, 128])."""
+    supL = arrays.pl_supL
+    ntiles = supL.shape[0] // 8
+    C = q.shape[1]
+    Crows = -(-C // 128)
+    q32 = q[:3].astype(jnp.float32)
+    if C % 128:
+        q32 = jnp.pad(q32, ((0, 0), (0, Crows * 128 - C)))
+    q2d = jnp.pad(
+        q32.reshape(3, Crows, 128), ((0, 0), (0, nsup * 8 + 8), (0, 0))
+    )
+    in_specs = [
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # supL
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # g
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # validL
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # validR
+    ] + [
+        pl.BlockSpec((3, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
+        for s in range(nsup)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((8, 6, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((8, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+        ],
+    )
+    f = pl.pallas_call(
+        functools.partial(_muscl_pre_kernel, nsup=nsup),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles * 8, 6, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, 3, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * RROWS, 3, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    return f(
+        arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
+        arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
+        *([q2d] * nsup),
+    )
+
+
+def _grad_kernel(wsl_ref, wsr_ref, sL_ref, cxL_ref, cyL_ref, sR_ref,
+                 cxR_ref, cyR_ref, *rest, nsupL, nsupR, KL, KR):
+    """Least-squares cell gradients: grad[c] += coef * dq over incident
+    edges (the reference scatter in gather form; muscl.py docstring)."""
+    dL_refs = rest[:nsupL]
+    dR_refs = rest[nsupL:nsupL + nsupR]
+    o_ref = rest[nsupL + nsupR]
+
+    gx = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
+    gy = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
+
+    def side(refs, s_ref, cx_ref, cy_ref, K, nsup):
+        for k in range(K):
+            sup = s_ref[k]
+            cx = cx_ref[k]
+            cy = cy_ref[k]
+            for comp in range(3):
+                gat = jnp.zeros((8, 128), jnp.float32)
+                for s in range(nsup):
+                    src = refs[s][:, comp, :]
+                    gg = jnp.take_along_axis(
+                        src, jnp.clip(sup - s * 8, 0, 7), axis=0
+                    )
+                    gat = jnp.where((sup >> 3) == s, gg, gat)
+                gx[comp] = gx[comp] + gat * cx
+                gy[comp] = gy[comp] + gat * cy
+
+    side(dL_refs, sL_ref, cxL_ref, cyL_ref, KL, nsupL)
+    side(dR_refs, sR_ref, cxR_ref, cyR_ref, KR, nsupR)
+    for comp in range(3):
+        o_ref[:, comp, :] = gx[comp]
+        o_ref[:, 3 + comp, :] = gy[comp]
+
+
+def muscl_grad_slotted(arrays, dqL, dqR, nsupL, nsupR, interpret=False):
+    """Returns cell gradients [Ct*8, 6, 128] = (gx_h..gx_hv, gy_h..gy_hv)."""
+    supL = arrays.pl_cd_supL
+    KL, RcL, _ = supL.shape
+    KR = arrays.pl_cd_supR.shape[0]
+    Ct = RcL // 8
+    dqL = jnp.pad(dqL, ((0, nsupL * 8 + 8), (0, 0), (0, 0)))
+    dqR = jnp.pad(dqR, ((0, nsupR * 8 + RROWS), (0, 0), (0, 0)))
+    in_specs = [
+        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
+    ] + [
+        pl.BlockSpec((8, 3, 128), lambda t, wl, wr, s=s: (wl[t] + s, 0, 0))
+        for s in range(nsupL)
+    ] + [
+        pl.BlockSpec((8, 3, 128), lambda t, wl, wr, s=s: (wr[t] + s, 0, 0))
+        for s in range(nsupR)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Ct,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((8, 6, 128), lambda t, wl, wr: (t, 0, 0)),
+    )
+    f = pl.pallas_call(
+        functools.partial(
+            _grad_kernel, nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Ct * 8, 6, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    return f(
+        arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_cd_supL, arrays.pl_cd_cxL, arrays.pl_cd_cyL,
+        arrays.pl_cd_supR, arrays.pl_cd_cxR, arrays.pl_cd_cyR,
+        *([dqL] * nsupL), *([dqR] * nsupR),
+    )
+
+
+def _limit(limiter, extrap, half_dq):
+    if limiter == "none":
+        return extrap
+    prod = extrap * half_dq
+    if limiter == "van_leer":
+        ssum = extrap + half_dq
+        s_safe = jnp.where(ssum != 0.0, ssum, 1.0)
+        return jnp.where(prod > 0.0, 2.0 * prod / s_safe, 0.0)
+    return jnp.where(
+        prod <= 0.0,
+        0.0,
+        jnp.where(jnp.abs(extrap) < jnp.abs(half_dq), extrap, half_dq),
+    )
+
+
+def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
+                       mi_ref, vL_ref, vR_ref, cn_ref, sn_ref,
+                       dxl_ref, dyl_ref, dxr_ref, dyr_ref, oq_ref, dql_ref,
+                       *rest, nsup, limiter, tiny_h, h_anuga):
+    """Reconstruct limited face states from cell gradients and solve Roe."""
+    g_refs = rest[:nsup]
+    oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
+
+    supL = supL_ref[:, :]
+    supR0 = supR_ref[0:8, :]
+    supR1 = supR_ref[8:16, :]
+    mm0 = m_ref[0:8, :]
+    mm1 = m_ref[8:16, :]
+    g = g_ref[:, :]
+
+    def gatherLR(comp):
+        gL = _window_gather(g_refs, supL, comp, nsup)
+        z1a = _window_gather(g_refs, supR0, comp, nsup)
+        z1b = _window_gather(g_refs, supR1, comp, nsup)
+        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+        z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+        yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+        gR = jnp.where(g < 8, ya, yb)
+        return gL, gR
+
+    dxl = dxl_ref[:, :]
+    dyl = dyl_ref[:, :]
+    dxr = dxr_ref[:, :]
+    dyr = dyr_ref[:, :]
+
+    qf = []
+    for comp in range(3):
+        gxL, gxR = gatherLR(comp)
+        gyL, gyR = gatherLR(3 + comp)
+        qL = oq_ref[:, comp, :]
+        qR = oq_ref[:, 3 + comp, :]
+        dq = dql_ref[:, comp, :]
+        extrap_L = gxL * dxl + gyL * dyl
+        extrap_R = gxR * dxr + gyR * dyr
+        qfL = qL + _limit(limiter, extrap_L, 0.5 * dq)
+        qfR = qR + _limit(limiter, extrap_R, -0.5 * dq)
+        qf.append((qfL, qfR))
+
+    (hl, hr), (hul, hur), (hvl, hvr) = qf
+    hl = jnp.maximum(0.0, hl)
+    hr = jnp.maximum(0.0, hr)
+    ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
+    ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
+    f_h, f_hu, f_hv, amax = roe_flux(
+        hl, ul, vl, hr, ur, vr, sn_ref[:, :], cn_ref[:, :]
+    )
+    dry = (hl < tiny_h) & (hr < tiny_h)
+    mask = jnp.where(dry, 0.0, vL_ref[:, :])
+    fluxes = (f_h * mask, f_hu * mask, f_hv * mask)
+    oL_ref[:, 0, :] = fluxes[0]
+    oL_ref[:, 1, :] = fluxes[1]
+    oL_ref[:, 2, :] = fluxes[2]
+    oL_ref[:, 3, :] = amax * mask
+
+    gi0 = gi_ref[0:8, :]
+    gi1 = gi_ref[8:16, :]
+    mi0 = mi_ref[0:8, :]
+    mi1 = mi_ref[8:16, :]
+    vR = vR_ref[:, :]
+    for comp in range(3):
+        fL = fluxes[comp]
+        u0 = jnp.take_along_axis(fL, gi0, axis=0)
+        u1 = jnp.take_along_axis(fL, gi1, axis=0)
+        oR_ref[0:8, comp, :] = jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
+        oR_ref[8:16, comp, :] = jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
+
+
+def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
+                       limiter, interpret=False):
+    """grad: [Ct*8, 6, 128] from muscl_grad_slotted. Returns
+    (fluxL [R8, 4, 128], fluxR [R16, 3, 128]) like edge_flux_slotted."""
+    supL = arrays.pl_supL
+    ntiles = supL.shape[0] // 8
+    # cell-major -> comp-major (the edge gather machinery reads
+    # [comp, cell_row, 128] blocks, same layout as q2d)
+    g2d = jnp.pad(
+        grad.transpose(1, 0, 2), ((0, 0), (0, nsup * 8 + 8), (0, 0))
+    )
+    in_specs = [
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # supL
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # g
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # validL
+        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # cn
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # sn
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dxl
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dyl
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dxr
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dyr
+        pl.BlockSpec((8, 6, 128), lambda t, ws: (t, 0, 0)),  # oQ
+        pl.BlockSpec((8, 3, 128), lambda t, ws: (t, 0, 0)),  # dqL
+    ] + [
+        pl.BlockSpec((6, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
+        for s in range(nsup)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((8, 4, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+        ],
+    )
+    f = pl.pallas_call(
+        functools.partial(
+            _muscl_flux_kernel, nsup=nsup, limiter=limiter,
+            tiny_h=float(tiny_h), h_anuga=float(h_anuga),
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles * 8, 4, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * RROWS, 3, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    return f(
+        arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
+        arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
+        arrays.pl_cn, arrays.pl_sn,
+        arrays.pl_dxl, arrays.pl_dyl, arrays.pl_dxr, arrays.pl_dyr,
+        oQ, dqL, *([g2d] * nsup),
+    )
+
+
+def edge_flux_muscl_slotted(op, q, interpret=False):
+    """Full second-order interior flux: dq/qLR gather -> LS gradients ->
+    limited reconstruction + Roe. Returns (fluxL, fluxR)."""
+    a = op.arrays
+    oQ, dqL, dqR = muscl_pre_slotted(a, q, op.pallas_nsup, interpret)
+    grad = muscl_grad_slotted(
+        a, dqL, dqR, op.pallas_cd_nsup_l, op.pallas_cd_nsup_r, interpret
+    )
+    return muscl_flux_slotted(
+        a, grad, oQ, dqL, op.tiny_h, op.h_anuga, op.pallas_nsup,
+        op.limiter, interpret
+    )
+
+
 # --------------------------------------------------------- operator glue
 
 def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
@@ -541,8 +902,10 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     the mesh's bandwidth exceeds the static window budget (use
     cell_ordering: rcm) or an unsupported feature is enabled.
     """
-    if op.second_order or op.well_balancing_hr or op.well_balancing_bs2002:
+    if op.well_balancing_hr or op.well_balancing_bs2002:
         return op
+    if op.second_order and op.num_tracers:
+        return op  # second-order tracer transport stays on the XLA twin
     a = op.arrays
     Ei = op.num_internal_edges
     if Ei == 0:
@@ -587,12 +950,44 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     coefL[e_i[is_left]] = f_i[is_left]
     coefR[e_i[~is_left]] = f_i[~is_left]
 
-    cell_plan = build_cell_plan(
+    cp_res = build_cell_plan(
         plan, il_s, ir_s, coefL[order], coefR[order], op.num_cells,
         max_supL=max_sup_cd, max_supR=max_sup_cd,
     )
-    if cell_plan is None:
+    if cp_res is None:
         return op
+    cell_plan, slot_coefs = cp_res
+
+    muscl_dev = {}
+    if op.second_order:
+        # per-edge-side LS gradient coefficients (grad[c] += coef * dq[e])
+        # extracted from the (cell, slot)-aligned cell_ls_cx/cy, exactly
+        # like coefL/coefR above
+        ls_cx = asnp("cell_ls_cx", a.cell_ls_cx).reshape(-1)[interior]
+        ls_cy = asnp("cell_ls_cy", a.cell_ls_cy).reshape(-1)[interior]
+        cxL = np.zeros(Ei); cyL = np.zeros(Ei)
+        cxR = np.zeros(Ei); cyR = np.zeros(Ei)
+        cxL[e_i[is_left]] = ls_cx[is_left]
+        cyL[e_i[is_left]] = ls_cy[is_left]
+        cxR[e_i[~is_left]] = ls_cx[~is_left]
+        cyR[e_i[~is_left]] = ls_cy[~is_left]
+        (g_cxL, g_cyL), (g_cxR, g_cyR) = slot_coefs(
+            [cxL[order], cyL[order]], [cxR[order], cyR[order]]
+        )
+        # slotted centroid->edge-midpoint displacements (L-layout)
+        R_l = plan.ntiles * 8
+        def slot_edge_vals(v):
+            arr = np.zeros((R_l, 128), np.float32)
+            arr.reshape(-1)[plan.eposL] = v[order].astype(np.float32)
+            return arr
+        muscl_dev = dict(
+            pl_dxl=slot_edge_vals(asnp("int_dxl", a.int_dxl)),
+            pl_dyl=slot_edge_vals(asnp("int_dyl", a.int_dyl)),
+            pl_dxr=slot_edge_vals(asnp("int_dxr", a.int_dxr)),
+            pl_dyr=slot_edge_vals(asnp("int_dyr", a.int_dyr)),
+            pl_cd_cxL=g_cxL, pl_cd_cyL=g_cyL,
+            pl_cd_cxR=g_cxR, pl_cd_cyR=g_cyR,
+        )
 
     # remap operator interior-edge order to plan (sorted) order
     inv = np.empty(Ei, dtype=np.int64)
@@ -643,6 +1038,7 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         pl_cd_cfL=j(cell_plan.cfL, jnp.float32),
         pl_cd_supR=ji(cell_plan.supR),
         pl_cd_cfR=j(cell_plan.cfR, jnp.float32),
+        **{k: j(v, jnp.float32) for k, v in muscl_dev.items()},
     )
     return dataclasses.replace(
         op,

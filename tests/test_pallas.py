@@ -87,10 +87,37 @@ def test_pallas_dry_lake_at_rest():
 def test_pallas_fallback_when_unsupported():
     mesh = structured_quad(16, 8)
     op = build_operator(
-        mesh, mannings_n=np.zeros(mesh.num_cells), second_order=True,
+        mesh, mannings_n=np.zeros(mesh.num_cells), well_balancing_hr=True,
         dtype=jnp.float32,
     )
-    assert to_pallas_backend(op) is op  # MUSCL -> fallback
+    assert to_pallas_backend(op) is op  # HR well-balancing -> fallback
+
+
+@pytest.mark.parametrize("limiter", ["minmod", "van_leer", "none"])
+def test_pallas_second_order_matches_xla(limiter):
+    """MUSCL reconstruction through the slotted kernel pipeline (dq
+    gather -> LS gradients -> limited faces -> Roe) matches the XLA twin."""
+    mesh = structured_tri(20, 16)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02), second_order=True,
+        limiter=limiter, dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, max_sup=2, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    assert op_p.arrays.pl_dxl is not None
+
+    q = _random_state(mesh)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
 
 
 def test_pallas_fallback_on_bad_bandwidth():
