@@ -74,7 +74,7 @@ def main():
     # in the persistent cache (a cold pallas compile through a degraded
     # remote-compile service can exceed the watchdog); structured otherwise.
     # A successful fused run drops a marker, arming future runs.
-    ty_default = int(os.environ.get("BENCH_TY", 16))
+    ty_default = int(os.environ.get("BENCH_TY", 64))
     marker = os.path.join(cache_dir, f"fused_ok_{nx}x{ny}_ty{ty_default}")
     default_mode = "fused" if os.path.exists(marker) else "structured"
     mode = os.environ.get("BENCH_MODE", default_mode)
@@ -114,7 +114,7 @@ def main():
         )
 
         C = nx * ny
-        ty = int(os.environ.get("BENCH_TY", 16))
+        ty = int(os.environ.get("BENCH_TY", 64))
         plan = StructuredPlan(
             nx=nx, ny=ny, dx=0.002, dy=0.002, tiny_h=1e-7, h_anuga=0.0,
             bc_left=1, bc_right=1, bc_bottom=1, bc_top=1,  # reflecting

@@ -80,6 +80,7 @@ class XDMFWriter:
         self._last_step = -1
         self._wrote_grid = False
         self._times = []
+        self._opened_batches = set()
         self._write_step()  # initial condition snapshot
 
     def _due(self, sim: "Simulation") -> bool:
@@ -112,7 +113,13 @@ class XDMFWriter:
                 self._write_grid(f)
             self._wrote_grid = True
         snap = len(self._times)
-        with h5py.File(self._h5_for_snapshot(snap), "a") as f:
+        path = self._h5_for_snapshot(snap)
+        # truncate each batch file the first time THIS run touches it, so
+        # re-running over a previous run's output never collides with stale
+        # snapshot groups (the reference overwrites its output files too)
+        mode = "a" if path in self._opened_batches else "w"
+        self._opened_batches.add(path)
+        with h5py.File(path, mode) as f:
             g = f.require_group(f"{snap}")
             sol = sim.get_solution()
             prim = None

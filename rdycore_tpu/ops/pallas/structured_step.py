@@ -120,71 +120,112 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
 
 def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
             ho_ref, huo_ref, hvo_ref, cmax_ref,
-            hw, huw, hvw, dzxw, dzyw, mw, sem,
+            hw, huw, hvw, dzxw, dzyw, mw, sem_state, sem_geom,
             *, nxp, ty, gr, tiny_h, h_anuga, inv_dx, inv_dy):
     t = pl.program_id(0)
-    # window rows [t*ty + gr - 8, +ty+16): 8-row halo blocks around the tile
-    r = pl.multiple_of(t * ty + (gr - 8), 8)
+    ntiles = pl.num_programs(0)
 
-    for src, dst in ((h_hbm, hw), (hu_hbm, huw), (hv_hbm, hvw)):
-        d = pltpu.make_async_copy(src.at[pl.ds(r, ty + 16), :], dst, sem)
-        d.start()
-        d.wait()
-    for src, dst in ((dzx_hbm, dzxw), (dzy_hbm, dzyw), (mann_hbm, mw)):
-        d = pltpu.make_async_copy(src.at[pl.ds(t * ty + gr, ty), :], dst, sem)
-        d.start()
+    # Double-buffered prefetch: at tile t, start tile t+1's window DMAs into
+    # the other slot, so the copies overlap with tile t's flux compute.
+    def _state_dma(slot, tt):
+        # window rows [tt*ty + gr - 8, +ty+16): 8-row halo blocks around it
+        rr = pl.multiple_of(tt * ty + (gr - 8), 8)
+        return [
+            pltpu.make_async_copy(
+                src.at[pl.ds(rr, ty + 16), :], dst.at[slot],
+                sem_state.at[slot],
+            )
+            for src, dst in ((h_hbm, hw), (hu_hbm, huw), (hv_hbm, hvw))
+        ]
+
+    def _geom_dma(slot, tt):
+        return [
+            pltpu.make_async_copy(
+                src.at[pl.ds(tt * ty + gr, ty), :], dst.at[slot],
+                sem_geom.at[slot],
+            )
+            for src, dst in ((dzx_hbm, dzxw), (dzy_hbm, dzyw), (mann_hbm, mw))
+        ]
+
+    slot = jax.lax.rem(t, jnp.int32(2))
+    nslot = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
+
+    @pl.when(t == 0)
+    def _():
+        for d in _state_dma(0, 0) + _geom_dma(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < ntiles)
+    def _():
+        for d in _state_dma(nslot, t + 1) + _geom_dma(nslot, t + 1):
+            d.start()
+
+    for d in _state_dma(slot, t):
         d.wait()
 
     dt = dt_ref[0]
     g = jnp.float32(GRAVITY)
 
-    h = hw[:]
-    hu = huw[:]
-    hv = hvw[:]
-    u, v = regularized_velocity(h, hu, hv, tiny_h, h_anuga)
+    # Flux compute restricted to the rows actually consumed: the window
+    # carries 8 halo rows each side (DMA row alignment), but only 1 is
+    # physical. Interior rows are window rows [8, 8+ty); fluxes need state
+    # rows [7, 9+ty) only -- computing Roe on the full window would double
+    # the VPU work (sqrt/divide-heavy) at ty=16.
+    hs = hw[slot, 7:9 + ty, :]
+    hus = huw[slot, 7:9 + ty, :]
+    hvs = hvw[slot, 7:9 + ty, :]
+    us, vs = regularized_velocity(hs, hus, hvs, tiny_h, h_anuga)
 
-    def shift(x, d, axis):
-        # pltpu.roll requires non-negative shifts; -d == size - d
-        size = x.shape[axis]
-        return pltpu.roll(x, (size - d) % size, axis)
+    def eshift(x):
+        # x[:, c] -> x[:, c+1] (lane roll)
+        return pltpu.roll(x, x.shape[1] - 1, 1)
 
-    # east-face fluxes (normal +x): roe(q[c], q[c+1])
-    hE, uE, vE = (shift(x, 1, 1) for x in (h, u, v))
-    fxh, fxhu, fxhv, ax = roe_flux(h, u, v, hE, uE, vE, 0.0, 1.0)
-    mx = jnp.where((h < tiny_h) & (hE < tiny_h), 0.0, 1.0)
+    ci = slice(1, 1 + ty)  # interior rows within the [7, 9+ty) slice
+
+    # east-face fluxes on interior rows (normal +x): roe(q[c], q[c+1])
+    hc, uc, vc = hs[ci], us[ci], vs[ci]
+    hE, uE, vE = (eshift(x)[ci] for x in (hs, us, vs))
+    fxh, fxhu, fxhv, ax = roe_flux(hc, uc, vc, hE, uE, vE, 0.0, 1.0)
+    mx = jnp.where((hc < tiny_h) & (hE < tiny_h), 0.0, 1.0)
     fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
 
-    # north-face fluxes (normal +y): roe(q[r], q[r+1])
-    hN, uN, vN = (shift(x, 1, 0) for x in (h, u, v))
-    fyh, fyhu, fyhv, ay = roe_flux(h, u, v, hN, uN, vN, 1.0, 0.0)
-    my = jnp.where((h < tiny_h) & (hN < tiny_h), 0.0, 1.0)
+    # north-face fluxes on rows [7, 8+ty) (normal +y): roe(q[r], q[r+1]);
+    # local fy row i = north face of window row 7+i, so rows 0..ty cover
+    # the south face of the first interior row through the top-wall face
+    cs = slice(0, 1 + ty)
+    cn_ = slice(1, 2 + ty)
+    fyh, fyhu, fyhv, ay = roe_flux(
+        hs[cs], us[cs], vs[cs], hs[cn_], us[cn_], vs[cn_], 1.0, 0.0
+    )
+    my = jnp.where((hs[cs] < tiny_h) & (hs[cn_] < tiny_h), 0.0, 1.0)
     fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my
-
-    # divergence for the interior rows (local rows 8..8+ty)
-    sl = slice(8, 8 + ty)
 
     def div(fx, fy):
         dwx = (fx - pltpu.roll(fx, 1, 1)) * inv_dx  # east - west
-        dwy = (fy - pltpu.roll(fy, 1, 0)) * inv_dy  # north - south
-        return -(dwx[sl] + dwy[sl])
+        dwy = (fy[1:] - fy[:-1]) * inv_dy  # north - south
+        return -(dwx + dwy)
 
     dh = div(fxh, fyh)
     dhu = div(fxhu, fyhu)
     dhv = div(fxhv, fyhv)
 
+    for d in _geom_dma(slot, t):
+        d.wait()
+
     # semi-implicit sources on the interior rows
-    hc = h[sl]
-    huc = hu[sl]
-    hvc = hv[sl]
-    bedx = dzxw[:] * g * hc
-    bedy = dzyw[:] * g * hc
+    huc = hus[ci]
+    hvc = hvs[ci]
+    bedx = dzxw[slot] * g * hc
+    bedy = dzyw[slot] * g * hc
     wet = hc >= tiny_h
     h_safe = jnp.where(wet, hc, 1.0)
-    uu = huc / h_safe
-    vv = hvc / h_safe
-    cd = g * mw[:] * mw[:] * jnp.power(h_safe, -1.0 / 3.0)
+    inv_h = 1.0 / h_safe
+    uu = huc * inv_h
+    vv = hvc * inv_h
+    mann = mw[slot]
+    cd = g * mann * mann * jnp.power(h_safe, -1.0 / 3.0)
     speed = jnp.sqrt(uu * uu + vv * vv)
-    tb = cd * speed / h_safe
+    tb = cd * speed * inv_h
     factor = tb / (1.0 + dt * tb)
     tbx = jnp.where(wet, (huc + dt * dhu - dt * bedx) * factor, 0.0)
     tby = jnp.where(wet, (hvc + dt * dhv - dt * bedy) * factor, 0.0)
@@ -198,19 +239,17 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     hvo_ref[:] = hvc + dt * rhv
 
     # Courant over physical faces only:
-    # - x-faces: columns GC-1 .. GC+nx-1 (left wall .. right wall)
-    # - y-faces: rows GR-1 .. GR+TY-1 locally (south wall face of the first
-    #   interior row comes from the ghost row below), columns GC .. GC+nx
+    # - x-faces: columns GC-1 .. GC+nx-1 (left wall .. right wall); ax rows
+    #   are exactly the interior rows
+    # - y-faces: ay rows 0..ty span the south wall face of the first
+    #   interior row through the tile's top face, columns GC .. GC+nx
     cols = jax.lax.broadcasted_iota(jnp.int32, (ty, nxp), 1)
+    colsy = jax.lax.broadcasted_iota(jnp.int32, (ty + 1, nxp), 1)
     x_face = (cols >= GC - 1) & (cols < GC - 1 + (nxp - 2 * GC) + 1)
-    y_face = (cols >= GC) & (cols < nxp - GC)
-    sly = slice(7, 7 + ty)
+    y_face = (colsy >= GC) & (colsy < nxp - GC)
     cm = jnp.maximum(
-        jnp.where(x_face, ax[sl] * inv_dx, 0.0).max(),
-        jnp.maximum(
-            jnp.where(y_face, ay[sl] * inv_dy, 0.0).max(),
-            jnp.where(y_face, ay[sly] * inv_dy, 0.0).max(),
-        ),
+        jnp.where(x_face, ax * inv_dx, 0.0).max(),
+        jnp.where(y_face, ay * inv_dy, 0.0).max(),
     )
     cmax_ref[0, :] = jnp.full((128,), cm, jnp.float32)
 
@@ -250,13 +289,14 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
             pl.BlockSpec((1, 128), lambda t, d: (0, t), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((ty + 16, nxp), jnp.float32),
-            pltpu.VMEM((ty + 16, nxp), jnp.float32),
-            pltpu.VMEM((ty + 16, nxp), jnp.float32),
-            pltpu.VMEM((ty, nxp), jnp.float32),
-            pltpu.VMEM((ty, nxp), jnp.float32),
-            pltpu.VMEM((ty, nxp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((2, ty, nxp), jnp.float32),
+            pltpu.VMEM((2, ty, nxp), jnp.float32),
+            pltpu.VMEM((2, ty, nxp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     nyp = ny + 2 * ty

@@ -27,13 +27,14 @@ def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
     flow and tracer flux assemblies."""
     dtype = jnp.result_type(hl, hr)
     g = jnp.asarray(GRAVITY, dtype)
+    sqrt_g = jnp.asarray(GRAVITY, dtype) ** 0.5
 
     hl_s = jnp.maximum(hl, 0.0)
     hr_s = jnp.maximum(hr, 0.0)
     duml = jnp.sqrt(hl_s)
     dumr = jnp.sqrt(hr_s)
-    cl = jnp.sqrt(g * hl_s)
-    cr = jnp.sqrt(g * hr_s)
+    cl = sqrt_g * duml  # = sqrt(g*hl_s), one sqrt instead of two
+    cr = sqrt_g * dumr
     hhat = duml * dumr
     denom = duml + dumr
     denom_safe = jnp.where(denom > 0.0, denom, 1.0)
@@ -93,20 +94,21 @@ def roe_flux(
     """
     dtype = jnp.result_type(hl, hr)
     g = jnp.asarray(GRAVITY, dtype)
+    sqrt_g = jnp.asarray(GRAVITY, dtype) ** 0.5
 
     hl_s = jnp.maximum(hl, 0.0)
     hr_s = jnp.maximum(hr, 0.0)
     duml = jnp.sqrt(hl_s)
     dumr = jnp.sqrt(hr_s)
-    cl = jnp.sqrt(g * hl_s)
-    cr = jnp.sqrt(g * hr_s)
+    cl = sqrt_g * duml  # = sqrt(g*hl_s), one sqrt instead of two
+    cr = sqrt_g * dumr
     hhat = duml * dumr
     denom = duml + dumr
-    denom_safe = jnp.where(denom > 0.0, denom, 1.0)
-    uhat = (duml * ul + dumr * ur) / denom_safe
-    vhat = (duml * vl + dumr * vr) / denom_safe
+    inv_denom = 1.0 / jnp.where(denom > 0.0, denom, 1.0)
+    uhat = (duml * ul + dumr * ur) * inv_denom
+    vhat = (duml * vl + dumr * vr) * inv_denom
     chat = jnp.sqrt(0.5 * g * (hl_s + hr_s))
-    chat_safe = jnp.where(chat > 0.0, chat, 1.0)
+    inv_chat = 1.0 / jnp.where(chat > 0.0, chat, 1.0)
     uperp = uhat * cn + vhat * sn
 
     dh = hr - hl
@@ -135,9 +137,10 @@ def roe_flux(
     a3 = jnp.where(a3 < da3, 0.5 * (a3 * a3 / da3_safe + da3), a3)
 
     # wave strengths
-    dW0 = 0.5 * (dh - hhat * duperp / chat_safe)
+    hdup_c = hhat * duperp * inv_chat
+    dW0 = 0.5 * (dh - hdup_c)
     dW1 = hhat * dupar
-    dW2 = 0.5 * (dh + hhat * duperp / chat_safe)
+    dW2 = 0.5 * (dh + hdup_c)
 
     # right eigenvectors (rows of R are [h, hu, hv] components)
     # R[:,0] = (1, uhat - chat*cn, vhat - chat*sn)
@@ -184,6 +187,7 @@ def regularized_velocity(h, hu, hv, tiny_h, h_anuga):
     denom = h * h + h_anuga * h_anuga
     denom_safe = jnp.where(denom > 0.0, denom, 1.0)
     wet = h >= tiny_h
-    u = jnp.where(wet, hu * h / denom_safe, 0.0)
-    v = jnp.where(wet, hv * h / denom_safe, 0.0)
+    scale = jnp.where(wet, h / denom_safe, 0.0)  # one divide for u and v
+    u = hu * scale
+    v = hv * scale
     return u, v
