@@ -893,6 +893,122 @@ def edge_flux_muscl_slotted(op, q, interpret=False):
 
 # --------------------------------------------------------- operator glue
 
+def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
+                      max_sup: int = 4, max_sup_cd: int = 16, muscl=None):
+    """Host-level plan build over one edge set (all numpy in/out).
+
+    il/ir: [Ei] cell ids; cn_h/sn_h: [Ei]; ccoef: [E] (interior first);
+    ce/cec: [C, K] cell->edge gather maps (indices >= Ei are boundary or
+    dummy); muscl: None, or a dict with cell_ls_cx/cell_ls_cy [C, K] and
+    int_dxl/int_dyl/int_dxr/int_dyr [Ei] for the second-order kernels.
+
+    Returns None when the mesh exceeds the static window budgets, else
+    (plan_np, reordered, meta):
+      plan_np: {pl_*: numpy array} kernel plan fields
+      reordered: host arrays rewritten to the plan's sorted edge order
+      meta: {nsup, nsupL, nsupR}
+    """
+    plan = build_slotted_plan(
+        il, ir, cn_h, sn_h, ccoef[:Ei], num_cells, max_sup=max_sup,
+    )
+    if plan is None:
+        return None
+
+    order = plan.order
+    il_s = il[order]
+    ir_s = ir[order]
+
+    # per-edge signed len/area coefficients wrt the left and right cells,
+    # extracted from the operator's gather maps (robust to conventions)
+    C, K = ce.shape
+    coefL = np.zeros(Ei)
+    coefR = np.zeros(Ei)
+    cells = np.repeat(np.arange(C), K)
+    edges = ce.reshape(-1)
+    cfs = cec.reshape(-1)
+    interior = edges < Ei
+    e_i = edges[interior]
+    c_i = cells[interior]
+    f_i = cfs[interior]
+    is_left = il[e_i] == c_i
+    coefL[e_i[is_left]] = f_i[is_left]
+    coefR[e_i[~is_left]] = f_i[~is_left]
+
+    cp_res = build_cell_plan(
+        plan, il_s, ir_s, coefL[order], coefR[order], num_cells,
+        max_supL=max_sup_cd, max_supR=max_sup_cd,
+    )
+    if cp_res is None:
+        return None
+    cell_plan, slot_coefs = cp_res
+
+    muscl_np = {}
+    if muscl is not None:
+        # per-edge-side LS gradient coefficients (grad[c] += coef * dq[e])
+        # extracted from the (cell, slot)-aligned cell_ls_cx/cy, exactly
+        # like coefL/coefR above
+        ls_cx = muscl["cell_ls_cx"].reshape(-1)[interior]
+        ls_cy = muscl["cell_ls_cy"].reshape(-1)[interior]
+        cxL = np.zeros(Ei); cyL = np.zeros(Ei)
+        cxR = np.zeros(Ei); cyR = np.zeros(Ei)
+        cxL[e_i[is_left]] = ls_cx[is_left]
+        cyL[e_i[is_left]] = ls_cy[is_left]
+        cxR[e_i[~is_left]] = ls_cx[~is_left]
+        cyR[e_i[~is_left]] = ls_cy[~is_left]
+        (g_cxL, g_cyL), (g_cxR, g_cyR) = slot_coefs(
+            [cxL[order], cyL[order]], [cxR[order], cyR[order]]
+        )
+        # slotted centroid->edge-midpoint displacements (L-layout)
+        R_l = plan.ntiles * 8
+        def slot_edge_vals(v):
+            arr = np.zeros((R_l, 128), np.float32)
+            arr.reshape(-1)[plan.eposL] = v[order].astype(np.float32)
+            return arr
+        muscl_np = dict(
+            pl_dxl=slot_edge_vals(muscl["int_dxl"]),
+            pl_dyl=slot_edge_vals(muscl["int_dyl"]),
+            pl_dxr=slot_edge_vals(muscl["int_dxr"]),
+            pl_dyr=slot_edge_vals(muscl["int_dyr"]),
+            pl_cd_cxL=g_cxL, pl_cd_cyL=g_cyL,
+            pl_cd_cxR=g_cxR, pl_cd_cyR=g_cyR,
+        )
+
+    # remap operator interior-edge order to plan (sorted) order
+    inv = np.empty(Ei, dtype=np.int64)
+    inv[order] = np.arange(Ei)
+    ce_new = np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
+
+    reordered = dict(
+        int_left=il_s, int_right=ir_s,
+        int_cn=cn_h[order], int_sn=sn_h[order],
+        cell_edges=ce_new,
+        edge_courant_coef=np.concatenate([ccoef[:Ei][order], ccoef[Ei:]]),
+    )
+    plan_np = dict(
+        pl_ws=plan.ws,
+        pl_supL=plan.supL, pl_supR=plan.supR,
+        pl_m=plan.m, pl_g=plan.g, pl_gi=plan.gi, pl_mi=plan.mi,
+        pl_validL=plan.validL, pl_validR=plan.validR,
+        pl_cn=plan.cn, pl_sn=plan.sn,
+        pl_courant_coef=plan.courant_coef,
+        pl_slot_edge=plan.slot_edge,
+        pl_cd_wsL=cell_plan.wsL, pl_cd_wsR=cell_plan.wsR,
+        pl_cd_supL=cell_plan.supL, pl_cd_cfL=cell_plan.cfL,
+        pl_cd_supR=cell_plan.supR, pl_cd_cfR=cell_plan.cfR,
+        **muscl_np,
+    )
+    meta = dict(
+        nsup=plan.nsup, nsupL=cell_plan.nsupL, nsupR=cell_plan.nsupR,
+    )
+    return plan_np, reordered, meta
+
+
+_PLAN_INT_FIELDS = frozenset({
+    "pl_ws", "pl_supL", "pl_supR", "pl_m", "pl_g", "pl_gi", "pl_mi",
+    "pl_slot_edge", "pl_cd_wsL", "pl_cd_wsR", "pl_cd_supL", "pl_cd_supR",
+})
+
+
 def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
                       interpret: bool = False):
     """Rebuild an SWEOperator with the slot-routed Pallas backend.
@@ -921,132 +1037,55 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     sn_h = asnp("int_sn", a.int_sn)
     ccoef_h = asnp("edge_courant_coef", a.edge_courant_coef)
 
-    plan = build_slotted_plan(
-        il, ir, cn_h, sn_h,
-        ccoef_h[:Ei], op.num_cells, max_sup=max_sup,
-    )
-    if plan is None:
-        return op
-
-    order = plan.order
-    il_s = il[order]
-    ir_s = ir[order]
-
-    # per-edge signed len/area coefficients wrt the left and right cells,
-    # extracted from the operator's gather maps (robust to conventions)
-    ce = asnp("cell_edges", a.cell_edges)  # [C, K] into [0, E]
-    coef = asnp("cell_edge_coef", a.cell_edge_coef)
-    C, K = ce.shape
-    coefL = np.zeros(Ei)
-    coefR = np.zeros(Ei)
-    cells = np.repeat(np.arange(C), K)
-    edges = ce.reshape(-1)
-    cfs = coef.reshape(-1)
-    interior = edges < Ei
-    e_i = edges[interior]
-    c_i = cells[interior]
-    f_i = cfs[interior]
-    is_left = il[e_i] == c_i
-    coefL[e_i[is_left]] = f_i[is_left]
-    coefR[e_i[~is_left]] = f_i[~is_left]
-
-    cp_res = build_cell_plan(
-        plan, il_s, ir_s, coefL[order], coefR[order], op.num_cells,
-        max_supL=max_sup_cd, max_supR=max_sup_cd,
-    )
-    if cp_res is None:
-        return op
-    cell_plan, slot_coefs = cp_res
-
-    muscl_dev = {}
+    muscl = None
     if op.second_order:
-        # per-edge-side LS gradient coefficients (grad[c] += coef * dq[e])
-        # extracted from the (cell, slot)-aligned cell_ls_cx/cy, exactly
-        # like coefL/coefR above
-        ls_cx = asnp("cell_ls_cx", a.cell_ls_cx).reshape(-1)[interior]
-        ls_cy = asnp("cell_ls_cy", a.cell_ls_cy).reshape(-1)[interior]
-        cxL = np.zeros(Ei); cyL = np.zeros(Ei)
-        cxR = np.zeros(Ei); cyR = np.zeros(Ei)
-        cxL[e_i[is_left]] = ls_cx[is_left]
-        cyL[e_i[is_left]] = ls_cy[is_left]
-        cxR[e_i[~is_left]] = ls_cx[~is_left]
-        cyR[e_i[~is_left]] = ls_cy[~is_left]
-        (g_cxL, g_cyL), (g_cxR, g_cyR) = slot_coefs(
-            [cxL[order], cyL[order]], [cxR[order], cyR[order]]
-        )
-        # slotted centroid->edge-midpoint displacements (L-layout)
-        R_l = plan.ntiles * 8
-        def slot_edge_vals(v):
-            arr = np.zeros((R_l, 128), np.float32)
-            arr.reshape(-1)[plan.eposL] = v[order].astype(np.float32)
-            return arr
-        muscl_dev = dict(
-            pl_dxl=slot_edge_vals(asnp("int_dxl", a.int_dxl)),
-            pl_dyl=slot_edge_vals(asnp("int_dyl", a.int_dyl)),
-            pl_dxr=slot_edge_vals(asnp("int_dxr", a.int_dxr)),
-            pl_dyr=slot_edge_vals(asnp("int_dyr", a.int_dyr)),
-            pl_cd_cxL=g_cxL, pl_cd_cyL=g_cyL,
-            pl_cd_cxR=g_cxR, pl_cd_cyR=g_cyR,
+        muscl = dict(
+            cell_ls_cx=asnp("cell_ls_cx", a.cell_ls_cx),
+            cell_ls_cy=asnp("cell_ls_cy", a.cell_ls_cy),
+            int_dxl=asnp("int_dxl", a.int_dxl),
+            int_dyl=asnp("int_dyl", a.int_dyl),
+            int_dxr=asnp("int_dxr", a.int_dxr),
+            int_dyr=asnp("int_dyr", a.int_dyr),
         )
 
-    # remap operator interior-edge order to plan (sorted) order
-    inv = np.empty(Ei, dtype=np.int64)
-    inv[order] = np.arange(Ei)
-    ce_new = np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
+    res = build_plan_arrays(
+        il, ir, cn_h, sn_h, ccoef_h,
+        asnp("cell_edges", a.cell_edges),
+        asnp("cell_edge_coef", a.cell_edge_coef),
+        op.num_cells, Ei, max_sup=max_sup, max_sup_cd=max_sup_cd,
+        muscl=muscl,
+    )
+    if res is None:
+        return op
+    plan_np, reordered, meta = res
 
     j = lambda x, dt: jnp.asarray(x, dt)
     f32 = lambda x: jnp.asarray(x, a.int_cn.dtype)
     host2 = dict(ha)
-    host2.update(
-        int_left=il_s, int_right=ir_s,
-        int_cn=cn_h[order], int_sn=sn_h[order],
-        cell_edges=ce_new,
-        edge_courant_coef=np.concatenate(
-            [ccoef_h[:Ei][order], ccoef_h[Ei:]]
-        ),
-    )
+    host2.update(reordered)
     # NOTE: keep these as plain host->device transfers. Widening on device
     # (i8 transfer + device astype) looks attractive but each tiny cast is
     # its own XLA program: a dozen remote compiles cost ~45 s on the axon
     # relay, while the extra transfer bytes cost < 0.3 s.
-    ji = lambda x: jnp.asarray(x, jnp.int32)
     arrays = a._replace(
-        int_left=j(il_s, jnp.int32),
-        int_right=j(ir_s, jnp.int32),
-        int_cn=f32(cn_h[order]),
-        int_sn=f32(sn_h[order]),
-        cell_edges=j(ce_new, jnp.int32),
-        edge_courant_coef=f32(
-            np.concatenate([ccoef_h[:Ei][order], ccoef_h[Ei:]])
-        ),
-        pl_ws=j(plan.ws, jnp.int32),
-        pl_supL=ji(plan.supL),
-        pl_supR=ji(plan.supR),
-        pl_m=ji(plan.m),
-        pl_g=ji(plan.g),
-        pl_gi=ji(plan.gi),
-        pl_mi=ji(plan.mi),
-        pl_validL=j(plan.validL, jnp.float32),
-        pl_validR=j(plan.validR, jnp.float32),
-        pl_cn=j(plan.cn, jnp.float32),
-        pl_sn=j(plan.sn, jnp.float32),
-        pl_courant_coef=j(plan.courant_coef, jnp.float32),
-        pl_slot_edge=j(plan.slot_edge, jnp.int32),
-        pl_cd_wsL=j(cell_plan.wsL, jnp.int32),
-        pl_cd_wsR=j(cell_plan.wsR, jnp.int32),
-        pl_cd_supL=ji(cell_plan.supL),
-        pl_cd_cfL=j(cell_plan.cfL, jnp.float32),
-        pl_cd_supR=ji(cell_plan.supR),
-        pl_cd_cfR=j(cell_plan.cfR, jnp.float32),
-        **{k: j(v, jnp.float32) for k, v in muscl_dev.items()},
+        int_left=j(reordered["int_left"], jnp.int32),
+        int_right=j(reordered["int_right"], jnp.int32),
+        int_cn=f32(reordered["int_cn"]),
+        int_sn=f32(reordered["int_sn"]),
+        cell_edges=j(reordered["cell_edges"], jnp.int32),
+        edge_courant_coef=f32(reordered["edge_courant_coef"]),
+        **{
+            k: j(v, jnp.int32 if k in _PLAN_INT_FIELDS else jnp.float32)
+            for k, v in plan_np.items()
+        },
     )
     return dataclasses.replace(
         op,
         arrays=arrays,
         host_arrays=host2,
         edge_flux_backend="pallas",
-        pallas_nsup=plan.nsup,
-        pallas_cd_nsup_l=cell_plan.nsupL,
-        pallas_cd_nsup_r=cell_plan.nsupR,
+        pallas_nsup=meta["nsup"],
+        pallas_cd_nsup_l=meta["nsupL"],
+        pallas_cd_nsup_r=meta["nsupR"],
         pallas_interpret=interpret,
     )

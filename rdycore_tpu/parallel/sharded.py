@@ -58,6 +58,48 @@ class HaloMaps(NamedTuple):
     ghost_src_nbr: jnp.ndarray = None  # [P, G]
 
 
+def _plan_int_fields():
+    from ..ops.pallas.slotted import _PLAN_INT_FIELDS
+
+    return _PLAN_INT_FIELDS
+
+
+def _stack_shard_plans(plans):
+    """Pad per-shard slot plans to common tile/K counts and stack them on a
+    leading shard axis (shard_map strips it back off per device)."""
+    keys = plans[0].keys()
+    T = max(p["pl_supL"].shape[0] // 8 for p in plans)
+    Ks = {
+        k: max(p[k].shape[0] for p in plans)
+        for k in keys
+        if plans[0][k].ndim == 3
+    }
+    out = {}
+    for k in keys:
+        stacked = []
+        for p in plans:
+            v = p[k]
+            ntiles_p = p["pl_supL"].shape[0] // 8
+            if k == "pl_ws":
+                w = np.zeros(T, v.dtype)
+                w[: len(v)] = v
+            elif k == "pl_slot_edge":
+                w = np.full(T * 1024, -1, v.dtype)
+                w[: len(v)] = v
+            elif k in ("pl_cd_wsL", "pl_cd_wsR"):
+                w = v  # [Ct] -- C_loc is uniform across shards
+            elif v.ndim == 3:  # [K, Ct*8, 128] cell-plan array
+                w = np.zeros((Ks[k],) + v.shape[1:], v.dtype)
+                w[: v.shape[0]] = v
+            else:  # [ntiles*8, 128] or [ntiles*16, 128] row-tiled
+                per = v.shape[0] // ntiles_p
+                w = np.zeros((T * per, 128), v.dtype)
+                w[: v.shape[0]] = v
+            stacked.append(w)
+        out[k] = np.stack(stacked)
+    return out
+
+
 class ShardedSWE:
     """A sharded SWE problem over a 1-D device mesh axis."""
 
@@ -69,12 +111,21 @@ class ShardedSWE:
         mannings_n: Optional[np.ndarray] = None,
         dtype=jnp.float32,
         axis_name: str = "mesh",
+        edge_flux_backend: str = "xla",
+        pallas_max_sup: int = 4,
+        pallas_max_sup_cd: int = 16,
+        pallas_interpret: bool = False,
         **op_kwargs,
     ):
         self.mesh = mesh
         self.P = n_shards
         self.axis_name = axis_name
         self.dtype = dtype
+        self._want_pallas = edge_flux_backend == "pallas"
+        self._pallas_max_sup = pallas_max_sup
+        self._pallas_max_sup_cd = pallas_max_sup_cd
+        self._pallas_interpret = pallas_interpret
+        self.pallas_active = False
 
         # single-device operator gives us the canonical edge ordering,
         # segments, and physics configuration
@@ -360,6 +411,18 @@ class ShardedSWE:
                 if owner(int_left[e]) == p or owner(int_right[e]) == p:
                     ccoef[p, j] = ref_ccoef[e]
 
+            # padding edges are numerically inert (cn=sn=ccoef=0) but must
+            # not all collide on one lane: the slot packer (ops/pallas/
+            # slotted.py) caps 8 edges per (tile, lane), so a run of
+            # identical (DUMMY, DUMMY) edges would close a fresh tile every
+            # 8 pads and blow up the cell-plan windows. Cycle them through
+            # the last <=128 cell ids (distinct lanes, adjacent rows).
+            npad = max(Ei_max, 1) - len(eids)
+            if npad:
+                pad_ids = C_loc - 1 - (np.arange(npad) % min(128, C_loc))
+                il[p, len(eids):] = pad_ids
+                ir[p, len(eids):] = pad_ids
+
             # boundary edges per segment
             for s_i, seg in enumerate(ref_op.segments):
                 nseg = new_segments[s_i]
@@ -478,6 +541,57 @@ class ShardedSWE:
             for p in range(Pn)
         )
 
+        # ---- per-shard slot-routed Pallas plans (the hot-loop kernels run
+        # inside shard_map exactly as on one device; plans are padded to a
+        # common tile count so they stack along the shard axis) ----
+        pallas_fields = {}
+        self._pallas_meta = None
+        if (
+            self._want_pallas
+            and Ei_max > 0
+            and not (bs2002 or ref_op.well_balancing_hr)
+            and not (second_order and ref_op.num_tracers)
+        ):
+            from ..ops.pallas.slotted import build_plan_arrays
+
+            per_shard = []
+            for p in range(Pn):
+                muscl_p = None
+                if second_order:
+                    muscl_p = dict(
+                        cell_ls_cx=cls_cx[p], cell_ls_cy=cls_cy[p],
+                        int_dxl=idxl[p], int_dyl=idyl[p],
+                        int_dxr=idxr[p], int_dyr=idyr[p],
+                    )
+                res = build_plan_arrays(
+                    il[p], ir[p], icn[p], isn[p], ccoef[p], ce[p], cec[p],
+                    C_loc, max(Ei_max, 1),
+                    max_sup=self._pallas_max_sup,
+                    max_sup_cd=self._pallas_max_sup_cd,
+                    muscl=muscl_p,
+                )
+                if res is None:
+                    per_shard = None
+                    break
+                per_shard.append(res)
+            if per_shard is not None:
+                for p, (_, reo, _) in enumerate(per_shard):
+                    il[p] = reo["int_left"]
+                    ir[p] = reo["int_right"]
+                    icn[p] = reo["int_cn"]
+                    isn[p] = reo["int_sn"]
+                    ce[p] = reo["cell_edges"]
+                    ccoef[p] = reo["edge_courant_coef"]
+                pallas_fields = _stack_shard_plans(
+                    [pl for pl, _, _ in per_shard]
+                )
+                self._pallas_meta = dict(
+                    nsup=max(m["nsup"] for _, _, m in per_shard),
+                    nsupL=max(m["nsupL"] for _, _, m in per_shard),
+                    nsupR=max(m["nsupR"] for _, _, m in per_shard),
+                )
+                self.pallas_active = True
+
         f = lambda x: jnp.asarray(x, dtype=dtype)
         ii = lambda x: jnp.asarray(x, dtype=jnp.int32)
         bs_fields = {}
@@ -531,6 +645,13 @@ class ShardedSWE:
                 if second_order
                 else {}
             ),
+            **{
+                k: jnp.asarray(
+                    v,
+                    jnp.int32 if k in _plan_int_fields() else jnp.float32,
+                )
+                for k, v in pallas_fields.items()
+            },
             **bs_fields,
         )
         self.halo = HaloMaps(
@@ -543,6 +664,15 @@ class ShardedSWE:
         self.bnd_mask = f(bnd_mask)
 
         # the sharded operator: same physics config, per-shard segments
+        pallas_op = {}
+        if self._pallas_meta is not None:
+            pallas_op = dict(
+                edge_flux_backend="pallas",
+                pallas_nsup=self._pallas_meta["nsup"],
+                pallas_cd_nsup_l=self._pallas_meta["nsupL"],
+                pallas_cd_nsup_r=self._pallas_meta["nsupR"],
+                pallas_interpret=self._pallas_interpret,
+            )
         self.op = dataclasses.replace(
             self.ref_op,
             arrays=None,
@@ -550,6 +680,7 @@ class ShardedSWE:
             num_cells=self.C_loc,
             num_internal_edges=self.Ei_loc,
             num_boundary_edges=self.Eb_loc,
+            **pallas_op,
         )
 
     # --------------------------------------------------------------- state

@@ -484,7 +484,17 @@ class Simulation:
             num_tracers=self.num_tracers,
             num_sediment=self.num_sediment,
             riemann=cfg.numerics.riemann,
+            edge_flux_backend=cfg.numerics.edge_flux_backend,
+            pallas_interpret=jax.default_backend() == "cpu",
         )
+        if (
+            cfg.numerics.edge_flux_backend == "pallas"
+            and not self._sharded.pallas_active
+        ):
+            self.log.warning(
+                "pallas edge-flux backend unavailable for this sharded "
+                "mesh/configuration; using the XLA path per shard."
+            )
         self._device_mesh = DeviceMesh(
             np.array(devices[:n]), (cfg.parallel.axis_name,)
         )

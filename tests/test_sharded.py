@@ -264,3 +264,78 @@ def test_sharded_bs2002_matches_single_device():
 
     np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-13)
     assert float(cmax) == pytest.approx(float(res.max_courant), rel=1e-12)
+
+
+# ---------------------------------------------------- pallas inside shard_map
+
+def _run_sharded(mesh, n_shards, q0, dt, n, t_end, *, f32=True, **kw):
+    devices = jax.devices("cpu")[:n_shards]
+    dm = DeviceMesh(np.array(devices), ("mesh",))
+    dtype = jnp.float32 if f32 else jnp.float64
+    sh = ShardedSWE(mesh, n_shards, dtype=dtype, **kw)
+    adv = sh.make_interval_fn(dm, "euler")
+    qs = sh.scatter_state(q0)
+    bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), dtype)
+    es = jnp.zeros((n_shards, 3, sh.C_loc), dtype)
+    q_out, _, cmax = adv(qs, 0.0, dt, n, t_end, bv, es)
+    return sh, sh.gather_state(q_out), float(cmax)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_pallas_matches_xla(n_shards):
+    """The slot-routed Pallas kernels run per shard inside shard_map
+    (interpret mode on CPU) and reproduce the XLA sharded solution."""
+    mesh = structured_quad(16, 12, 0, 16, 0, 12)
+    mannings = np.full(mesh.num_cells, 0.02)
+    rng = np.random.default_rng(5)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = 1.0 + rng.random(mesh.num_cells)
+    q0[1] = 0.3 * rng.standard_normal(mesh.num_cells)
+
+    dt, n, t_end = 1e-3, 20, 0.02
+    _, q_x, c_x = _run_sharded(
+        mesh, n_shards, q0, dt, n, t_end, mannings_n=mannings
+    )
+    sh, q_p, c_p = _run_sharded(
+        mesh, n_shards, q0, dt, n, t_end, mannings_n=mannings,
+        edge_flux_backend="pallas", pallas_interpret=True,
+    )
+    assert sh.pallas_active
+    assert sh.op.edge_flux_backend == "pallas"
+    rel = np.abs(q_p - q_x) / (1.0 + np.abs(q_x))
+    assert rel.max() < 2e-5
+    assert c_p == pytest.approx(c_x, rel=2e-5)
+
+
+def test_sharded_pallas_muscl_matches_xla():
+    mesh = structured_quad(20, 14, 0, 20, 0, 14)
+    mannings = np.full(mesh.num_cells, 0.02)
+    rng = np.random.default_rng(7)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = 1.0 + rng.random(mesh.num_cells)
+
+    dt, n, t_end = 1e-3, 10, 0.01
+    _, q_x, c_x = _run_sharded(
+        mesh, 4, q0, dt, n, t_end, mannings_n=mannings, second_order=True
+    )
+    sh, q_p, c_p = _run_sharded(
+        mesh, 4, q0, dt, n, t_end, mannings_n=mannings, second_order=True,
+        edge_flux_backend="pallas", pallas_interpret=True,
+    )
+    assert sh.pallas_active
+    rel = np.abs(q_p - q_x) / (1.0 + np.abs(q_x))
+    assert rel.max() < 2e-5
+    assert c_p == pytest.approx(c_x, rel=2e-5)
+
+
+def test_sharded_pallas_fallback_on_unsupported():
+    """HR well-balancing has no pallas kernels; the sharded build must fall
+    back to the XLA path rather than fail."""
+    mesh = structured_quad(16, 8, 0, 16, 0, 8)
+    sh = ShardedSWE(
+        mesh, 2, mannings_n=np.zeros(mesh.num_cells), dtype=jnp.float32,
+        well_balancing_hr=True, edge_flux_backend="pallas",
+        pallas_interpret=True,
+    )
+    assert not sh.pallas_active
+    assert sh.op.edge_flux_backend != "pallas"
