@@ -215,7 +215,7 @@ def main():
         q0 = qs
 
         def run(q, n):
-            q_out, t_out, cmax = adv(q, 0.0, dt, n, 1e9, bv, es)
+            q_out, t_out, cmax, _ = adv(q, 0.0, dt, n, 1e9, bv, es)
             return q_out, cmax
     else:
         from rdycore_tpu.mesh import structured_quad

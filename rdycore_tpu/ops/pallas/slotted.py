@@ -999,6 +999,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     )
     meta = dict(
         nsup=plan.nsup, nsupL=cell_plan.nsupL, nsupR=cell_plan.nsupR,
+        order=order,  # original -> sorted interior edge permutation
     )
     return plan_np, reordered, meta
 

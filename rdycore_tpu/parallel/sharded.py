@@ -56,6 +56,11 @@ class HaloMaps(NamedTuple):
     # neighbor-exchange addressing: index into [recv_from_left; recv_from_
     # right] ([2S]) when every ghost comes from shard p +- 1
     ghost_src_nbr: jnp.ndarray = None  # [P, G]
+    # local interior edge -> global edge id (reference op's edge order;
+    # -1 for padding edges), for Courant-location diagnostics (the
+    # reference reduces value+location via a custom MPI op,
+    # src/operator.c:698-893)
+    int_gidx: jnp.ndarray = None  # [P, Ei_loc] i32
 
 
 def _plan_int_fields():
@@ -292,6 +297,7 @@ class ShardedSWE:
         mann = np.zeros((Pn, C_loc))
         il = np.full((Pn, max(Ei_max, 1)), DUMMY_CELL, np.int64)
         ir = np.full((Pn, max(Ei_max, 1)), DUMMY_CELL, np.int64)
+        int_gidx = np.full((Pn, max(Ei_max, 1)), -1, np.int64)
         icn = np.zeros((Pn, max(Ei_max, 1)))
         isn = np.zeros((Pn, max(Ei_max, 1)))
         bl = np.full((Pn, Eb_loc), DUMMY_CELL, np.int64)
@@ -400,6 +406,7 @@ class ShardedSWE:
             emap: Dict[int, int] = {}
             for j, e in enumerate(eids):
                 emap[int(e)] = j
+                int_gidx[p, j] = int(e)
                 il[p, j] = lmap[int(int_left[e])]
                 ir[p, j] = lmap[int(int_right[e])]
                 icn[p, j] = ref_icn[e]
@@ -575,13 +582,14 @@ class ShardedSWE:
                     break
                 per_shard.append(res)
             if per_shard is not None:
-                for p, (_, reo, _) in enumerate(per_shard):
+                for p, (_, reo, m_) in enumerate(per_shard):
                     il[p] = reo["int_left"]
                     ir[p] = reo["int_right"]
                     icn[p] = reo["int_cn"]
                     isn[p] = reo["int_sn"]
                     ce[p] = reo["cell_edges"]
                     ccoef[p] = reo["edge_courant_coef"]
+                    int_gidx[p] = int_gidx[p][m_["order"]]
                 pallas_fields = _stack_shard_plans(
                     [pl for pl, _, _ in per_shard]
                 )
@@ -659,6 +667,7 @@ class ShardedSWE:
             ghost_src=ii(ghost_src),
             num_ghosts=ii(num_ghosts),
             ghost_src_nbr=ii(ghost_src_nbr),
+            int_gidx=ii(int_gidx),
         )
         self.bnd_global_idx = ii(bnd_global_idx)
         self.bnd_mask = f(bnd_mask)
@@ -707,12 +716,23 @@ class ShardedSWE:
             q[:, lo:hi] = qs[p, :, : hi - lo]
         return q
 
+    @staticmethod
+    def courant_location(courant_info) -> tuple:
+        """(max_courant, global_edge_id) from the advance fn's [P, 2]
+        per-shard courant info (host-side winner pick; ties go to the
+        lowest shard, matching MPI_MAXLOC semantics)."""
+        ci = np.asarray(courant_info)
+        p = int(np.argmax(ci[:, 0]))
+        return float(ci[p, 0]), int(ci[p, 1])
+
     # --------------------------------------------------------------- stepping
     def make_interval_fn(self, device_mesh: DeviceMesh, scheme: str = "euler"):
         """Build the jitted multi-device interval advancer.
 
         Returns advance(q_stacked, t0, dt, n_steps, t_end, bnd_values_global,
-        ext_src_stacked) -> (q_stacked, t, max_courant).
+        ext_src_stacked) -> (q_stacked, t, max_courant, courant_info) where
+        courant_info is [P, 2] per-shard (local max, global edge id); feed
+        it to courant_location() for the winning (max, edge) pair.
         """
         axis = self.axis_name
         op = self.op
@@ -723,9 +743,10 @@ class ShardedSWE:
         # keeps every ghost on shard p +- 1
         use_nbr = self.neighbor_only and Pn > 2
         ndof = op.ndof
+        Ei_glob = self.ref_op.num_internal_edges
 
         def shard_body(arrays, send_ids, ghost_src, ghost_src_nbr,
-                       bnd_gidx, bnd_mask,
+                       int_gidx, bnd_gidx, bnd_mask,
                        q, t0, dt, n_steps, t_end, bv_global, ext_src):
             # shard_map delivers blocks with a size-1 leading (sharded) axis;
             # strip it to recover the per-shard view
@@ -733,6 +754,7 @@ class ShardedSWE:
             send_ids = send_ids[0]
             ghost_src = ghost_src[0]
             ghost_src_nbr = ghost_src_nbr[0]
+            int_gidx = int_gidx[0]
             bnd_gidx = bnd_gidx[0]
             bnd_mask = bnd_mask[0]
             q = q[0]
@@ -764,7 +786,7 @@ class ShardedSWE:
             bv_local = bv_global[:, bnd_gidx] * bnd_mask
 
             def body(i, carry):
-                qq, tt, cmax = carry
+                qq, tt, cmax, cedge = carry
                 dt_i = jnp.minimum(dt, t_end - tt)
                 dt_i = jnp.maximum(dt_i, 0.0)
 
@@ -776,17 +798,40 @@ class ShardedSWE:
 
                 q_new, r1 = _rk_step(scheme, full_rhs, qq, tt, dt_i)
                 step_c = r1.max_courant_per_dt * dt_i
+                cedge = jnp.where(
+                    step_c > cmax, r1.courant_edge.astype(jnp.int32), cedge
+                )
                 cmax = jnp.maximum(cmax, step_c)
                 active = dt_i > 0.0
                 q_out = jnp.where(active, q_new, qq)
-                return (q_out, tt + dt_i, cmax)
+                return (q_out, tt + dt_i, cmax, cedge)
 
-            init = (q, jnp.asarray(t0, q.dtype), jnp.zeros((), q.dtype))
-            q_f, t_f, cmax = jax.lax.fori_loop(
+            init = (
+                q, jnp.asarray(t0, q.dtype), jnp.zeros((), q.dtype),
+                jnp.full((), -1, jnp.int32),
+            )
+            q_f, t_f, cmax, cedge = jax.lax.fori_loop(
                 0, jnp.asarray(n_steps, jnp.int32), body, init
             )
+            # map the shard-local max edge to the reference op's global
+            # edge id (interior edges may be pallas-reordered; int_gidx
+            # follows the same reorder). The per-shard (max, edge) pair is
+            # returned stacked; the host picks the winning shard -- the
+            # jnp equivalent of the reference's custom MPI reduction
+            # (src/operator.c:698-893).
+            Ei_loc = self.Ei_loc
+            gint = int_gidx[jnp.clip(cedge, 0, Ei_loc - 1)]
+            if self.Eb_loc:
+                gbnd = Ei_glob + bnd_gidx[
+                    jnp.clip(cedge - Ei_loc, 0, self.Eb_loc - 1)
+                ].astype(jnp.int32)
+                gedge = jnp.where(cedge < Ei_loc, gint, gbnd)
+            else:
+                gedge = gint
+            gedge = jnp.where(cedge < 0, -1, gedge)
+            cinfo = jnp.stack([cmax, gedge.astype(q.dtype)])
             cmax = jax.lax.pmax(cmax, axis)
-            return q_f[None], t_f, cmax
+            return q_f[None], t_f, cmax, cinfo[None]
 
         pspec = P(axis)
         rep = P()
@@ -795,10 +840,10 @@ class ShardedSWE:
             mesh=device_mesh,
             in_specs=(
                 jax.tree.map(lambda _: pspec, self.arrays),
-                pspec, pspec, pspec, pspec, pspec,
+                pspec, pspec, pspec, pspec, pspec, pspec,
                 pspec, rep, rep, rep, rep, rep, pspec,
             ),
-            out_specs=(pspec, rep, rep),
+            out_specs=(pspec, rep, rep, pspec),
             check_vma=False,
         )
 
@@ -809,6 +854,7 @@ class ShardedSWE:
                 self.halo.send_ids,
                 self.halo.ghost_src,
                 self.halo.ghost_src_nbr,
+                self.halo.int_gidx,
                 self.bnd_global_idx,
                 self.bnd_mask,
                 q_stacked,

@@ -208,7 +208,13 @@ class Simulation:
             dtype=self.dtype,
         )
 
-        if config.numerics.edge_flux_backend == "pallas":
+        # (sharded runs convert per shard inside ShardedSWE instead; keep
+        # the reference operator unreordered so global edge ids in the
+        # Courant diagnostics stay in the reference edge order)
+        if (
+            config.numerics.edge_flux_backend == "pallas"
+            and config.parallel.n_devices <= 1
+        ):
             from .ops.pallas.slotted import to_pallas_backend
 
             new_op = to_pallas_backend(
@@ -499,6 +505,7 @@ class Simulation:
             np.array(devices[:n]), (cfg.parallel.axis_name,)
         )
         self._sharded_advance = None
+        self._sharded_courant_edge = -1
         self.log.info(
             f"parallel: {n} devices, {self._sharded.B} owned cells/shard, "
             f"halo {'ppermute' if self._sharded.neighbor_only else 'all_gather'}"
@@ -730,7 +737,7 @@ class Simulation:
                 lo, hi = p * sh.B, min((p + 1) * sh.B, C)
                 s[p, :, : hi - lo] = src[:, lo:hi]
             self._src_stacked = jnp.asarray(s, self.dtype)
-        q_out, t_out, cmax = self._sharded_advance(
+        q_out, t_out, cmax, cinfo = self._sharded_advance(
             self._q_stacked,
             self.t,
             jnp.asarray(self.dt, self.dtype),
@@ -743,6 +750,8 @@ class Simulation:
         self.q = jnp.asarray(sh.gather_state(q_out), self.dtype)
         self.t = float(t_out)
         self.step += int(n_steps)
+        _, gedge = sh.courant_location(cinfo)
+        self._sharded_courant_edge = gedge
         return float(cmax)
 
     # ------------------------------------------------------------- lifecycle
@@ -835,6 +844,8 @@ class Simulation:
             if self._sharded is not None or self._structured is not None:
                 if self._sharded is not None:
                     cmax = self._advance_sharded(chunk, t_end)
+                    if cmax >= max_courant:
+                        self.prev_courant_edge = self._sharded_courant_edge
                 else:
                     cmax = self._advance_structured(chunk, t_end)
                 done += chunk
@@ -1132,8 +1143,10 @@ class Simulation:
         custom MPI op, src/operator.c:698-893): the max Courant number plus
         the edge and cell at which it was encountered. Returns
         (max_courant_num, global_edge_id, global_cell_id) with the cell id
-        in natural order; (-1, -1) ids before the first interval or on the
-        sharded path (which reduces only the scalar via pmax).
+        in natural order; (-1, -1) ids before the first interval. On the
+        sharded path the per-shard (max, global edge) pairs are reduced
+        host-side (ShardedSWE.courant_location), so the location is
+        available there too.
         """
         if self.prev_max_courant is None:
             return (0.0, -1, -1)

@@ -40,10 +40,10 @@ def run_case(n_devices, nx, ny, n_steps):
     es = jnp.zeros((n_devices, 3, sh.C_loc), jnp.float32)
     dt = 5e-5
 
-    q, _, _ = adv(qs, 0.0, dt, 3, 1e9, bv, es)  # warm-up/compile
+    q, _, _, _ = adv(qs, 0.0, dt, 3, 1e9, bv, es)  # warm-up/compile
     _ = np.asarray(q.ravel()[:4])
     t0 = time.time()
-    q, _, cmax = adv(q, 0.0, dt, n_steps, 1e9, bv, es)
+    q, _, cmax, _ = adv(q, 0.0, dt, n_steps, 1e9, bv, es)
     _ = np.asarray(q.ravel()[:4])
     elapsed = time.time() - t0
     assert np.isfinite(np.asarray(q[0, :, : sh.B])).all()

@@ -51,7 +51,7 @@ def test_sharded_matches_single_device(scheme, n_shards):
     qs = sh.scatter_state(q0)
     bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float64)
     es = jnp.zeros((n_shards, 3, sh.C_loc), jnp.float64)
-    q_out, t_out, cmax = adv(qs, 0.0, dt, n, t_end, bv, es)
+    q_out, t_out, cmax, cinfo = adv(qs, 0.0, dt, n, t_end, bv, es)
     q_got = sh.gather_state(q_out)
 
     np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-13)
@@ -76,7 +76,7 @@ def test_sharded_dam_break_with_bcs():
     qs = sh.scatter_state(q0)
     bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float64)
     es = jnp.zeros((4, 3, sh.C_loc), jnp.float64)
-    q_out, _, _ = adv(qs, 0.0, dt, n, t_end, bv, es)
+    q_out, _, _, _ = adv(qs, 0.0, dt, n, t_end, bv, es)
     q_got = sh.gather_state(q_out)
     np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-12)
 
@@ -114,7 +114,7 @@ def test_sharded_muscl_matches_single_device(n_shards):
     qs = sh.scatter_state(q0)
     bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float64)
     es = jnp.zeros((n_shards, 3, sh.C_loc), jnp.float64)
-    q_out, _, cmax = adv_s(qs, 0.0, dt, n, t_end, bv, es)
+    q_out, _, cmax, _ = adv_s(qs, 0.0, dt, n, t_end, bv, es)
     q_got = sh.gather_state(q_out)
     np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-13)
     assert float(cmax) == pytest.approx(float(res.max_courant), rel=1e-12)
@@ -187,7 +187,7 @@ def test_2d_block_partition_matches():
     qs = sh.scatter_state(q0)
     bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float64)
     es = jnp.zeros((8, 3, sh.C_loc), jnp.float64)
-    q_out, _, _ = adv_s(qs, 0.0, dt, n, t_end, bv, es)
+    q_out, _, _, _ = adv_s(qs, 0.0, dt, n, t_end, bv, es)
     np.testing.assert_allclose(sh.gather_state(q_out), q_ref, rtol=0, atol=1e-13)
 
 
@@ -259,7 +259,7 @@ def test_sharded_bs2002_matches_single_device():
     qs = sh.scatter_state(q0)
     bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), jnp.float64)
     es = jnp.zeros((n_shards, 3, sh.C_loc), jnp.float64)
-    q_out, t_out, cmax = adv(qs, 0.0, dt, n, t_end, bv, es)
+    q_out, t_out, cmax, _ = adv(qs, 0.0, dt, n, t_end, bv, es)
     q_got = sh.gather_state(q_out)
 
     np.testing.assert_allclose(q_got, q_ref, rtol=0, atol=1e-13)
@@ -277,7 +277,7 @@ def _run_sharded(mesh, n_shards, q0, dt, n, t_end, *, f32=True, **kw):
     qs = sh.scatter_state(q0)
     bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), dtype)
     es = jnp.zeros((n_shards, 3, sh.C_loc), dtype)
-    q_out, _, cmax = adv(qs, 0.0, dt, n, t_end, bv, es)
+    q_out, _, cmax, _ = adv(qs, 0.0, dt, n, t_end, bv, es)
     return sh, sh.gather_state(q_out), float(cmax)
 
 
@@ -339,3 +339,44 @@ def test_sharded_pallas_fallback_on_unsupported():
     )
     assert not sh.pallas_active
     assert sh.op.edge_flux_backend != "pallas"
+
+
+# -------------------------------------------------------- courant location
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_courant_location_matches_single_device(backend):
+    """The sharded advance returns per-shard (max, global edge id) pairs;
+    the winning edge must be the same edge the single-device operator
+    reports (reference: custom MPI MAXLOC reduction, operator.c:698-893)."""
+    mesh = structured_quad(16, 12, 0, 16, 0, 12)
+    mannings = np.full(mesh.num_cells, 0.02)
+    rng = np.random.default_rng(11)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = 1.0 + rng.random(mesh.num_cells)
+    q0[1] = 0.2 * rng.standard_normal(mesh.num_cells)
+
+    dt, n, t_end = 1e-3, 10, 0.01
+    op = build_operator(mesh, mannings_n=mannings, dtype=jnp.float64)
+    adv0 = make_interval_advancer(op, "euler")
+    res = adv0(op.arrays, jnp.asarray(q0), 0.0, dt, n, t_end,
+               op.zero_boundary_values(), jnp.zeros((3, mesh.num_cells)))
+
+    n_shards = 4
+    kw = {}
+    if backend == "pallas":
+        kw = dict(edge_flux_backend="pallas", pallas_interpret=True)
+    sh, q_got, cmax, cinfo = None, None, None, None
+    devices = jax.devices("cpu")[:n_shards]
+    dm = DeviceMesh(np.array(devices), ("mesh",))
+    dtype = jnp.float64 if backend == "xla" else jnp.float32
+    sh = ShardedSWE(mesh, n_shards, mannings_n=mannings, dtype=dtype, **kw)
+    adv = sh.make_interval_fn(dm, "euler")
+    qs = sh.scatter_state(q0)
+    bv = jnp.zeros((3, max(sh.ref_op.num_boundary_edges, 1)), dtype)
+    es = jnp.zeros((n_shards, 3, sh.C_loc), dtype)
+    _, _, cmax, cinfo = adv(qs, 0.0, dt, n, t_end, bv, es)
+
+    cm_loc, gedge = sh.courant_location(cinfo)
+    assert cm_loc == pytest.approx(float(cmax), rel=1e-12)
+    assert cm_loc == pytest.approx(float(res.max_courant), rel=2e-5)
+    assert gedge == int(res.courant_edge)
