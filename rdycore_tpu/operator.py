@@ -110,6 +110,9 @@ class OperatorArrays(NamedTuple):
     pl_cd_cfL: jnp.ndarray = None  # [KL, ctiles*8, 128] f32
     pl_cd_supR: jnp.ndarray = None
     pl_cd_cfR: jnp.ndarray = None
+    # hydrostatic-reconstruction plan arrays (None unless well_balancing_hr)
+    pl_hr_dzl: jnp.ndarray = None  # slotted zmax - zL per edge [R8, 128]
+    pl_hr_dzr: jnp.ndarray = None
     # MUSCL second-order plan arrays (None unless second_order)
     pl_dxl: jnp.ndarray = None  # slotted centroid->midpoint displacements
     pl_dyl: jnp.ndarray = None
@@ -204,7 +207,7 @@ class SWEOperator:
         use_pallas = (
             self.edge_flux_backend == "pallas"
             and a.pl_supL is not None
-            and not self.well_balancing_hr
+            and (not self.well_balancing_hr or a.pl_hr_dzl is not None)
             and not self.well_balancing_bs2002
             and (not self.second_order or a.pl_dxl is not None)
         )
@@ -221,6 +224,7 @@ class SWEOperator:
                 fluxL, fluxR = edge_flux_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                     interpret=self.pallas_interpret,
+                    hr=self.well_balancing_hr,
                 )
             return self._finish_apply(
                 q, dt, boundary_values, ext_src,
@@ -454,7 +458,7 @@ class SWEOperator:
             self.edge_flux_backend == "pallas"
             and a.pl_supL is not None
             and not self.second_order
-            and not self.well_balancing_hr
+            and (not self.well_balancing_hr or a.pl_hr_dzl is not None)
             and not self.well_balancing_bs2002
         )
         slotted_flux = None
@@ -464,6 +468,7 @@ class SWEOperator:
             slotted_flux = edge_flux_slotted(
                 a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                 ndof=ndof, upwind=upwind, interpret=self.pallas_interpret,
+                hr=self.well_balancing_hr,
             )
             fi = amax_i = None
             return self._finish_tracer(

@@ -330,7 +330,10 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
 
 def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
                  vL_ref, vR_ref, cn_ref, sn_ref, *rest,
-                 nsup, ndof, upwind, tiny_h, h_anuga):
+                 nsup, ndof, upwind, tiny_h, h_anuga, hr=False):
+    if hr:
+        dzl_ref, dzr_ref = rest[0], rest[1]
+        rest = rest[2:]
     q_refs = rest[:nsup]
     oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
 
@@ -353,26 +356,47 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
         qR = jnp.where(g < 8, ya, yb)
         qs.append((qL, qR))
 
-    (hl, hr), (hul, hur), (hvl, hvr) = qs[:3]
+    (hl, hr_), (hul, hur), (hvl, hvr) = qs[:3]
+    # velocities/concentrations from the RAW states; depths hydrostatically
+    # reconstructed when hr (swe_fluxes_hydro_recon_ceed.h: eta - max(z))
     ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
-    ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
+    ur, vr = regularized_velocity(hr_, hur, hvr, tiny_h, h_anuga)
+    if hr:
+        hl_f = jnp.maximum(0.0, hl - dzl_ref[:, :])
+        hr_f = jnp.maximum(0.0, hr_ - dzr_ref[:, :])
+    else:
+        hl_f, hr_f = hl, hr_
     sn = sn_ref[:, :]
     cn = cn_ref[:, :]
     if ndof == 3:
-        f_h, f_hu, f_hv, amax = roe_flux(hl, ul, vl, hr, ur, vr, sn, cn)
+        f_h, f_hu, f_hv, amax = roe_flux(hl_f, ul, vl, hr_f, ur, vr, sn, cn)
         flux_list = [f_h, f_hu, f_hv]
     else:
         from ..tracer.flux import safe_div, tracer_roe_flux
 
         cil = jnp.stack([safe_div(c[0], hl, hl, tiny_h) for c in qs[3:]])
-        cir = jnp.stack([safe_div(c[1], hr, hr, tiny_h) for c in qs[3:]])
+        cir = jnp.stack([safe_div(c[1], hr_, hr_, tiny_h) for c in qs[3:]])
         f_flow, f_tr, amax = tracer_roe_flux(
-            hl, ul, vl, cil, hr, ur, vr, cir, sn, cn, upwind
+            hl_f, ul, vl, cil, hr_f, ur, vr, cir, sn, cn, upwind
         )
         flux_list = [f_flow[0], f_flow[1], f_flow[2]] + [
             f_tr[j] for j in range(ndof - 3)
         ]
-    dry = (hl < tiny_h) & (hr < tiny_h)
+    if hr:
+        if ndof == 3:
+            # outer guard: both *raw* dry; inner: both *reconstructed* dry
+            # (swe_petsc.c:1094,1112)
+            dry = ((hl < tiny_h) & (hr_ < tiny_h)) | (
+                (hl_f <= tiny_h) & (hr_f <= tiny_h)
+            )
+        else:
+            # tracer twin's convention (operator.py _apply_tracer)
+            dry = ~(
+                ((hl > tiny_h) | (hr_ > tiny_h))
+                & ((hl_f > tiny_h) | (hr_f > tiny_h))
+            )
+    else:
+        dry = (hl < tiny_h) & (hr_ < tiny_h)
     mask = jnp.where(dry, 0.0, vL_ref[:, :])
     fluxes = [f * mask for f in flux_list]
     for comp in range(ndof):
@@ -399,11 +423,13 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
 
 def edge_flux_slotted(
     arrays, q, tiny_h, h_anuga, nsup, ndof=3, upwind=False, interpret=False,
+    hr=False,
 ):
     """Run the slot-routed edge kernel.
 
-    q: [>=ndof, C] f32 (rows 0..2 flow, 3.. tracers). Returns
-    (fluxL [ntiles*8, ndof+1, 128] with the last row = amax,
+    q: [>=ndof, C] f32 (rows 0..2 flow, 3.. tracers). hr=True applies
+    hydrostatic reconstruction from the slotted pl_hr_dzl/pl_hr_dzr drops.
+    Returns (fluxL [ntiles*8, ndof+1, 128] with the last row = amax,
     fluxR [ntiles*16, ndof, 128])."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
@@ -427,7 +453,10 @@ def edge_flux_slotted(
         pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # validR
         pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # cn
         pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # sn
-    ] + [
+    ] + ([
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # hr dzl
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # hr dzr
+    ] if hr else []) + [
         pl.BlockSpec((ndof, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
         for s in range(nsup)
     ]
@@ -443,7 +472,7 @@ def edge_flux_slotted(
     f = pl.pallas_call(
         functools.partial(
             _edge_kernel, nsup=nsup, ndof=ndof, upwind=bool(upwind),
-            tiny_h=float(tiny_h), h_anuga=float(h_anuga),
+            tiny_h=float(tiny_h), h_anuga=float(h_anuga), hr=bool(hr),
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -455,10 +484,11 @@ def edge_flux_slotted(
         ),
         interpret=interpret,
     )
+    hr_args = (arrays.pl_hr_dzl, arrays.pl_hr_dzr) if hr else ()
     return f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
         arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
-        arrays.pl_cn, arrays.pl_sn, *([q2d] * nsup),
+        arrays.pl_cn, arrays.pl_sn, *hr_args, *([q2d] * nsup),
     )
 
 
@@ -894,13 +924,18 @@ def edge_flux_muscl_slotted(op, q, interpret=False):
 # --------------------------------------------------------- operator glue
 
 def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
-                      max_sup: int = 4, max_sup_cd: int = 16, muscl=None):
+                      max_sup: int = 4, max_sup_cd: int = 16, muscl=None,
+                      cell_z=None):
     """Host-level plan build over one edge set (all numpy in/out).
 
     il/ir: [Ei] cell ids; cn_h/sn_h: [Ei]; ccoef: [E] (interior first);
     ce/cec: [C, K] cell->edge gather maps (indices >= Ei are boundary or
     dummy); muscl: None, or a dict with cell_ls_cx/cell_ls_cy [C, K] and
-    int_dxl/int_dyl/int_dxr/int_dyr [Ei] for the second-order kernels.
+    int_dxl/int_dyl/int_dxr/int_dyr [Ei] for the second-order kernels;
+    cell_z: [C] bed elevations -- when given, the static per-edge
+    hydrostatic-reconstruction drops zmax - zL / zmax - zR are slotted as
+    pl_hr_dzl/pl_hr_dzr (swe_fluxes_hydro_recon_ceed.h: depths from
+    eta - max(z), velocities from the raw states).
 
     Returns None when the mesh exceeds the static window budgets, else
     (plan_np, reordered, meta):
@@ -942,6 +977,24 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         return None
     cell_plan, slot_coefs = cp_res
 
+    # slotted per-edge static values in the L-layout
+    R_l = plan.ntiles * 8
+
+    def slot_edge_vals(v):
+        arr = np.zeros((R_l, 128), np.float32)
+        arr.reshape(-1)[plan.eposL] = v[order].astype(np.float32)
+        return arr
+
+    hr_np = {}
+    if cell_z is not None:
+        zl = np.asarray(cell_z)[il]
+        zr = np.asarray(cell_z)[ir]
+        zmax = np.maximum(zl, zr)
+        hr_np = dict(
+            pl_hr_dzl=slot_edge_vals(zmax - zl),
+            pl_hr_dzr=slot_edge_vals(zmax - zr),
+        )
+
     muscl_np = {}
     if muscl is not None:
         # per-edge-side LS gradient coefficients (grad[c] += coef * dq[e])
@@ -959,11 +1012,6 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
             [cxL[order], cyL[order]], [cxR[order], cyR[order]]
         )
         # slotted centroid->edge-midpoint displacements (L-layout)
-        R_l = plan.ntiles * 8
-        def slot_edge_vals(v):
-            arr = np.zeros((R_l, 128), np.float32)
-            arr.reshape(-1)[plan.eposL] = v[order].astype(np.float32)
-            return arr
         muscl_np = dict(
             pl_dxl=slot_edge_vals(muscl["int_dxl"]),
             pl_dyl=slot_edge_vals(muscl["int_dyl"]),
@@ -995,6 +1043,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         pl_cd_wsL=cell_plan.wsL, pl_cd_wsR=cell_plan.wsR,
         pl_cd_supL=cell_plan.supL, pl_cd_cfL=cell_plan.cfL,
         pl_cd_supR=cell_plan.supR, pl_cd_cfR=cell_plan.cfR,
+        **hr_np,
         **muscl_np,
     )
     meta = dict(
@@ -1019,8 +1068,10 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     the mesh's bandwidth exceeds the static window budget (use
     cell_ordering: rcm) or an unsupported feature is enabled.
     """
-    if op.well_balancing_hr or op.well_balancing_bs2002:
+    if op.well_balancing_bs2002:
         return op
+    if op.well_balancing_hr and op.second_order:
+        return op  # MUSCL+HR stays on the XLA twin
     if op.second_order and op.num_tracers:
         return op  # second-order tracer transport stays on the XLA twin
     a = op.arrays
@@ -1055,6 +1106,9 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         asnp("cell_edge_coef", a.cell_edge_coef),
         op.num_cells, Ei, max_sup=max_sup, max_sup_cd=max_sup_cd,
         muscl=muscl,
+        cell_z=(
+            asnp("cell_z", a.cell_z) if op.well_balancing_hr else None
+        ),
     )
     if res is None:
         return op

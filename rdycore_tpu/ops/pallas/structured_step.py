@@ -175,6 +175,10 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     hus = huw[slot, 7:9 + ty, :]
     hvs = hvw[slot, 7:9 + ty, :]
     us, vs = regularized_velocity(hs, hus, hvs, tiny_h, h_anuga)
+    # one sqrt per cell feeds all four of its faces (the Roe average needs
+    # sqrt(h) on both sides of every face; computing it per (face, side)
+    # would cost 4x the transcendental work)
+    sqs = jnp.sqrt(jnp.maximum(hs, 0.0))
 
     def eshift(x):
         # x[:, c] -> x[:, c+1] (lane roll)
@@ -185,7 +189,10 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     # east-face fluxes on interior rows (normal +x): roe(q[c], q[c+1])
     hc, uc, vc = hs[ci], us[ci], vs[ci]
     hE, uE, vE = (eshift(x)[ci] for x in (hs, us, vs))
-    fxh, fxhu, fxhv, ax = roe_flux(hc, uc, vc, hE, uE, vE, 0.0, 1.0)
+    fxh, fxhu, fxhv, ax = roe_flux(
+        hc, uc, vc, hE, uE, vE, 0.0, 1.0,
+        sqrt_hl=sqs[ci], sqrt_hr=eshift(sqs)[ci],
+    )
     mx = jnp.where((hc < tiny_h) & (hE < tiny_h), 0.0, 1.0)
     fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
 
@@ -195,7 +202,8 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     cs = slice(0, 1 + ty)
     cn_ = slice(1, 2 + ty)
     fyh, fyhu, fyhv, ay = roe_flux(
-        hs[cs], us[cs], vs[cs], hs[cn_], us[cn_], vs[cn_], 1.0, 0.0
+        hs[cs], us[cs], vs[cs], hs[cn_], us[cn_], vs[cn_], 1.0, 0.0,
+        sqrt_hl=sqs[cs], sqrt_hr=sqs[cn_],
     )
     my = jnp.where((hs[cs] < tiny_h) & (hs[cn_] < tiny_h), 0.0, 1.0)
     fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my

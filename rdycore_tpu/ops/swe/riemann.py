@@ -84,13 +84,18 @@ def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
 
 
 def roe_flux(
-    hl, ul, vl, hr, ur, vr, sn, cn
+    hl, ul, vl, hr, ur, vr, sn, cn, sqrt_hl=None, sqrt_hr=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Roe flux through edges for the 2-D shallow water equations.
 
     All inputs are arrays of the same shape [...]. Velocities must already be
     regularized (see `regularized_velocity`). Returns (f_h, f_hu, f_hv, amax)
     where amax is the max wave speed |u_perp| + c_hat.
+
+    sqrt_hl/sqrt_hr: optional precomputed sqrt(max(h, 0)). A cell's sqrt
+    feeds all four of its faces in a structured sweep, so kernels that
+    evaluate Roe per face can compute it once per cell instead of once per
+    (face, side) -- the sqrt is one of the dominant VPU costs.
     """
     dtype = jnp.result_type(hl, hr)
     g = jnp.asarray(GRAVITY, dtype)
@@ -98,8 +103,8 @@ def roe_flux(
 
     hl_s = jnp.maximum(hl, 0.0)
     hr_s = jnp.maximum(hr, 0.0)
-    duml = jnp.sqrt(hl_s)
-    dumr = jnp.sqrt(hr_s)
+    duml = jnp.sqrt(hl_s) if sqrt_hl is None else sqrt_hl
+    dumr = jnp.sqrt(hr_s) if sqrt_hr is None else sqrt_hr
     cl = sqrt_g * duml  # = sqrt(g*hl_s), one sqrt instead of two
     cr = sqrt_g * dumr
     hhat = duml * dumr

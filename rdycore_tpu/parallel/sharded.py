@@ -553,10 +553,12 @@ class ShardedSWE:
         # common tile count so they stack along the shard axis) ----
         pallas_fields = {}
         self._pallas_meta = None
+        hr = ref_op.well_balancing_hr
         if (
             self._want_pallas
             and Ei_max > 0
-            and not (bs2002 or ref_op.well_balancing_hr)
+            and not bs2002
+            and not (hr and second_order)
             and not (second_order and ref_op.num_tracers)
         ):
             from ..ops.pallas.slotted import build_plan_arrays
@@ -576,6 +578,7 @@ class ShardedSWE:
                     max_sup=self._pallas_max_sup,
                     max_sup_cd=self._pallas_max_sup_cd,
                     muscl=muscl_p,
+                    cell_z=cell_z[p] if hr else None,
                 )
                 if res is None:
                     per_shard = None

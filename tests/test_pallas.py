@@ -87,10 +87,15 @@ def test_pallas_dry_lake_at_rest():
 def test_pallas_fallback_when_unsupported():
     mesh = structured_quad(16, 8)
     op = build_operator(
-        mesh, mannings_n=np.zeros(mesh.num_cells), well_balancing_hr=True,
-        dtype=jnp.float32,
+        mesh, mannings_n=np.zeros(mesh.num_cells),
+        well_balancing_bs2002=True, dtype=jnp.float32,
     )
-    assert to_pallas_backend(op) is op  # HR well-balancing -> fallback
+    assert to_pallas_backend(op) is op  # BS2002 -> fallback
+    op2 = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells), well_balancing_hr=True,
+        second_order=True, dtype=jnp.float32,
+    )
+    assert to_pallas_backend(op2) is op2  # MUSCL+HR -> fallback
 
 
 @pytest.mark.parametrize("limiter", ["minmod", "van_leer", "none"])
@@ -199,3 +204,90 @@ def test_pallas_tracer_matches_xla(riemann):
     assert float(r_p.max_courant_per_dt) == pytest.approx(
         float(r_x.max_courant_per_dt), rel=1e-5
     )
+
+
+# ------------------------------------------------ hydrostatic reconstruction
+
+def _bumpy(x, y):
+    return 0.3 * np.sin(x) * np.cos(y) + 0.02 * x
+
+
+def test_pallas_hr_matches_xla():
+    """The slotted edge kernel's hydrostatic reconstruction (static slotted
+    zmax - z drops) reproduces the XLA HR path."""
+    from rdycore_tpu.mesh import structured_tri
+
+    mesh = structured_tri(24, 20, 0, 24, 0, 20, z_fn=_bumpy)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02),
+        well_balancing_hr=True, dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    assert op_p.arrays.pl_hr_dzl is not None
+
+    q = _random_state(mesh, seed=4)
+    # make depths partially dry relative to the bathymetry
+    q = q.at[0].set(jnp.maximum(q[0] - 0.5, 0.0))
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
+
+
+def test_pallas_hr_lake_at_rest():
+    """Lake at rest stays still through the pallas HR kernel (f32: the
+    reconstruction must cancel the pressure correction to rounding)."""
+    from rdycore_tpu.mesh import structured_tri
+
+    mesh = structured_tri(12, 10, 0, 12, 0, 10, z_fn=_bumpy)
+    op = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells),
+        well_balancing_hr=True, dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    h0 = np.maximum(2.0 - mesh.cell_z, 0.0).astype(np.float32)
+    q0 = jnp.zeros((3, mesh.num_cells), jnp.float32).at[0].set(h0)
+    res = op_p.apply(q0, 0.01, op.zero_boundary_values(jnp.float32),
+                     jnp.zeros_like(q0))
+    assert float(jnp.abs(res.rhs).max()) < 1e-4  # f32 rounding scale
+
+
+def test_pallas_hr_tracer_matches_xla():
+    """Coupled HR flow+tracer transport through the ndof-general slotted
+    kernel matches the XLA twin."""
+    from rdycore_tpu.mesh import structured_tri
+
+    mesh = structured_tri(20, 16, 0, 20, 0, 16, z_fn=_bumpy)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02),
+        well_balancing_hr=True, num_tracers=2, num_sediment=1,
+        dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+
+    rng = np.random.default_rng(9)
+    q = np.zeros((5, mesh.num_cells), np.float32)
+    q[0] = np.maximum(0.5 + rng.random(mesh.num_cells) - _bumpy(
+        mesh.cell_centroid[:, 0], mesh.cell_centroid[:, 1]), 0.0)
+    q[1] = 0.2 * rng.standard_normal(mesh.num_cells)
+    q[3] = 0.1 * q[0]
+    q[4] = 0.05 * q[0]
+    q = jnp.asarray(q)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4

@@ -329,12 +329,12 @@ def test_sharded_pallas_muscl_matches_xla():
 
 
 def test_sharded_pallas_fallback_on_unsupported():
-    """HR well-balancing has no pallas kernels; the sharded build must fall
-    back to the XLA path rather than fail."""
+    """BS2002 well-balancing has no pallas kernels; the sharded build must
+    fall back to the XLA path rather than fail."""
     mesh = structured_quad(16, 8, 0, 16, 0, 8)
     sh = ShardedSWE(
         mesh, 2, mannings_n=np.zeros(mesh.num_cells), dtype=jnp.float32,
-        well_balancing_hr=True, edge_flux_backend="pallas",
+        well_balancing_bs2002=True, edge_flux_backend="pallas",
         pallas_interpret=True,
     )
     assert not sh.pallas_active
@@ -380,3 +380,35 @@ def test_sharded_courant_location_matches_single_device(backend):
     assert cm_loc == pytest.approx(float(cmax), rel=1e-12)
     assert cm_loc == pytest.approx(float(res.max_courant), rel=2e-5)
     assert gedge == int(res.courant_edge)
+
+
+def test_sharded_pallas_hr_matches_xla():
+    """Hydrostatic-reconstruction slotted kernels inside shard_map match
+    the sharded XLA HR path."""
+    from rdycore_tpu.mesh import structured_tri
+
+    def bumpy(x, y):
+        return 0.3 * np.sin(x) * np.cos(y) + 0.02 * x
+
+    mesh = structured_tri(16, 12, 0, 16, 0, 12, z_fn=bumpy)
+    mannings = np.full(mesh.num_cells, 0.02)
+    rng = np.random.default_rng(13)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = np.maximum(
+        1.5 - mesh.cell_z + 0.2 * rng.random(mesh.num_cells), 0.0
+    )
+
+    dt, n, t_end = 1e-3, 10, 0.01
+    _, q_x, c_x = _run_sharded(
+        mesh, 4, q0, dt, n, t_end, mannings_n=mannings,
+        well_balancing_hr=True,
+    )
+    sh, q_p, c_p = _run_sharded(
+        mesh, 4, q0, dt, n, t_end, mannings_n=mannings,
+        well_balancing_hr=True,
+        edge_flux_backend="pallas", pallas_interpret=True,
+    )
+    assert sh.pallas_active
+    rel = np.abs(q_p - q_x) / (1.0 + np.abs(q_x))
+    assert rel.max() < 2e-5
+    assert c_p == pytest.approx(c_x, rel=2e-5)
