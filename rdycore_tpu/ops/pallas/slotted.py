@@ -369,7 +369,9 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
     sn = sn_ref[:, :]
     cn = cn_ref[:, :]
     if ndof == 3:
-        f_h, f_hu, f_hv, amax = roe_flux(hl_f, ul, vl, hr_f, ur, vr, sn, cn)
+        f_h, f_hu, f_hv, amax = roe_flux(
+            hl_f, ul, vl, hr_f, ur, vr, sn, cn, fast=True
+        )
         flux_list = [f_h, f_hu, f_hv]
     else:
         from ..tracer.flux import safe_div, tracer_roe_flux
@@ -819,7 +821,7 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
     ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
     ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
     f_h, f_hu, f_hv, amax = roe_flux(
-        hl, ul, vl, hr, ur, vr, sn_ref[:, :], cn_ref[:, :]
+        hl, ul, vl, hr, ur, vr, sn_ref[:, :], cn_ref[:, :], fast=True
     )
     dry = (hl < tiny_h) & (hr < tiny_h)
     mask = jnp.where(dry, 0.0, vL_ref[:, :])

@@ -6,7 +6,7 @@ ENTIRE step -- Roe fluxes in x and y, divergence, bed-slope + semi-implicit
 Manning friction, and the euler update -- into one pass: read 3 state
 planes (+1-row halo) + 3 static planes, write 3 planes. ~70 B/cell/step.
 
-Layout: planes padded to [ny + 16, nx + 256] (8 ghost rows / 128 ghost
+Layout: planes padded to [ny + 2*gr, nx + 128] (gr ghost rows / 64 ghost
 columns each side for (8, 128) f32 tile alignment; physically only a
 1-cell ghost frame is used). Ghost frame filled per step in XLA from the
 wall BCs:
@@ -34,7 +34,7 @@ from ..swe import boundary as bc_mod
 from ..swe.riemann import regularized_velocity, roe_flux
 
 GR = 8  # default ghost rows each side (= row-tile height)
-GC = 128  # ghost columns each side (lane-aligned)
+GC = 64  # ghost columns each side (total 128 keeps nxp a lane multiple)
 TY = 8  # default rows per kernel tile (override via make_..., ty=)
 
 
@@ -191,7 +191,7 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     hE, uE, vE = (eshift(x)[ci] for x in (hs, us, vs))
     fxh, fxhu, fxhv, ax = roe_flux(
         hc, uc, vc, hE, uE, vE, 0.0, 1.0,
-        sqrt_hl=sqs[ci], sqrt_hr=eshift(sqs)[ci],
+        sqrt_hl=sqs[ci], sqrt_hr=eshift(sqs)[ci], fast=True,
     )
     mx = jnp.where((hc < tiny_h) & (hE < tiny_h), 0.0, 1.0)
     fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
@@ -203,7 +203,7 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     cn_ = slice(1, 2 + ty)
     fyh, fyhu, fyhv, ay = roe_flux(
         hs[cs], us[cs], vs[cs], hs[cn_], us[cn_], vs[cn_], 1.0, 0.0,
-        sqrt_hl=sqs[cs], sqrt_hr=sqs[cn_],
+        sqrt_hl=sqs[cs], sqrt_hr=sqs[cn_], fast=True,
     )
     my = jnp.where((hs[cs] < tiny_h) & (hs[cn_] < tiny_h), 0.0, 1.0)
     fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ...constants import GRAVITY
@@ -84,7 +85,7 @@ def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
 
 
 def roe_flux(
-    hl, ul, vl, hr, ur, vr, sn, cn, sqrt_hl=None, sqrt_hr=None
+    hl, ul, vl, hr, ur, vr, sn, cn, sqrt_hl=None, sqrt_hr=None, fast=False
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Roe flux through edges for the 2-D shallow water equations.
 
@@ -96,6 +97,11 @@ def roe_flux(
     feeds all four of its faces in a structured sweep, so kernels that
     evaluate Roe per face can compute it once per cell instead of once per
     (face, side) -- the sqrt is one of the dominant VPU costs.
+
+    fast=True computes 1/chat via rsqrt (saves a divide per face on the
+    TPU VPU; differs from the exact path by ~1 ulp). Used by the f32
+    Pallas kernels only, so the f64 XLA twin keeps bit-stable numerics
+    for the golden anchors.
     """
     dtype = jnp.result_type(hl, hr)
     g = jnp.asarray(GRAVITY, dtype)
@@ -112,8 +118,13 @@ def roe_flux(
     inv_denom = 1.0 / jnp.where(denom > 0.0, denom, 1.0)
     uhat = (duml * ul + dumr * ur) * inv_denom
     vhat = (duml * vl + dumr * vr) * inv_denom
-    chat = jnp.sqrt(0.5 * g * (hl_s + hr_s))
-    inv_chat = 1.0 / jnp.where(chat > 0.0, chat, 1.0)
+    c2 = 0.5 * g * (hl_s + hr_s)
+    if fast:
+        inv_chat = jax.lax.rsqrt(jnp.where(c2 > 0.0, c2, 1.0))
+        chat = c2 * inv_chat  # = sqrt(c2); exactly 0 when c2 == 0
+    else:
+        chat = jnp.sqrt(c2)
+        inv_chat = 1.0 / jnp.where(chat > 0.0, chat, 1.0)
     uperp = uhat * cn + vhat * sn
 
     dh = hr - hl
