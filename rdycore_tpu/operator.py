@@ -113,6 +113,8 @@ class OperatorArrays(NamedTuple):
     # hydrostatic-reconstruction plan arrays (None unless well_balancing_hr)
     pl_hr_dzl: jnp.ndarray = None  # slotted zmax - zL per edge [R8, 128]
     pl_hr_dzr: jnp.ndarray = None
+    # BS2002 slot-routed plan arrays (ops/swe/bs2002.BS2002PlanArrays)
+    pl_bs: object = None
     # MUSCL second-order plan arrays (None unless second_order)
     pl_dxl: jnp.ndarray = None  # slotted centroid->midpoint displacements
     pl_dyl: jnp.ndarray = None
@@ -172,6 +174,7 @@ class SWEOperator:
     pallas_nsup: int = 0  # q-window supers (slot-routed kernel)
     pallas_cd_nsup_l: int = 0  # fluxL window supers (divergence kernel)
     pallas_cd_nsup_r: int = 0
+    pallas_bs_meta: tuple = ()  # BS2002 route/accumulate window supers
     pallas_interpret: bool = False
 
     # ---------------------------------------------------------------- helpers
@@ -208,10 +211,11 @@ class SWEOperator:
             self.edge_flux_backend == "pallas"
             and a.pl_supL is not None
             and (not self.well_balancing_hr or a.pl_hr_dzl is not None)
-            and not self.well_balancing_bs2002
+            and (not self.well_balancing_bs2002 or a.pl_bs is not None)
             and (not self.second_order or a.pl_dxl is not None)
         )
         if use_pallas:
+            eta_v = None
             if self.second_order:
                 from .ops.pallas.slotted import edge_flux_muscl_slotted
 
@@ -221,14 +225,30 @@ class SWEOperator:
             else:
                 from .ops.pallas.slotted import edge_flux_slotted
 
+                bs_args = None
+                if self.well_balancing_bs2002:
+                    from .ops.swe.bs2002 import eta_slotted
+
+                    Crows = a.pl_bs.z1r.shape[0]
+                    h_rows = jnp.pad(
+                        h.astype(jnp.float32),
+                        (0, Crows * 128 - h.shape[0]),
+                    ).reshape(Crows, 128)
+                    eta_v_rows, etab, etae = eta_slotted(
+                        a.pl_bs, self.pallas_bs_meta, h_rows, self.tiny_h,
+                        interpret=self.pallas_interpret,
+                    )
+                    eta_v = eta_v_rows.reshape(-1)
+                    bs_args = (etab, etae)
                 fluxL, fluxR = edge_flux_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                     interpret=self.pallas_interpret,
-                    hr=self.well_balancing_hr,
+                    hr=self.well_balancing_hr, bs=bs_args,
                 )
             return self._finish_apply(
                 q, dt, boundary_values, ext_src,
                 None, None, None, None, slotted_flux=(fluxL, fluxR),
+                eta_v=eta_v,
             )
 
         # ---- interior edge states --------------------------------------
@@ -803,12 +823,14 @@ def build_operator(
     i = lambda x: jnp.asarray(x, dtype=jnp.int32)
 
     bs_fields = {}
+    bs_host = {}
     if well_balancing_bs2002:
         from .ops.swe.bs2002 import build_bs2002_arrays
 
-        bs_fields = dict(
-            bs2002=build_bs2002_arrays(mesh, edge_perm, Ei, dtype)
+        bs_arr, bs_host = build_bs2002_arrays(
+            mesh, edge_perm, Ei, dtype, return_host=True
         )
+        bs_fields = dict(bs2002=bs_arr)
 
     muscl_fields = {}
     if second_order:
@@ -862,7 +884,9 @@ def build_operator(
         cell_edges=np.asarray(cell_edges),
         cell_edge_coef=np.asarray(coef),
         edge_courant_coef=np.asarray(ccoef),
+        cell_z=np.asarray(mesh.cell_z),
         **muscl_host,
+        **bs_host,
     )
 
     return SWEOperator(

@@ -330,10 +330,13 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
 
 def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
                  vL_ref, vR_ref, cn_ref, sn_ref, *rest,
-                 nsup, ndof, upwind, tiny_h, h_anuga, hr=False):
+                 nsup, ndof, upwind, tiny_h, h_anuga, hr=False, bs=False):
     if hr:
         dzl_ref, dzr_ref = rest[0], rest[1]
         rest = rest[2:]
+    if bs:
+        etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
+        rest = rest[4:]
     q_refs = rest[:nsup]
     oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
 
@@ -384,6 +387,17 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
         flux_list = [f_flow[0], f_flow[1], f_flow[2]] + [
             f_tr[j] for j in range(ndof - 3)
         ]
+    if bs:
+        # BS2002 momentum correction (swe_roe_flux_ceed.h:117-119):
+        # g * dhv^2 / 24 * (cn, sn) with dhv from the endpoint etas
+        from ...constants import GRAVITY
+
+        hvb = jnp.maximum(etab_ref[:, :] - zvb_ref[:, :], 0.0)
+        hve = jnp.maximum(etae_ref[:, :] - zve_ref[:, :], 0.0)
+        dhv = hve - hvb
+        corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
+        flux_list[1] = flux_list[1] + corr * cn
+        flux_list[2] = flux_list[2] + corr * sn
     if hr:
         if ndof == 3:
             # outer guard: both *raw* dry; inner: both *reconstructed* dry
@@ -425,12 +439,14 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
 
 def edge_flux_slotted(
     arrays, q, tiny_h, h_anuga, nsup, ndof=3, upwind=False, interpret=False,
-    hr=False,
+    hr=False, bs=None,
 ):
     """Run the slot-routed edge kernel.
 
     q: [>=ndof, C] f32 (rows 0..2 flow, 3.. tracers). hr=True applies
     hydrostatic reconstruction from the slotted pl_hr_dzl/pl_hr_dzr drops.
+    bs=(etab, etae) applies the BS2002 momentum correction from the slotted
+    endpoint etas + the static pl_bs.zvb/zve elevations.
     Returns (fluxL [ntiles*8, ndof+1, 128] with the last row = amax,
     fluxR [ntiles*16, ndof, 128])."""
     supL = arrays.pl_supL
@@ -458,7 +474,12 @@ def edge_flux_slotted(
     ] + ([
         pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # hr dzl
         pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # hr dzr
-    ] if hr else []) + [
+    ] if hr else []) + ([
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etab
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etae
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zvb
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zve
+    ] if bs is not None else []) + [
         pl.BlockSpec((ndof, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
         for s in range(nsup)
     ]
@@ -475,6 +496,7 @@ def edge_flux_slotted(
         functools.partial(
             _edge_kernel, nsup=nsup, ndof=ndof, upwind=bool(upwind),
             tiny_h=float(tiny_h), h_anuga=float(h_anuga), hr=bool(hr),
+            bs=bs is not None,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -487,10 +509,14 @@ def edge_flux_slotted(
         interpret=interpret,
     )
     hr_args = (arrays.pl_hr_dzl, arrays.pl_hr_dzr) if hr else ()
+    bs_args = (
+        (bs[0], bs[1], arrays.pl_bs.zvb, arrays.pl_bs.zve)
+        if bs is not None else ()
+    )
     return f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
         arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
-        arrays.pl_cn, arrays.pl_sn, *hr_args, *([q2d] * nsup),
+        arrays.pl_cn, arrays.pl_sn, *hr_args, *bs_args, *([q2d] * nsup),
     )
 
 
@@ -1051,6 +1077,8 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     meta = dict(
         nsup=plan.nsup, nsupL=cell_plan.nsupL, nsupR=cell_plan.nsupR,
         order=order,  # original -> sorted interior edge permutation
+        eposL=plan.eposL,  # sorted edge -> L-layout flat slot position
+        ntiles=plan.ntiles,
     )
     return plan_np, reordered, meta
 
@@ -1070,8 +1098,8 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     the mesh's bandwidth exceeds the static window budget (use
     cell_ordering: rcm) or an unsupported feature is enabled.
     """
-    if op.well_balancing_bs2002:
-        return op
+    if op.well_balancing_bs2002 and (op.second_order or op.num_tracers):
+        return op  # BS2002 is slot-routed for first-order flow only
     if op.well_balancing_hr and op.second_order:
         return op  # MUSCL+HR stays on the XLA twin
     if op.second_order and op.num_tracers:
@@ -1116,6 +1144,28 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         return op
     plan_np, reordered, meta = res
 
+    bs_fields = {}
+    bs_meta = ()
+    if op.well_balancing_bs2002:
+        from ..swe.bs2002 import build_bs2002_plan
+
+        bs_res = build_bs2002_plan(
+            ha, meta["order"], meta["eposL"], meta["ntiles"], op.num_cells,
+            max_sup=max_sup,
+        )
+        if bs_res is None:
+            return op
+        pl_bs, bs_meta, (bvb, bve) = bs_res
+        # boundary endpoint ids remapped into the plan's vertex order (the
+        # XLA boundary path indexes the routed eta_v vector directly)
+        bs_fields = dict(
+            pl_bs=pl_bs,
+            bs2002=a.bs2002._replace(
+                bnd_vbeg=jnp.asarray(bvb, jnp.int32),
+                bnd_vend=jnp.asarray(bve, jnp.int32),
+            ),
+        )
+
     j = lambda x, dt: jnp.asarray(x, dt)
     f32 = lambda x: jnp.asarray(x, a.int_cn.dtype)
     host2 = dict(ha)
@@ -1135,6 +1185,7 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
             k: j(v, jnp.int32 if k in _PLAN_INT_FIELDS else jnp.float32)
             for k, v in plan_np.items()
         },
+        **bs_fields,
     )
     return dataclasses.replace(
         op,
@@ -1144,5 +1195,6 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         pallas_nsup=meta["nsup"],
         pallas_cd_nsup_l=meta["nsupL"],
         pallas_cd_nsup_r=meta["nsupR"],
+        pallas_bs_meta=bs_meta,
         pallas_interpret=interpret,
     )

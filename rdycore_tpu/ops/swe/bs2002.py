@@ -42,7 +42,7 @@ class BS2002Arrays(NamedTuple):
     bnd_zvend: jnp.ndarray
 
 
-def build_bs2002_arrays(mesh, edge_perm, Ei, dtype) -> BS2002Arrays:
+def build_bs2002_arrays(mesh, edge_perm, Ei, dtype, return_host=False):
     C = mesh.num_cells
     NV = mesh.num_vertices
     pts_z = mesh.points[:, 2]
@@ -67,6 +67,27 @@ def build_bs2002_arrays(mesh, edge_perm, Ei, dtype) -> BS2002Arrays:
     ev = mesh.edge_vertices[edge_perm]
     f = lambda x: jnp.asarray(x, dtype)
     i32 = lambda x: jnp.asarray(x, jnp.int32)
+    if return_host:
+        host = dict(
+            bs_z1=z3[:, 0],
+            bs_z2=z3[:, 1],
+            bs_z3=z3[:, 2],
+            bs_vertex_cells=vc,
+            bs_vertex_count=cnt,
+            bs_int_vbeg=np.asarray(ev[:Ei, 0]),
+            bs_int_vend=np.asarray(ev[:Ei, 1]),
+            bs_int_zvbeg=pts_z[ev[:Ei, 0]],
+            bs_int_zvend=pts_z[ev[:Ei, 1]],
+            bs_bnd_vbeg=np.asarray(ev[Ei:, 0]),
+            bs_bnd_vend=np.asarray(ev[Ei:, 1]),
+        )
+        return _assemble_bs2002(
+            z3, vc, cnt, ev, Ei, pts_z, f, i32
+        ), host
+    return _assemble_bs2002(z3, vc, cnt, ev, Ei, pts_z, f, i32)
+
+
+def _assemble_bs2002(z3, vc, cnt, ev, Ei, pts_z, f, i32):
     return BS2002Arrays(
         z1=f(z3[:, 0]),
         z2=f(z3[:, 1]),
@@ -84,9 +105,9 @@ def build_bs2002_arrays(mesh, edge_perm, Ei, dtype) -> BS2002Arrays:
     )
 
 
-def eta_vertices(bs: BS2002Arrays, h, tiny_h):
-    """eta at mesh vertices from cell depths (SWEEtaVertex)."""
-    z1, z2, z3 = bs.z1, bs.z2, bs.z3
+def eta_cells(z1, z2, z3, h, tiny_h):
+    """Per-cell partial-wetting free-surface eta (the elementwise part of
+    SWEEtaVertex, swe_well_balancing.h:30-85)."""
     dz31 = z3 - z1
     dz31_safe = jnp.where(dz31 != 0.0, dz31, 1.0)
     h3 = z3 - (z1 + z2 + z3) / 3.0
@@ -99,7 +120,7 @@ def eta_vertices(bs: BS2002Arrays, h, tiny_h):
     c = z1 * z2 + z1 * z1 - z3 * z2 - 3.0 * h * dz31
     two_sub = 0.5 * (-b + jnp.sqrt(jnp.maximum(b * b - 4.0 * c, 0.0)))
 
-    eta_cell = jnp.where(
+    return jnp.where(
         h <= tiny_h,
         z1,
         jnp.where(
@@ -109,6 +130,10 @@ def eta_vertices(bs: BS2002Arrays, h, tiny_h):
         ),
     )
 
+
+def eta_vertices(bs: BS2002Arrays, h, tiny_h):
+    """eta at mesh vertices from cell depths (SWEEtaVertex)."""
+    eta_cell = eta_cells(bs.z1, bs.z2, bs.z3, h, tiny_h)
     eta_pad = jnp.concatenate([eta_cell, jnp.zeros((1,), eta_cell.dtype)])
     gathered = eta_pad[bs.vertex_cells]  # [NV, K]
     return gathered.sum(axis=1) * bs.vertex_inv_count
@@ -121,3 +146,222 @@ def dhv_correction(eta_v, vbeg, vend, zvbeg, zvend, cn, sn):
     dhv = hv_end - hv_beg
     corr = GRAVITY * dhv * dhv / 24.0
     return corr * cn, corr * sn
+
+
+# --------------------------------------------------------------------------
+# Slot-routed Pallas backend (ops/pallas/slotted.py + routed.py)
+#
+# The eta-vertex pre-operator is a two-space indirection chain
+#   cells --(vertex adjacency, averaged)--> vertices --(edge endpoints)-->
+#   edge slots
+# expressed as route+accumulate plans (ops/pallas/routed.py). Vertices are
+# renumbered by their first adjacent cell so both accumulate windows stay
+# tile-local under the mesh's (RCM) cell ordering.
+# --------------------------------------------------------------------------
+
+
+class BS2002PlanArrays(NamedTuple):
+    """Device arrays for the slot-routed BS2002 pipeline (a JAX pytree)."""
+
+    # per-cell sorted vertex z in row-major [Crows, 128] f32 planes
+    z1r: jnp.ndarray
+    z2r: jnp.ndarray
+    z3r: jnp.ndarray
+    # cell -> vertex route + averaged accumulate (eta_v, plan-vertex order)
+    cv_ws: jnp.ndarray
+    cv_sup: jnp.ndarray
+    cv_gi: jnp.ndarray
+    cv_mi: jnp.ndarray
+    cv_validR: jnp.ndarray
+    cv_a_ws: jnp.ndarray
+    cv_a_sup: jnp.ndarray
+    cv_a_coef: jnp.ndarray
+    # vertex -> L-slot routes for the edge begin/end endpoints
+    vb_ws: jnp.ndarray
+    vb_sup: jnp.ndarray
+    vb_gi: jnp.ndarray
+    vb_mi: jnp.ndarray
+    vb_validR: jnp.ndarray
+    vb_a_ws: jnp.ndarray
+    vb_a_sup: jnp.ndarray
+    vb_a_coef: jnp.ndarray
+    ve_ws: jnp.ndarray
+    ve_sup: jnp.ndarray
+    ve_gi: jnp.ndarray
+    ve_mi: jnp.ndarray
+    ve_validR: jnp.ndarray
+    ve_a_ws: jnp.ndarray
+    ve_a_sup: jnp.ndarray
+    ve_a_coef: jnp.ndarray
+    # slotted endpoint bed elevations in the L-layout [ntiles*8, 128] f32
+    zvb: jnp.ndarray
+    zve: jnp.ndarray
+
+
+def build_bs2002_plan(
+    bs_host: dict, order: np.ndarray, eposL: np.ndarray, ntiles: int,
+    num_cells: int, max_sup: int = 4, max_sup_accum: int = 8,
+):
+    """Host-side plan build for the slot-routed BS2002 pipeline.
+
+    bs_host: the bs_* numpy arrays kept by build_operator; order: the
+    slotted plan's interior-edge sort permutation; eposL: [Ei] edge ->
+    L-layout flat slot position. Returns None when any route/accumulate
+    window exceeds its budget, else (BS2002PlanArrays, meta-nsup tuple,
+    (bnd_vbeg_new, bnd_vend_new)) with boundary endpoints remapped into the
+    plan's vertex order.
+    """
+    from ..pallas.routed import build_accum_plan, build_route_plan
+
+    vc = np.asarray(bs_host["bs_vertex_cells"])  # [NV, K] padded with C
+    cnt = np.asarray(bs_host["bs_vertex_count"])
+    NV = vc.shape[0]
+    C = num_cells
+
+    # vertex renumbering by first adjacent cell (tile locality)
+    first_cell = np.where(vc < C, vc, np.iinfo(np.int64).max).min(axis=1)
+    vord = np.argsort(first_cell, kind="stable")
+    vnew = np.empty(NV, np.int64)
+    vnew[vord] = np.arange(NV)
+
+    # ---- cell -> vertex pairs (averaging weights 1/count) --------------
+    vi, ki = np.nonzero(vc < C)
+    pair_c = vc[vi, ki]
+    pair_v = vnew[vi]
+    pair_w = 1.0 / cnt[vi]
+    rp_cv = build_route_plan(pair_c, pair_v, max_sup=max_sup)
+    if rp_cv is None:
+        return None
+    # a 1024-vertex tile holds ~K*1024 pairs >= 8*K routed supers by volume
+    # alone, so the averaging accumulate needs a budget that scales with K
+    # (it is mesh-size independent: pairs per tile is bounded by K*1024)
+    K_cv = int(np.bincount(pair_v, minlength=NV).max())
+    ap_cv = build_accum_plan(
+        pair_v[rp_cv.order], rp_cv.eposR, pair_w[rp_cv.order], NV,
+        max_sup=max(max_sup_accum, 2 * 8 * K_cv),
+    )
+    if ap_cv is None:
+        return None
+
+    # ---- vertex -> L-slot (begin / end endpoints) -----------------------
+    n_slots = ntiles * 1024
+    ones = np.ones(len(order))
+
+    def vertex_to_slot(v_ids):
+        rp = build_route_plan(v_ids, eposL, max_sup=max_sup)
+        if rp is None:
+            return None
+        ap = build_accum_plan(
+            eposL[rp.order], rp.eposR, ones[: len(v_ids)], n_slots,
+            max_sup=max_sup_accum,
+        )
+        if ap is None:
+            return None
+        return rp, ap
+
+    vbeg = vnew[np.asarray(bs_host["bs_int_vbeg"])[order]]
+    vend = vnew[np.asarray(bs_host["bs_int_vend"])[order]]
+    res_b = vertex_to_slot(vbeg)
+    res_e = vertex_to_slot(vend)
+    if res_b is None or res_e is None:
+        return None
+    rp_b, ap_b = res_b
+    rp_e, ap_e = res_e
+
+    # ---- slotted static endpoint elevations ------------------------------
+    R_l = ntiles * 8
+    zvb = np.zeros((R_l, 128), np.float32)
+    zve = np.zeros((R_l, 128), np.float32)
+    zvb.reshape(-1)[eposL] = np.asarray(bs_host["bs_int_zvbeg"])[
+        order
+    ].astype(np.float32)
+    zve.reshape(-1)[eposL] = np.asarray(bs_host["bs_int_zvend"])[
+        order
+    ].astype(np.float32)
+
+    # ---- z planes in row-major [Crows, 128] ------------------------------
+    Crows = -(-C // 128)
+
+    def rows(v):
+        out = np.zeros(Crows * 128, np.float32)
+        out[:C] = np.asarray(v, np.float32)
+        return out.reshape(Crows, 128)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    i32 = lambda x: jnp.asarray(x, jnp.int32)
+
+    def route_fields(rp):
+        return dict(
+            ws=i32(rp.ws), sup=i32(rp.sup), gi=i32(rp.gi), mi=i32(rp.mi),
+            validR=f32(rp.validR),
+        )
+
+    def accum_fields(ap):
+        return dict(ws=i32(ap.ws), sup=i32(ap.sup), coef=f32(ap.coef))
+
+    def prefixed(prefix, d):
+        return {prefix + k: v for k, v in d.items()}
+
+    arrays = BS2002PlanArrays(
+        z1r=f32(rows(bs_host["bs_z1"])),
+        z2r=f32(rows(bs_host["bs_z2"])),
+        z3r=f32(rows(bs_host["bs_z3"])),
+        **prefixed("cv_", route_fields(rp_cv)),
+        **prefixed("cv_a_", accum_fields(ap_cv)),
+        **prefixed("vb_", route_fields(rp_b)),
+        **prefixed("vb_a_", accum_fields(ap_b)),
+        **prefixed("ve_", route_fields(rp_e)),
+        **prefixed("ve_a_", accum_fields(ap_e)),
+        zvb=f32(zvb),
+        zve=f32(zve),
+    )
+    meta = (rp_cv.nsup, ap_cv.nsup, rp_b.nsup, ap_b.nsup, rp_e.nsup,
+            ap_e.nsup)
+    bnd_remap = (
+        vnew[np.asarray(bs_host["bs_bnd_vbeg"])],
+        vnew[np.asarray(bs_host["bs_bnd_vend"])],
+    )
+    return arrays, meta, bnd_remap
+
+
+def eta_slotted(pl_bs: BS2002PlanArrays, meta, h_rows, tiny_h,
+                interpret=False):
+    """Device pipeline: per-cell eta (elementwise) -> vertex-averaged eta
+    (route+accumulate) -> endpoint etas aligned to the edge L-slots.
+
+    h_rows: [Crows, 128] f32 depths. Returns (eta_v_rows [NVt*8, 128] in
+    the plan's vertex order, etab [ntiles*8, 128], etae [ntiles*8, 128]).
+    """
+    from ..pallas.routed import accumulate, route_gather
+
+    cv_n, cva_n, vb_n, vba_n, ve_n, vea_n = meta
+    eta_rows = eta_cells(pl_bs.z1r, pl_bs.z2r, pl_bs.z3r, h_rows,
+                         jnp.float32(tiny_h))
+    routed = route_gather(
+        (pl_bs.cv_ws, pl_bs.cv_sup, pl_bs.cv_gi, pl_bs.cv_mi,
+         pl_bs.cv_validR),
+        eta_rows, cv_n, interpret=interpret,
+    )
+    eta_v = accumulate(
+        (pl_bs.cv_a_ws, pl_bs.cv_a_sup, pl_bs.cv_a_coef), routed, cva_n,
+        pl_bs.cv_a_sup.shape[0], interpret=interpret,
+    )
+    rb = route_gather(
+        (pl_bs.vb_ws, pl_bs.vb_sup, pl_bs.vb_gi, pl_bs.vb_mi,
+         pl_bs.vb_validR),
+        eta_v, vb_n, interpret=interpret,
+    )
+    etab = accumulate(
+        (pl_bs.vb_a_ws, pl_bs.vb_a_sup, pl_bs.vb_a_coef), rb, vba_n,
+        pl_bs.vb_a_sup.shape[0], interpret=interpret,
+    )
+    re_ = route_gather(
+        (pl_bs.ve_ws, pl_bs.ve_sup, pl_bs.ve_gi, pl_bs.ve_mi,
+         pl_bs.ve_validR),
+        eta_v, ve_n, interpret=interpret,
+    )
+    etae = accumulate(
+        (pl_bs.ve_a_ws, pl_bs.ve_a_sup, pl_bs.ve_a_coef), re_, vea_n,
+        pl_bs.ve_a_sup.shape[0], interpret=interpret,
+    )
+    return eta_v, etab, etae

@@ -88,14 +88,74 @@ def test_pallas_fallback_when_unsupported():
     mesh = structured_quad(16, 8)
     op = build_operator(
         mesh, mannings_n=np.zeros(mesh.num_cells),
-        well_balancing_bs2002=True, dtype=jnp.float32,
+        well_balancing_bs2002=True, second_order=True, dtype=jnp.float32,
     )
-    assert to_pallas_backend(op) is op  # BS2002 -> fallback
+    assert to_pallas_backend(op) is op  # BS2002+MUSCL -> fallback
     op2 = build_operator(
         mesh, mannings_n=np.zeros(mesh.num_cells), well_balancing_hr=True,
         second_order=True, dtype=jnp.float32,
     )
     assert to_pallas_backend(op2) is op2  # MUSCL+HR -> fallback
+
+
+def test_pallas_bs2002_matches_xla():
+    """BS2002 through the slot-routed pipeline (per-cell eta -> routed
+    vertex average -> routed endpoint etas -> in-kernel dhv correction)
+    matches the XLA twin, including the boundary correction."""
+    bumpy = lambda x, y: 0.3 * np.sin(x) * np.cos(y) + 0.02 * x
+    mesh = structured_tri(20, 16, 0, 20, 0, 16, z_fn=bumpy)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02),
+        well_balancing_bs2002=True, dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, max_sup=2, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    assert op_p.arrays.pl_bs is not None
+
+    # partially wet state over the bumpy bed (exercises every eta branch)
+    rng = np.random.default_rng(3)
+    q = np.zeros((3, mesh.num_cells), np.float32)
+    q[0] = np.maximum(0.4 - mesh.cell_z, 0.0) + 0.2 * rng.random(
+        mesh.num_cells
+    )
+    q[0, 50:80] = 0.0
+    q[1] = 0.2 * rng.standard_normal(mesh.num_cells)
+    q[2] = 0.2 * rng.standard_normal(mesh.num_cells)
+    q = jnp.asarray(q)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
+
+
+def test_pallas_bs2002_lake_at_rest():
+    """BS2002's design property: still water over a bumpy bed stays still
+    (first order) — through the Pallas pipeline."""
+    bumpy = lambda x, y: 0.25 * np.sin(0.7 * x) * np.cos(0.5 * y)
+    mesh = structured_tri(16, 12, 0, 16, 0, 12, z_fn=bumpy)
+    op = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells),
+        well_balancing_bs2002=True, dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, max_sup=2, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    h0 = np.maximum(2.0 - mesh.cell_z, 0.0).astype(np.float32)
+    q0 = jnp.zeros((3, mesh.num_cells), jnp.float32).at[0].set(h0)
+    r_x = op.apply(q0, 1e-2, op.zero_boundary_values(jnp.float32),
+                   jnp.zeros_like(q0))
+    r_p = op_p.apply(q0, 1e-2, op.zero_boundary_values(jnp.float32),
+                     jnp.zeros_like(q0))
+    # the twins agree on the (small) residual
+    np.testing.assert_allclose(
+        np.asarray(r_p.rhs), np.asarray(r_x.rhs), atol=2e-5
+    )
 
 
 @pytest.mark.parametrize("limiter", ["minmod", "van_leer", "none"])
