@@ -198,44 +198,67 @@ class BS2002PlanArrays(NamedTuple):
     zve: jnp.ndarray
 
 
-def build_bs2002_plan(
-    bs_host: dict, order: np.ndarray, eposL: np.ndarray, ntiles: int,
-    num_cells: int, max_sup: int = 4, max_sup_accum: int = 8,
-):
-    """Host-side plan build for the slot-routed BS2002 pipeline.
+_BS_INT_FIELDS = frozenset({
+    "cv_ws", "cv_sup", "cv_gi", "cv_mi", "cv_a_ws", "cv_a_sup",
+    "vb_ws", "vb_sup", "vb_gi", "vb_mi", "vb_a_ws", "vb_a_sup",
+    "ve_ws", "ve_sup", "ve_gi", "ve_mi", "ve_a_ws", "ve_a_sup",
+})
 
-    bs_host: the bs_* numpy arrays kept by build_operator; order: the
-    slotted plan's interior-edge sort permutation; eposL: [Ei] edge ->
-    L-layout flat slot position. Returns None when any route/accumulate
-    window exceeds its budget, else (BS2002PlanArrays, meta-nsup tuple,
-    (bnd_vbeg_new, bnd_vend_new)) with boundary endpoints remapped into the
-    plan's vertex order.
+
+def bs_plan_to_device(plan_np: dict) -> BS2002PlanArrays:
+    """numpy plan dict -> device BS2002PlanArrays."""
+    return BS2002PlanArrays(**{
+        k: jnp.asarray(
+            v, jnp.int32 if k in _BS_INT_FIELDS else jnp.float32
+        )
+        for k, v in plan_np.items()
+    })
+
+
+def build_bs2002_routed_plans(
+    z1, z2, z3, vc, inv_w, vbeg_s, vend_s, zvb_s, zve_s, epos_s,
+    ntiles: int, num_cells: int, bnd_vbeg, bnd_vend,
+    max_sup: int = 4, max_sup_accum: int = 8,
+):
+    """Core host-side plan build over one (possibly per-shard local) index
+    space. All inputs numpy:
+
+    z1/z2/z3: [C] per-cell sorted vertex elevations; vc: [NV, K] vertex ->
+    adjacent cell ids with any id outside [0, C) meaning padding; inv_w:
+    [NV] averaging weights (1/count); vbeg_s/vend_s/zvb_s/zve_s: [Er]
+    endpoint vertex ids + elevations for the REAL interior edges in the
+    slotted plan's sorted order; epos_s: [Er] their L-layout flat slot
+    positions; bnd_vbeg/bnd_vend: boundary endpoint vertex ids.
+
+    Returns None on window-budget overflow, else (plan_np dict of numpy
+    arrays, meta-nsup tuple, (bnd_vbeg_new, bnd_vend_new)) with the
+    boundary endpoints remapped into the plan's vertex order.
     """
     from ..pallas.routed import build_accum_plan, build_route_plan
 
-    vc = np.asarray(bs_host["bs_vertex_cells"])  # [NV, K] padded with C
-    cnt = np.asarray(bs_host["bs_vertex_count"])
+    vc = np.asarray(vc)
     NV = vc.shape[0]
     C = num_cells
+    valid = (vc >= 0) & (vc < C)
 
     # vertex renumbering by first adjacent cell (tile locality)
-    first_cell = np.where(vc < C, vc, np.iinfo(np.int64).max).min(axis=1)
+    first_cell = np.where(valid, vc, np.iinfo(np.int64).max).min(axis=1)
     vord = np.argsort(first_cell, kind="stable")
     vnew = np.empty(NV, np.int64)
     vnew[vord] = np.arange(NV)
 
-    # ---- cell -> vertex pairs (averaging weights 1/count) --------------
-    vi, ki = np.nonzero(vc < C)
+    # ---- cell -> vertex pairs (averaging weights) ------------------------
+    vi, ki = np.nonzero(valid)
     pair_c = vc[vi, ki]
     pair_v = vnew[vi]
-    pair_w = 1.0 / cnt[vi]
+    pair_w = np.asarray(inv_w)[vi]
     rp_cv = build_route_plan(pair_c, pair_v, max_sup=max_sup)
     if rp_cv is None:
         return None
     # a 1024-vertex tile holds ~K*1024 pairs >= 8*K routed supers by volume
     # alone, so the averaging accumulate needs a budget that scales with K
     # (it is mesh-size independent: pairs per tile is bounded by K*1024)
-    K_cv = int(np.bincount(pair_v, minlength=NV).max())
+    K_cv = int(np.bincount(pair_v, minlength=NV).max()) if len(pair_v) else 1
     ap_cv = build_accum_plan(
         pair_v[rp_cv.order], rp_cv.eposR, pair_w[rp_cv.order], NV,
         max_sup=max(max_sup_accum, 2 * 8 * K_cv),
@@ -245,24 +268,23 @@ def build_bs2002_plan(
 
     # ---- vertex -> L-slot (begin / end endpoints) -----------------------
     n_slots = ntiles * 1024
-    ones = np.ones(len(order))
+    epos_s = np.asarray(epos_s)
+    ones = np.ones(len(epos_s))
 
     def vertex_to_slot(v_ids):
-        rp = build_route_plan(v_ids, eposL, max_sup=max_sup)
+        rp = build_route_plan(v_ids, epos_s, max_sup=max_sup)
         if rp is None:
             return None
         ap = build_accum_plan(
-            eposL[rp.order], rp.eposR, ones[: len(v_ids)], n_slots,
+            epos_s[rp.order], rp.eposR, ones, n_slots,
             max_sup=max_sup_accum,
         )
         if ap is None:
             return None
         return rp, ap
 
-    vbeg = vnew[np.asarray(bs_host["bs_int_vbeg"])[order]]
-    vend = vnew[np.asarray(bs_host["bs_int_vend"])[order]]
-    res_b = vertex_to_slot(vbeg)
-    res_e = vertex_to_slot(vend)
+    res_b = vertex_to_slot(vnew[np.asarray(vbeg_s)])
+    res_e = vertex_to_slot(vnew[np.asarray(vend_s)])
     if res_b is None or res_e is None:
         return None
     rp_b, ap_b = res_b
@@ -272,12 +294,8 @@ def build_bs2002_plan(
     R_l = ntiles * 8
     zvb = np.zeros((R_l, 128), np.float32)
     zve = np.zeros((R_l, 128), np.float32)
-    zvb.reshape(-1)[eposL] = np.asarray(bs_host["bs_int_zvbeg"])[
-        order
-    ].astype(np.float32)
-    zve.reshape(-1)[eposL] = np.asarray(bs_host["bs_int_zvend"])[
-        order
-    ].astype(np.float32)
+    zvb.reshape(-1)[epos_s] = np.asarray(zvb_s, np.float32)
+    zve.reshape(-1)[epos_s] = np.asarray(zve_s, np.float32)
 
     # ---- z planes in row-major [Crows, 128] ------------------------------
     Crows = -(-C // 128)
@@ -287,41 +305,62 @@ def build_bs2002_plan(
         out[:C] = np.asarray(v, np.float32)
         return out.reshape(Crows, 128)
 
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    i32 = lambda x: jnp.asarray(x, jnp.int32)
-
     def route_fields(rp):
-        return dict(
-            ws=i32(rp.ws), sup=i32(rp.sup), gi=i32(rp.gi), mi=i32(rp.mi),
-            validR=f32(rp.validR),
-        )
+        return dict(ws=rp.ws, sup=rp.sup, gi=rp.gi, mi=rp.mi,
+                    validR=rp.validR)
 
     def accum_fields(ap):
-        return dict(ws=i32(ap.ws), sup=i32(ap.sup), coef=f32(ap.coef))
+        return dict(ws=ap.ws, sup=ap.sup, coef=ap.coef)
 
     def prefixed(prefix, d):
         return {prefix + k: v for k, v in d.items()}
 
-    arrays = BS2002PlanArrays(
-        z1r=f32(rows(bs_host["bs_z1"])),
-        z2r=f32(rows(bs_host["bs_z2"])),
-        z3r=f32(rows(bs_host["bs_z3"])),
+    plan_np = dict(
+        z1r=rows(z1),
+        z2r=rows(z2),
+        z3r=rows(z3),
         **prefixed("cv_", route_fields(rp_cv)),
         **prefixed("cv_a_", accum_fields(ap_cv)),
         **prefixed("vb_", route_fields(rp_b)),
         **prefixed("vb_a_", accum_fields(ap_b)),
         **prefixed("ve_", route_fields(rp_e)),
         **prefixed("ve_a_", accum_fields(ap_e)),
-        zvb=f32(zvb),
-        zve=f32(zve),
+        zvb=zvb,
+        zve=zve,
     )
     meta = (rp_cv.nsup, ap_cv.nsup, rp_b.nsup, ap_b.nsup, rp_e.nsup,
             ap_e.nsup)
-    bnd_remap = (
-        vnew[np.asarray(bs_host["bs_bnd_vbeg"])],
-        vnew[np.asarray(bs_host["bs_bnd_vend"])],
+    bnd_remap = (vnew[np.asarray(bnd_vbeg)], vnew[np.asarray(bnd_vend)])
+    return plan_np, meta, bnd_remap
+
+
+def build_bs2002_plan(
+    bs_host: dict, order: np.ndarray, eposL: np.ndarray, ntiles: int,
+    num_cells: int, max_sup: int = 4, max_sup_accum: int = 8,
+):
+    """Single-device plan build from build_operator's bs_* host arrays.
+
+    order: the slotted plan's interior-edge sort permutation; eposL: [Ei]
+    sorted edge -> L-layout flat slot position. Returns None on budget
+    overflow, else (BS2002PlanArrays, meta-nsup tuple, (bnd_vbeg_new,
+    bnd_vend_new)).
+    """
+    cnt = np.asarray(bs_host["bs_vertex_count"])
+    res = build_bs2002_routed_plans(
+        bs_host["bs_z1"], bs_host["bs_z2"], bs_host["bs_z3"],
+        bs_host["bs_vertex_cells"], 1.0 / cnt,
+        np.asarray(bs_host["bs_int_vbeg"])[order],
+        np.asarray(bs_host["bs_int_vend"])[order],
+        np.asarray(bs_host["bs_int_zvbeg"])[order],
+        np.asarray(bs_host["bs_int_zvend"])[order],
+        eposL, ntiles, num_cells,
+        bs_host["bs_bnd_vbeg"], bs_host["bs_bnd_vend"],
+        max_sup=max_sup, max_sup_accum=max_sup_accum,
     )
-    return arrays, meta, bnd_remap
+    if res is None:
+        return None
+    plan_np, meta, bnd_remap = res
+    return bs_plan_to_device(plan_np), meta, bnd_remap
 
 
 def eta_slotted(pl_bs: BS2002PlanArrays, meta, h_rows, tiny_h,

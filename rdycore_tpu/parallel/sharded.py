@@ -69,6 +69,34 @@ def _plan_int_fields():
     return _PLAN_INT_FIELDS
 
 
+def _stack_bs_plans(plans):
+    """Pad per-shard BS2002 route/accumulate plans to common tile/K counts
+    and stack them on a leading shard axis. Padded tiles/slots are inert:
+    route validR=0 and accumulate coef=0 zero them out."""
+    keys = plans[0].keys()
+    out = {}
+    for k in keys:
+        arrs = [np.asarray(p[k]) for p in plans]
+        if arrs[0].ndim == 1:  # window starts [ntiles] / [Dt]
+            n = max(a.shape[0] for a in arrs)
+            out[k] = np.stack(
+                [np.pad(a, (0, n - a.shape[0])) for a in arrs]
+            )
+        elif arrs[0].ndim == 2:  # [rows, 128] row-tiled
+            n = max(a.shape[0] for a in arrs)
+            out[k] = np.stack(
+                [np.pad(a, ((0, n - a.shape[0]), (0, 0))) for a in arrs]
+            )
+        else:  # [K, rows, 128] accumulate slots
+            K = max(a.shape[0] for a in arrs)
+            n = max(a.shape[1] for a in arrs)
+            out[k] = np.stack([
+                np.pad(a, ((0, K - a.shape[0]), (0, n - a.shape[1]), (0, 0)))
+                for a in arrs
+            ])
+    return out
+
+
 def _stack_shard_plans(plans):
     """Pad per-shard slot plans to common tile/K counts and stack them on a
     leading shard axis (shard_map strips it back off per device)."""
@@ -552,18 +580,22 @@ class ShardedSWE:
         # inside shard_map exactly as on one device; plans are padded to a
         # common tile count so they stack along the shard axis) ----
         pallas_fields = {}
+        bs_plan_fields = {}
         self._pallas_meta = None
         hr = ref_op.well_balancing_hr
         if (
             self._want_pallas
             and Ei_max > 0
-            and not bs2002
+            and not (bs2002 and (second_order or ref_op.num_tracers))
             and not (hr and second_order)
             and not (second_order and ref_op.num_tracers)
         ):
             from ..ops.pallas.slotted import build_plan_arrays
+            if bs2002:
+                from ..ops.swe.bs2002 import build_bs2002_routed_plans
 
             per_shard = []
+            bs_plans = []
             for p in range(Pn):
                 muscl_p = None
                 if second_order:
@@ -583,6 +615,30 @@ class ShardedSWE:
                 if res is None:
                     per_shard = None
                     break
+                if bs2002:
+                    # per-shard BS2002 route/accumulate plans over the LOCAL
+                    # cell/vertex/slot spaces (padding edges excluded: their
+                    # endpoint ids are meaningless and would pile onto one
+                    # source lane)
+                    _, _, m_ = res
+                    ordp = m_["order"]
+                    gsel = int_gidx[p][ordp] >= 0
+                    if not gsel.any():
+                        per_shard = None
+                        break
+                    bs_res = build_bs2002_routed_plans(
+                        bz1[p], bz2[p], bz3[p],
+                        shard_vcs[p], shard_vinv[p],
+                        ivb[p][ordp][gsel], ive[p][ordp][gsel],
+                        izvb[p][ordp][gsel], izve[p][ordp][gsel],
+                        m_["eposL"][gsel], m_["ntiles"], C_loc,
+                        bvb[p], bve[p],
+                        max_sup=self._pallas_max_sup,
+                    )
+                    if bs_res is None:
+                        per_shard = None
+                        break
+                    bs_plans.append(bs_res)
                 per_shard.append(res)
             if per_shard is not None:
                 for p, (_, reo, m_) in enumerate(per_shard):
@@ -593,6 +649,15 @@ class ShardedSWE:
                     ce[p] = reo["cell_edges"]
                     ccoef[p] = reo["edge_courant_coef"]
                     int_gidx[p] = int_gidx[p][m_["order"]]
+                    if bs2002:
+                        ordp = m_["order"]
+                        ivb[p] = ivb[p][ordp]
+                        ive[p] = ive[p][ordp]
+                        izvb[p] = izvb[p][ordp]
+                        izve[p] = izve[p][ordp]
+                        # boundary endpoints remapped into the plan's vertex
+                        # order (_finish_apply indexes the routed eta vector)
+                        bvb[p], bve[p] = bs_plans[p][2]
                 pallas_fields = _stack_shard_plans(
                     [pl for pl, _, _ in per_shard]
                 )
@@ -601,6 +666,15 @@ class ShardedSWE:
                     nsupL=max(m["nsupL"] for _, _, m in per_shard),
                     nsupR=max(m["nsupR"] for _, _, m in per_shard),
                 )
+                if bs2002:
+                    from ..ops.swe.bs2002 import bs_plan_to_device
+
+                    bs_plan_fields = dict(pl_bs=bs_plan_to_device(
+                        _stack_bs_plans([b[0] for b in bs_plans])
+                    ))
+                    self._pallas_meta["bs"] = tuple(
+                        max(b[1][i] for b in bs_plans) for i in range(6)
+                    )
                 self.pallas_active = True
 
         f = lambda x: jnp.asarray(x, dtype=dtype)
@@ -664,6 +738,7 @@ class ShardedSWE:
                 for k, v in pallas_fields.items()
             },
             **bs_fields,
+            **bs_plan_fields,
         )
         self.halo = HaloMaps(
             send_ids=ii(send_ids),
@@ -683,6 +758,7 @@ class ShardedSWE:
                 pallas_nsup=self._pallas_meta["nsup"],
                 pallas_cd_nsup_l=self._pallas_meta["nsupL"],
                 pallas_cd_nsup_r=self._pallas_meta["nsupR"],
+                pallas_bs_meta=self._pallas_meta.get("bs", ()),
                 pallas_interpret=self._pallas_interpret,
             )
         self.op = dataclasses.replace(

@@ -329,16 +329,52 @@ def test_sharded_pallas_muscl_matches_xla():
 
 
 def test_sharded_pallas_fallback_on_unsupported():
-    """BS2002 well-balancing has no pallas kernels; the sharded build must
-    fall back to the XLA path rather than fail."""
+    """BS2002 + MUSCL has no pallas kernels; the sharded build must fall
+    back to the XLA path rather than fail."""
     mesh = structured_quad(16, 8, 0, 16, 0, 8)
     sh = ShardedSWE(
         mesh, 2, mannings_n=np.zeros(mesh.num_cells), dtype=jnp.float32,
-        well_balancing_bs2002=True, edge_flux_backend="pallas",
-        pallas_interpret=True,
+        well_balancing_bs2002=True, second_order=True,
+        edge_flux_backend="pallas", pallas_interpret=True,
     )
     assert not sh.pallas_active
     assert sh.op.edge_flux_backend != "pallas"
+
+
+def test_sharded_pallas_bs2002_matches_xla():
+    """BS2002 through the per-shard slot-routed pipeline (local cell ->
+    vertex -> slot route/accumulate plans stacked on the shard axis)
+    matches the sharded XLA twin."""
+    from rdycore_tpu.mesh import structured_tri
+
+    def bumpy(x, y):
+        return 0.3 * np.sin(x) * np.cos(y) + 0.02 * x
+
+    mesh = structured_tri(16, 12, 0, 16, 0, 12, z_fn=bumpy)
+    mannings = np.full(mesh.num_cells, 0.02)
+    rng = np.random.default_rng(11)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = np.maximum(
+        1.0 - mesh.cell_z + 0.3 * rng.random(mesh.num_cells), 0.0
+    )
+    q0[0, 40:70] = 0.0  # dry block
+    q0[1] = 0.2 * rng.standard_normal(mesh.num_cells)
+
+    dt, n, t_end = 1e-3, 10, 0.01
+    _, q_x, c_x = _run_sharded(
+        mesh, 4, q0, dt, n, t_end, mannings_n=mannings,
+        well_balancing_bs2002=True,
+    )
+    sh, q_p, c_p = _run_sharded(
+        mesh, 4, q0, dt, n, t_end, mannings_n=mannings,
+        well_balancing_bs2002=True,
+        edge_flux_backend="pallas", pallas_interpret=True,
+    )
+    assert sh.pallas_active
+    assert sh.arrays.pl_bs is not None
+    rel = np.abs(q_p - q_x) / (1.0 + np.abs(q_x))
+    assert rel.max() < 2e-5
+    assert c_p == pytest.approx(c_x, rel=2e-5)
 
 
 # -------------------------------------------------------- courant location
