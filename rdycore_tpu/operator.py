@@ -216,30 +216,30 @@ class SWEOperator:
         )
         if use_pallas:
             eta_v = None
+            bs_args = None
+            if self.well_balancing_bs2002:
+                from .ops.swe.bs2002 import eta_slotted
+
+                Crows = a.pl_bs.z1r.shape[0]
+                h_rows = jnp.pad(
+                    h.astype(jnp.float32),
+                    (0, Crows * 128 - h.shape[0]),
+                ).reshape(Crows, 128)
+                eta_v_rows, etab, etae = eta_slotted(
+                    a.pl_bs, self.pallas_bs_meta, h_rows, self.tiny_h,
+                    interpret=self.pallas_interpret,
+                )
+                eta_v = eta_v_rows.reshape(-1)
+                bs_args = (etab, etae)
             if self.second_order:
                 from .ops.pallas.slotted import edge_flux_muscl_slotted
 
                 fluxL, fluxR = edge_flux_muscl_slotted(
-                    self, q, interpret=self.pallas_interpret
+                    self, q, interpret=self.pallas_interpret, bs=bs_args
                 )
             else:
                 from .ops.pallas.slotted import edge_flux_slotted
 
-                bs_args = None
-                if self.well_balancing_bs2002:
-                    from .ops.swe.bs2002 import eta_slotted
-
-                    Crows = a.pl_bs.z1r.shape[0]
-                    h_rows = jnp.pad(
-                        h.astype(jnp.float32),
-                        (0, Crows * 128 - h.shape[0]),
-                    ).reshape(Crows, 128)
-                    eta_v_rows, etab, etae = eta_slotted(
-                        a.pl_bs, self.pallas_bs_meta, h_rows, self.tiny_h,
-                        interpret=self.pallas_interpret,
-                    )
-                    eta_v = eta_v_rows.reshape(-1)
-                    bs_args = (etab, etae)
                 fluxL, fluxR = edge_flux_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                     interpret=self.pallas_interpret,

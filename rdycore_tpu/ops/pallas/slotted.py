@@ -800,8 +800,11 @@ def _limit(limiter, extrap, half_dq):
 def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
                        mi_ref, vL_ref, vR_ref, cn_ref, sn_ref,
                        dxl_ref, dyl_ref, dxr_ref, dyr_ref, oq_ref, dql_ref,
-                       *rest, nsup, limiter, tiny_h, h_anuga):
+                       *rest, nsup, limiter, tiny_h, h_anuga, bs=False):
     """Reconstruct limited face states from cell gradients and solve Roe."""
+    if bs:
+        etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
+        rest = rest[4:]
     g_refs = rest[:nsup]
     oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
 
@@ -846,9 +849,23 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
     hr = jnp.maximum(0.0, hr)
     ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
     ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
+    cn = cn_ref[:, :]
+    sn = sn_ref[:, :]
     f_h, f_hu, f_hv, amax = roe_flux(
-        hl, ul, vl, hr, ur, vr, sn_ref[:, :], cn_ref[:, :], fast=True
+        hl, ul, vl, hr, ur, vr, sn, cn, fast=True
     )
+    if bs:
+        # BS2002 momentum correction, same as the first-order kernel (the
+        # reference applies eta_vertices + muscl_interior_flux together,
+        # operator.c:159-176)
+        from ...constants import GRAVITY
+
+        hvb = jnp.maximum(etab_ref[:, :] - zvb_ref[:, :], 0.0)
+        hve = jnp.maximum(etae_ref[:, :] - zve_ref[:, :], 0.0)
+        dhv = hve - hvb
+        corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
+        f_hu = f_hu + corr * cn
+        f_hv = f_hv + corr * sn
     dry = (hl < tiny_h) & (hr < tiny_h)
     mask = jnp.where(dry, 0.0, vL_ref[:, :])
     fluxes = (f_h * mask, f_hu * mask, f_hv * mask)
@@ -871,8 +888,9 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
 
 
 def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
-                       limiter, interpret=False):
-    """grad: [Ct*8, 6, 128] from muscl_grad_slotted. Returns
+                       limiter, interpret=False, bs=None):
+    """grad: [Ct*8, 6, 128] from muscl_grad_slotted. bs=(etab, etae)
+    applies the BS2002 momentum correction. Returns
     (fluxL [R8, 4, 128], fluxR [R16, 3, 128]) like edge_flux_slotted."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
@@ -898,7 +916,12 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dyr
         pl.BlockSpec((8, 6, 128), lambda t, ws: (t, 0, 0)),  # oQ
         pl.BlockSpec((8, 3, 128), lambda t, ws: (t, 0, 0)),  # dqL
-    ] + [
+    ] + ([
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etab
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etae
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zvb
+        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zve
+    ] if bs is not None else []) + [
         pl.BlockSpec((6, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
         for s in range(nsup)
     ]
@@ -915,6 +938,7 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         functools.partial(
             _muscl_flux_kernel, nsup=nsup, limiter=limiter,
             tiny_h=float(tiny_h), h_anuga=float(h_anuga),
+            bs=bs is not None,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -926,18 +950,23 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         ),
         interpret=interpret,
     )
+    bs_args = (
+        (bs[0], bs[1], arrays.pl_bs.zvb, arrays.pl_bs.zve)
+        if bs is not None else ()
+    )
     return f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
         arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
         arrays.pl_cn, arrays.pl_sn,
         arrays.pl_dxl, arrays.pl_dyl, arrays.pl_dxr, arrays.pl_dyr,
-        oQ, dqL, *([g2d] * nsup),
+        oQ, dqL, *bs_args, *([g2d] * nsup),
     )
 
 
-def edge_flux_muscl_slotted(op, q, interpret=False):
+def edge_flux_muscl_slotted(op, q, interpret=False, bs=None):
     """Full second-order interior flux: dq/qLR gather -> LS gradients ->
-    limited reconstruction + Roe. Returns (fluxL, fluxR)."""
+    limited reconstruction + Roe (+ BS2002 correction when bs=(etab,
+    etae)). Returns (fluxL, fluxR)."""
     a = op.arrays
     oQ, dqL, dqR = muscl_pre_slotted(a, q, op.pallas_nsup, interpret)
     grad = muscl_grad_slotted(
@@ -945,7 +974,7 @@ def edge_flux_muscl_slotted(op, q, interpret=False):
     )
     return muscl_flux_slotted(
         a, grad, oQ, dqL, op.tiny_h, op.h_anuga, op.pallas_nsup,
-        op.limiter, interpret
+        op.limiter, interpret, bs=bs
     )
 
 
@@ -1098,8 +1127,8 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     the mesh's bandwidth exceeds the static window budget (use
     cell_ordering: rcm) or an unsupported feature is enabled.
     """
-    if op.well_balancing_bs2002 and (op.second_order or op.num_tracers):
-        return op  # BS2002 is slot-routed for first-order flow only
+    if op.well_balancing_bs2002 and op.num_tracers:
+        return op  # BS2002 tracer transport stays on the XLA twin
     if op.well_balancing_hr and op.second_order:
         return op  # MUSCL+HR stays on the XLA twin
     if op.second_order and op.num_tracers:

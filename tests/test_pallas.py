@@ -88,9 +88,10 @@ def test_pallas_fallback_when_unsupported():
     mesh = structured_quad(16, 8)
     op = build_operator(
         mesh, mannings_n=np.zeros(mesh.num_cells),
-        well_balancing_bs2002=True, second_order=True, dtype=jnp.float32,
+        well_balancing_bs2002=True, num_tracers=1, num_sediment=1,
+        dtype=jnp.float32,
     )
-    assert to_pallas_backend(op) is op  # BS2002+MUSCL -> fallback
+    assert to_pallas_backend(op) is op  # BS2002+tracers -> fallback
     op2 = build_operator(
         mesh, mannings_n=np.zeros(mesh.num_cells), well_balancing_hr=True,
         second_order=True, dtype=jnp.float32,
@@ -133,6 +134,37 @@ def test_pallas_bs2002_matches_xla():
     assert float(r_p.max_courant_per_dt) == pytest.approx(
         float(r_x.max_courant_per_dt), rel=1e-5
     )
+
+
+def test_pallas_bs2002_muscl_matches_xla():
+    """MUSCL + BS2002 through the slotted pipeline (the reference applies
+    eta_vertices + muscl_interior_flux together, operator.c:159-176)."""
+    bumpy = lambda x, y: 0.3 * np.sin(x) * np.cos(y) + 0.02 * x
+    mesh = structured_tri(20, 16, 0, 20, 0, 16, z_fn=bumpy)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02),
+        well_balancing_bs2002=True, second_order=True, dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, max_sup=2, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    assert op_p.arrays.pl_bs is not None and op_p.arrays.pl_dxl is not None
+
+    rng = np.random.default_rng(5)
+    q = np.zeros((3, mesh.num_cells), np.float32)
+    q[0] = np.maximum(0.5 - mesh.cell_z, 0.0) + 0.2 * rng.random(
+        mesh.num_cells
+    )
+    q[1] = 0.2 * rng.standard_normal(mesh.num_cells)
+    q[2] = 0.2 * rng.standard_normal(mesh.num_cells)
+    q = jnp.asarray(q)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
 
 
 def test_pallas_bs2002_lake_at_rest():

@@ -21,6 +21,7 @@ CASES = [
     ("parabolic_bowl.yaml", SWE),
     ("levee.hr.yaml", SWE),
     ("flume_flood.yaml", SWE),
+    ("flume_flood_0.yaml", SWE),  # lake-at-rest well-balancing variant
     ("mixed_elements.yaml", SWE),
     ("mixed_elements_ic_file.yaml", SWE),
     ("quad_tri_mesh.yaml", SWE),
