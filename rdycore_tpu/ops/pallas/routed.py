@@ -36,6 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TE = 1024
 RROWS = 16
+GT = 8  # tiles per grid step (see slotted.GT; padded tiles are inert)
 
 
 class RoutePlan(NamedTuple):
@@ -134,8 +135,12 @@ def build_route_plan(src, dst, max_sup: int = 4) -> Optional[RoutePlan]:
         )
     except ValueError:
         return None
-    ntiles = len(ws_tile)
     ws_rows = ws_tile[tile_of]
+    # pad the tile count to a GT multiple (inert tiles: validR = 0)
+    ntiles = -(-len(ws_tile) // GT) * GT
+    ws_tile = np.concatenate(
+        [ws_tile, np.zeros(ntiles - len(ws_tile), ws_tile.dtype)]
+    )
 
     R_l, R_r = ntiles * 8, ntiles * RROWS
     sup = np.zeros((R_l, 128), np.int32)
@@ -167,6 +172,7 @@ def build_accum_plan(
     dst = np.asarray(dst, np.int64)
     rowsR = np.asarray(eposR) // 128
     Dt = max(1, -(-int(n_dst) // TE))
+    Dt = -(-Dt // GT) * GT  # pad to a GT multiple (inert: coef = 0)
     dtile = dst // TE
     lo = np.full(Dt, np.iinfo(np.int64).max)
     hi = np.zeros(Dt, np.int64)
@@ -194,22 +200,26 @@ def build_accum_plan(
 # ---------------------------------------------------------------- kernels
 
 def _route_kernel(ws_ref, sup_ref, gi_ref, mi_ref, vR_ref, *rest, nsup):
-    src_refs = rest[:nsup]
-    o_ref = rest[nsup]
-    sup = sup_ref[:, :]
-    val = jnp.zeros((8, 128), jnp.float32)
-    for s in range(nsup):
-        gat = jnp.take_along_axis(
-            src_refs[s][:, :], jnp.clip(sup - s * 8, 0, 7), axis=0
-        )
-        val = jnp.where((sup >> 3) == s, gat, val)
-    vR = vR_ref[:, :]
-    gi0, gi1 = gi_ref[0:8, :], gi_ref[8:16, :]
-    mi0, mi1 = mi_ref[0:8, :], mi_ref[8:16, :]
-    u0 = jnp.take_along_axis(val, gi0, axis=0)
-    u1 = jnp.take_along_axis(val, gi1, axis=0)
-    o_ref[0:8, :] = jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
-    o_ref[8:16, :] = jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
+    src_all = rest[: GT * nsup]
+    o_ref = rest[GT * nsup]
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        rA = slice(gt * RROWS, gt * RROWS + 8)
+        rB = slice(gt * RROWS + 8, gt * RROWS + 16)
+        src_refs = src_all[gt * nsup : (gt + 1) * nsup]
+        sup = sup_ref[r8, :]
+        val = jnp.zeros((8, 128), jnp.float32)
+        for s in range(nsup):
+            gat = jnp.take_along_axis(
+                src_refs[s][:, :], jnp.clip(sup - s * 8, 0, 7), axis=0
+            )
+            val = jnp.where((sup >> 3) == s, gat, val)
+        gi0, gi1 = gi_ref[rA, :], gi_ref[rB, :]
+        mi0, mi1 = mi_ref[rA, :], mi_ref[rB, :]
+        u0 = jnp.take_along_axis(val, gi0, axis=0)
+        u1 = jnp.take_along_axis(val, gi1, axis=0)
+        o_ref[rA, :] = jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
+        o_ref[rB, :] = jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
 
 
 def route_gather(plan_arrays, src_rows, nsup, interpret=False):
@@ -217,21 +227,25 @@ def route_gather(plan_arrays, src_rows, nsup, interpret=False):
     Returns routed values [ntiles*16, 128]."""
     ws, sup, gi, mi, vR = plan_arrays
     ntiles = sup.shape[0] // 8
+    nsteps = ntiles // GT
     src = jnp.pad(src_rows, ((0, nsup * 8 + 8), (0, 0)))
     in_specs = [
-        pl.BlockSpec((8, 128), lambda t, w: (t, 0)),       # sup
-        pl.BlockSpec((RROWS, 128), lambda t, w: (t, 0)),   # gi
-        pl.BlockSpec((RROWS, 128), lambda t, w: (t, 0)),   # mi
-        pl.BlockSpec((RROWS, 128), lambda t, w: (t, 0)),   # validR
+        pl.BlockSpec((GT * 8, 128), lambda t, w: (t, 0)),       # sup
+        pl.BlockSpec((GT * RROWS, 128), lambda t, w: (t, 0)),   # gi
+        pl.BlockSpec((GT * RROWS, 128), lambda t, w: (t, 0)),   # mi
+        pl.BlockSpec((GT * RROWS, 128), lambda t, w: (t, 0)),   # validR
     ] + [
-        pl.BlockSpec((8, 128), lambda t, w, s=s: (w[t] + s, 0))
+        pl.BlockSpec(
+            (8, 128), lambda t, w, g=g, s=s: (w[t * GT + g] + s, 0)
+        )
+        for g in range(GT)
         for s in range(nsup)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((RROWS, 128), lambda t, w: (t, 0)),
+        out_specs=pl.BlockSpec((GT * RROWS, 128), lambda t, w: (t, 0)),
     )
     f = pl.pallas_call(
         functools.partial(_route_kernel, nsup=nsup),
@@ -242,43 +256,50 @@ def route_gather(plan_arrays, src_rows, nsup, interpret=False):
         ),
         interpret=interpret,
     )
-    return f(ws, sup, gi, mi, vR, *([src] * nsup))
+    return f(ws, sup, gi, mi, vR, *([src] * (GT * nsup)))
 
 
 def _accum_kernel(ws_ref, sup_ref, cf_ref, *rest, nsup, K):
-    r_refs = rest[:nsup]
-    o_ref = rest[nsup]
-    acc = jnp.zeros((8, 128), jnp.float32)
-    for k in range(K):
-        sup = sup_ref[k]
-        cf = cf_ref[k]
-        gat = jnp.zeros((8, 128), jnp.float32)
-        for s in range(nsup):
-            gg = jnp.take_along_axis(
-                r_refs[s][:, :], jnp.clip(sup - s * 8, 0, 7), axis=0
-            )
-            gat = jnp.where((sup >> 3) == s, gg, gat)
-        acc = acc + gat * cf
-    o_ref[:, :] = acc
+    r_all = rest[: GT * nsup]
+    o_ref = rest[GT * nsup]
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        r_refs = r_all[gt * nsup : (gt + 1) * nsup]
+        acc = jnp.zeros((8, 128), jnp.float32)
+        for k in range(K):
+            sup = sup_ref[k, r8]
+            cf = cf_ref[k, r8]
+            gat = jnp.zeros((8, 128), jnp.float32)
+            for s in range(nsup):
+                gg = jnp.take_along_axis(
+                    r_refs[s][:, :], jnp.clip(sup - s * 8, 0, 7), axis=0
+                )
+                gat = jnp.where((sup >> 3) == s, gg, gat)
+            acc = acc + gat * cf
+        o_ref[r8, :] = acc
 
 
 def accumulate(plan_arrays, routed, nsup, K, interpret=False):
     """routed: [R_routed, 128] f32. Returns [ntiles*8, 128] dst sums."""
     ws, sup, cf = plan_arrays
     Dt = sup.shape[1] // 8
+    nsteps = Dt // GT
     routed = jnp.pad(routed, ((0, nsup * 8 + RROWS), (0, 0)))
     in_specs = [
-        pl.BlockSpec((K, 8, 128), lambda t, w: (0, t, 0)),
-        pl.BlockSpec((K, 8, 128), lambda t, w: (0, t, 0)),
+        pl.BlockSpec((K, GT * 8, 128), lambda t, w: (0, t, 0)),
+        pl.BlockSpec((K, GT * 8, 128), lambda t, w: (0, t, 0)),
     ] + [
-        pl.BlockSpec((8, 128), lambda t, w, s=s: (w[t] + s, 0))
+        pl.BlockSpec(
+            (8, 128), lambda t, w, g=g, s=s: (w[t * GT + g] + s, 0)
+        )
+        for g in range(GT)
         for s in range(nsup)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Dt,),
+        grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, 128), lambda t, w: (t, 0)),
+        out_specs=pl.BlockSpec((GT * 8, 128), lambda t, w: (t, 0)),
     )
     f = pl.pallas_call(
         functools.partial(_accum_kernel, nsup=nsup, K=K),
@@ -289,4 +310,4 @@ def accumulate(plan_arrays, routed, nsup, K, interpret=False):
         ),
         interpret=interpret,
     )
-    return f(ws, sup, cf, *([routed] * nsup))
+    return f(ws, sup, cf, *([routed] * (GT * nsup)))

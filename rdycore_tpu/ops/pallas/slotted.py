@@ -49,6 +49,9 @@ from ..swe.riemann import regularized_velocity, roe_flux
 
 TE = 1024  # L-slots (edges) per tile: 8 rows x 128 lanes
 RROWS = 16  # R-layout rows per tile
+GT = 8  # tiles per pallas grid step (amortizes ~0.6us/step sequencing
+        # overhead; tile counts are padded to a GT multiple with inert
+        # tiles: valid=0 zeroes their fluxes, coef=0 their divergence)
 
 
 class SlottedPlan(NamedTuple):
@@ -187,8 +190,12 @@ def build_slotted_plan(
     except ValueError:
         return None
     slot_row, color, tile_of, ws_tile, need_sup = packed
-    ntiles = len(ws_tile)
     ws_rows = ws_tile[tile_of]  # [E] window start of each edge's tile
+    # pad the tile count to a GT multiple (inert tiles: valid = 0)
+    ntiles = -(-len(ws_tile) // GT) * GT
+    ws_tile = np.concatenate(
+        [ws_tile, np.zeros(ntiles - len(ws_tile), ws_tile.dtype)]
+    )
 
     R_l, R_r = ntiles * 8, ntiles * RROWS
     supL = np.zeros((R_l, 128), np.int32)
@@ -251,6 +258,7 @@ def build_cell_plan(
     rowL = plan.eposL // 128
     rowR = plan.eposR // 128
     Ct = -(-C // TE)
+    Ct = -(-Ct // GT) * GT  # cell tiles, padded to a GT multiple
 
     KL = int(np.bincount(il_sorted, minlength=C).max()) if E else 0
     KR = int(np.bincount(ir_sorted, minlength=C).max()) if E else 0
@@ -337,104 +345,113 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
     if bs:
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
         rest = rest[4:]
-    q_refs = rest[:nsup]
-    oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
+    q_all = rest[: GT * nsup]
+    oL_ref, oR_ref = rest[GT * nsup], rest[GT * nsup + 1]
 
-    supL = supL_ref[:, :]
-    supR0 = supR_ref[0:8, :]
-    supR1 = supR_ref[8:16, :]
-    mm0 = m_ref[0:8, :]
-    mm1 = m_ref[8:16, :]
-    g = g_ref[:, :]
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        r16 = slice(gt * RROWS, gt * RROWS + RROWS)
+        q_refs = q_all[gt * nsup : (gt + 1) * nsup]
+        supL = supL_ref[r8, :]
+        supR0 = supR_ref[gt * RROWS : gt * RROWS + 8, :]
+        supR1 = supR_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
+        mm0 = m_ref[gt * RROWS : gt * RROWS + 8, :]
+        mm1 = m_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
+        g = g_ref[r8, :]
 
-    qs = []
-    for comp in range(ndof):
-        qL = _window_gather(q_refs, supL, comp, nsup)
-        z1a = _window_gather(q_refs, supR0, comp, nsup)
-        z1b = _window_gather(q_refs, supR1, comp, nsup)
-        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
-        z2b = jnp.take_along_axis(z1b, mm1, axis=1)
-        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
-        yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
-        qR = jnp.where(g < 8, ya, yb)
-        qs.append((qL, qR))
+        qs = []
+        for comp in range(ndof):
+            qL = _window_gather(q_refs, supL, comp, nsup)
+            z1a = _window_gather(q_refs, supR0, comp, nsup)
+            z1b = _window_gather(q_refs, supR1, comp, nsup)
+            z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+            ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+            qR = jnp.where(g < 8, ya, yb)
+            qs.append((qL, qR))
 
-    (hl, hr_), (hul, hur), (hvl, hvr) = qs[:3]
-    # velocities/concentrations from the RAW states; depths hydrostatically
-    # reconstructed when hr (swe_fluxes_hydro_recon_ceed.h: eta - max(z))
-    ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
-    ur, vr = regularized_velocity(hr_, hur, hvr, tiny_h, h_anuga)
-    if hr:
-        hl_f = jnp.maximum(0.0, hl - dzl_ref[:, :])
-        hr_f = jnp.maximum(0.0, hr_ - dzr_ref[:, :])
-    else:
-        hl_f, hr_f = hl, hr_
-    sn = sn_ref[:, :]
-    cn = cn_ref[:, :]
-    if ndof == 3:
-        f_h, f_hu, f_hv, amax = roe_flux(
-            hl_f, ul, vl, hr_f, ur, vr, sn, cn, fast=True
-        )
-        flux_list = [f_h, f_hu, f_hv]
-    else:
-        from ..tracer.flux import safe_div, tracer_roe_flux
-
-        cil = jnp.stack([safe_div(c[0], hl, hl, tiny_h) for c in qs[3:]])
-        cir = jnp.stack([safe_div(c[1], hr_, hr_, tiny_h) for c in qs[3:]])
-        f_flow, f_tr, amax = tracer_roe_flux(
-            hl_f, ul, vl, cil, hr_f, ur, vr, cir, sn, cn, upwind
-        )
-        flux_list = [f_flow[0], f_flow[1], f_flow[2]] + [
-            f_tr[j] for j in range(ndof - 3)
-        ]
-    if bs:
-        # BS2002 momentum correction (swe_roe_flux_ceed.h:117-119):
-        # g * dhv^2 / 24 * (cn, sn) with dhv from the endpoint etas
-        from ...constants import GRAVITY
-
-        hvb = jnp.maximum(etab_ref[:, :] - zvb_ref[:, :], 0.0)
-        hve = jnp.maximum(etae_ref[:, :] - zve_ref[:, :], 0.0)
-        dhv = hve - hvb
-        corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
-        flux_list[1] = flux_list[1] + corr * cn
-        flux_list[2] = flux_list[2] + corr * sn
-    if hr:
-        if ndof == 3:
-            # outer guard: both *raw* dry; inner: both *reconstructed* dry
-            # (swe_petsc.c:1094,1112)
-            dry = ((hl < tiny_h) & (hr_ < tiny_h)) | (
-                (hl_f <= tiny_h) & (hr_f <= tiny_h)
-            )
+        (hl, hr_), (hul, hur), (hvl, hvr) = qs[:3]
+        # velocities/concentrations from the RAW states; depths
+        # hydrostatically reconstructed when hr
+        # (swe_fluxes_hydro_recon_ceed.h: eta - max(z))
+        ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
+        ur, vr = regularized_velocity(hr_, hur, hvr, tiny_h, h_anuga)
+        if hr:
+            hl_f = jnp.maximum(0.0, hl - dzl_ref[r8, :])
+            hr_f = jnp.maximum(0.0, hr_ - dzr_ref[r8, :])
         else:
-            # tracer twin's convention (operator.py _apply_tracer)
-            dry = ~(
-                ((hl > tiny_h) | (hr_ > tiny_h))
-                & ((hl_f > tiny_h) | (hr_f > tiny_h))
+            hl_f, hr_f = hl, hr_
+        sn = sn_ref[r8, :]
+        cn = cn_ref[r8, :]
+        if ndof == 3:
+            f_h, f_hu, f_hv, amax = roe_flux(
+                hl_f, ul, vl, hr_f, ur, vr, sn, cn, fast=True
             )
-    else:
-        dry = (hl < tiny_h) & (hr_ < tiny_h)
-    mask = jnp.where(dry, 0.0, vL_ref[:, :])
-    fluxes = [f * mask for f in flux_list]
-    for comp in range(ndof):
-        oL_ref[:, comp, :] = fluxes[comp]
-    oL_ref[:, ndof, :] = amax * mask
+            flux_list = [f_h, f_hu, f_hv]
+        else:
+            from ..tracer.flux import safe_div, tracer_roe_flux
 
-    # route fluxes into the R-layout for the divergence kernel
-    gi0 = gi_ref[0:8, :]
-    gi1 = gi_ref[8:16, :]
-    mi0 = mi_ref[0:8, :]
-    mi1 = mi_ref[8:16, :]
-    vR = vR_ref[:, :]
-    for comp in range(ndof):
-        fL = fluxes[comp]
-        u0 = jnp.take_along_axis(fL, gi0, axis=0)
-        u1 = jnp.take_along_axis(fL, gi1, axis=0)
-        oR_ref[0:8, comp, :] = (
-            jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
-        )
-        oR_ref[8:16, comp, :] = (
-            jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
-        )
+            cil = jnp.stack(
+                [safe_div(c[0], hl, hl, tiny_h) for c in qs[3:]]
+            )
+            cir = jnp.stack(
+                [safe_div(c[1], hr_, hr_, tiny_h) for c in qs[3:]]
+            )
+            f_flow, f_tr, amax = tracer_roe_flux(
+                hl_f, ul, vl, cil, hr_f, ur, vr, cir, sn, cn, upwind
+            )
+            flux_list = [f_flow[0], f_flow[1], f_flow[2]] + [
+                f_tr[j] for j in range(ndof - 3)
+            ]
+        if bs:
+            # BS2002 momentum correction (swe_roe_flux_ceed.h:117-119):
+            # g * dhv^2 / 24 * (cn, sn) with dhv from the endpoint etas
+            from ...constants import GRAVITY
+
+            hvb = jnp.maximum(etab_ref[r8, :] - zvb_ref[r8, :], 0.0)
+            hve = jnp.maximum(etae_ref[r8, :] - zve_ref[r8, :], 0.0)
+            dhv = hve - hvb
+            corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
+            flux_list[1] = flux_list[1] + corr * cn
+            flux_list[2] = flux_list[2] + corr * sn
+        if hr:
+            if ndof == 3:
+                # outer guard: both *raw* dry; inner: both *reconstructed*
+                # dry (swe_petsc.c:1094,1112)
+                dry = ((hl < tiny_h) & (hr_ < tiny_h)) | (
+                    (hl_f <= tiny_h) & (hr_f <= tiny_h)
+                )
+            else:
+                # tracer twin's convention (operator.py _apply_tracer)
+                dry = ~(
+                    ((hl > tiny_h) | (hr_ > tiny_h))
+                    & ((hl_f > tiny_h) | (hr_f > tiny_h))
+                )
+        else:
+            dry = (hl < tiny_h) & (hr_ < tiny_h)
+        mask = jnp.where(dry, 0.0, vL_ref[r8, :])
+        fluxes = [f * mask for f in flux_list]
+        for comp in range(ndof):
+            oL_ref[r8, comp, :] = fluxes[comp]
+        oL_ref[r8, ndof, :] = amax * mask
+
+        # route fluxes into the R-layout for the divergence kernel
+        gi0 = gi_ref[gt * RROWS : gt * RROWS + 8, :]
+        gi1 = gi_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
+        mi0 = mi_ref[gt * RROWS : gt * RROWS + 8, :]
+        mi1 = mi_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
+        vR = vR_ref[r16, :]
+        for comp in range(ndof):
+            fL = fluxes[comp]
+            u0 = jnp.take_along_axis(fL, gi0, axis=0)
+            u1 = jnp.take_along_axis(fL, gi1, axis=0)
+            oR_ref[gt * RROWS : gt * RROWS + 8, comp, :] = (
+                jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
+            )
+            oR_ref[gt * RROWS + 8 : gt * RROWS + 16, comp, :] = (
+                jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
+            )
 
 
 def edge_flux_slotted(
@@ -451,6 +468,7 @@ def edge_flux_slotted(
     fluxR [ntiles*16, ndof, 128])."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
+    nsteps = ntiles // GT
     C = q.shape[1]
     Crows = -(-C // 128)
     q32 = q[:ndof].astype(jnp.float32)
@@ -461,35 +479,39 @@ def edge_flux_slotted(
     )
 
     in_specs = [
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # m
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # mi
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # validR
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # cn
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # sn
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # cn
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # sn
     ] + ([
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # hr dzl
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # hr dzr
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # hr dzl
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # hr dzr
     ] if hr else []) + ([
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etab
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etae
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zvb
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zve
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs etab
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs etae
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs zvb
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs zve
     ] if bs is not None else []) + [
-        pl.BlockSpec((ndof, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
+        pl.BlockSpec(
+            (ndof, 8, 128),
+            lambda t, ws, g=g, s=s: (0, ws[t * GT + g] + s, 0),
+        )
+        for g in range(GT)
         for s in range(nsup)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=(nsteps,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((8, ndof + 1, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((RROWS, ndof, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, ndof + 1, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * RROWS, ndof, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
     f = pl.pallas_call(
@@ -516,36 +538,41 @@ def edge_flux_slotted(
     return f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
         arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
-        arrays.pl_cn, arrays.pl_sn, *hr_args, *bs_args, *([q2d] * nsup),
+        arrays.pl_cn, arrays.pl_sn, *hr_args, *bs_args,
+        *([q2d] * (GT * nsup)),
     )
 
 
 def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
                  nsupL, nsupR, KL, KR, ncomp):
-    fL_refs = rest[:nsupL]
-    fR_refs = rest[nsupL:nsupL + nsupR]
-    o_ref = rest[nsupL + nsupR]
+    fL_all = rest[: GT * nsupL]
+    fR_all = rest[GT * nsupL : GT * (nsupL + nsupR)]
+    o_ref = rest[GT * (nsupL + nsupR)]
 
-    acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ncomp)]
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ncomp)]
 
-    def side(refs, s_ref, c_ref, K, nsup):
-        for k in range(K):
-            sup = s_ref[k]
-            cf = c_ref[k]
-            for comp in range(ncomp):
-                gat = jnp.zeros((8, 128), jnp.float32)
-                for s in range(nsup):
-                    src = refs[s][:, comp, :]
-                    gg = jnp.take_along_axis(
-                        src, jnp.clip(sup - s * 8, 0, 7), axis=0
-                    )
-                    gat = jnp.where((sup >> 3) == s, gg, gat)
-                acc[comp] = acc[comp] + gat * cf
+        def side(refs, s_ref, c_ref, K, nsup):
+            for k in range(K):
+                sup = s_ref[k, r8]
+                cf = c_ref[k, r8]
+                for comp in range(ncomp):
+                    gat = jnp.zeros((8, 128), jnp.float32)
+                    for s in range(nsup):
+                        src = refs[s][:, comp, :]
+                        gg = jnp.take_along_axis(
+                            src, jnp.clip(sup - s * 8, 0, 7), axis=0
+                        )
+                        gat = jnp.where((sup >> 3) == s, gg, gat)
+                    acc[comp] = acc[comp] + gat * cf
 
-    side(fL_refs, sL_ref, cL_ref, KL, nsupL)
-    side(fR_refs, sR_ref, cR_ref, KR, nsupR)
-    for comp in range(ncomp):
-        o_ref[:, comp, :] = acc[comp]
+        side(fL_all[gt * nsupL : (gt + 1) * nsupL], sL_ref, cL_ref,
+             KL, nsupL)
+        side(fR_all[gt * nsupR : (gt + 1) * nsupR], sR_ref, cR_ref,
+             KR, nsupR)
+        for comp in range(ncomp):
+            o_ref[r8, comp, :] = acc[comp]
 
 
 def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
@@ -558,30 +585,37 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
     KL, RcL, _ = supL.shape
     KR = arrays.pl_cd_supR.shape[0]
     Ct = RcL // 8
+    nsteps = Ct // GT
     fluxL = jnp.pad(fluxL, ((0, nsupL * 8 + 8), (0, 0), (0, 0)))
     fluxR = jnp.pad(fluxR, ((0, nsupR * 8 + RROWS), (0, 0), (0, 0)))
 
     in_specs = [
-        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
     ] + [
         pl.BlockSpec(
-            (8, ncomp + 1, 128), lambda t, wl, wr, s=s: (wl[t] + s, 0, 0)
+            (8, ncomp + 1, 128),
+            lambda t, wl, wr, g=g, s=s: (wl[t * GT + g] + s, 0, 0),
         )
+        for g in range(GT)
         for s in range(nsupL)
     ] + [
         pl.BlockSpec(
-            (8, ncomp, 128), lambda t, wl, wr, s=s: (wr[t] + s, 0, 0)
+            (8, ncomp, 128),
+            lambda t, wl, wr, g=g, s=s: (wr[t * GT + g] + s, 0, 0),
         )
+        for g in range(GT)
         for s in range(nsupR)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(Ct,),
+        grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, ncomp, 128), lambda t, wl, wr: (t, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (GT * 8, ncomp, 128), lambda t, wl, wr: (t, 0, 0)
+        ),
     )
     f = pl.pallas_call(
         functools.partial(
@@ -599,7 +633,7 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
         arrays.pl_cd_wsL, arrays.pl_cd_wsR,
         arrays.pl_cd_supL, arrays.pl_cd_cfL,
         arrays.pl_cd_supR, arrays.pl_cd_cfR,
-        *([fluxL] * nsupL), *([fluxR] * nsupR),
+        *([fluxL] * (GT * nsupL)), *([fluxR] * (GT * nsupR)),
     )
 
 
@@ -610,39 +644,51 @@ def _muscl_pre_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
                       mi_ref, vL_ref, vR_ref, *rest, nsup):
     """Gather qL/qR per edge slot and emit (qL, qR) in the L-layout plus
     dq = qR - qL in both layouts (for the LS gradient kernel)."""
-    q_refs = rest[:nsup]
-    oQ_ref, oDqL_ref, oDqR_ref = rest[nsup], rest[nsup + 1], rest[nsup + 2]
+    q_all = rest[: GT * nsup]
+    oQ_ref, oDqL_ref, oDqR_ref = (
+        rest[GT * nsup], rest[GT * nsup + 1], rest[GT * nsup + 2]
+    )
 
-    supL = supL_ref[:, :]
-    supR0 = supR_ref[0:8, :]
-    supR1 = supR_ref[8:16, :]
-    mm0 = m_ref[0:8, :]
-    mm1 = m_ref[8:16, :]
-    g = g_ref[:, :]
-    gi0 = gi_ref[0:8, :]
-    gi1 = gi_ref[8:16, :]
-    mi0 = mi_ref[0:8, :]
-    mi1 = mi_ref[8:16, :]
-    vL = vL_ref[:, :]
-    vR = vR_ref[:, :]
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        rA = slice(gt * RROWS, gt * RROWS + 8)
+        rB = slice(gt * RROWS + 8, gt * RROWS + 16)
+        q_refs = q_all[gt * nsup : (gt + 1) * nsup]
+        supL = supL_ref[r8, :]
+        supR0 = supR_ref[rA, :]
+        supR1 = supR_ref[rB, :]
+        mm0 = m_ref[rA, :]
+        mm1 = m_ref[rB, :]
+        g = g_ref[r8, :]
+        gi0 = gi_ref[rA, :]
+        gi1 = gi_ref[rB, :]
+        mi0 = mi_ref[rA, :]
+        mi1 = mi_ref[rB, :]
+        vL = vL_ref[r8, :]
+        vR0 = vR_ref[rA, :]
+        vR1 = vR_ref[rB, :]
 
-    for comp in range(3):
-        qL = _window_gather(q_refs, supL, comp, nsup)
-        z1a = _window_gather(q_refs, supR0, comp, nsup)
-        z1b = _window_gather(q_refs, supR1, comp, nsup)
-        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
-        z2b = jnp.take_along_axis(z1b, mm1, axis=1)
-        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
-        yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
-        qR = jnp.where(g < 8, ya, yb)
-        dq = (qR - qL) * vL
-        oQ_ref[:, comp, :] = qL
-        oQ_ref[:, 3 + comp, :] = qR
-        oDqL_ref[:, comp, :] = dq
-        u0 = jnp.take_along_axis(dq, gi0, axis=0)
-        u1 = jnp.take_along_axis(dq, gi1, axis=0)
-        oDqR_ref[0:8, comp, :] = jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
-        oDqR_ref[8:16, comp, :] = jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
+        for comp in range(3):
+            qL = _window_gather(q_refs, supL, comp, nsup)
+            z1a = _window_gather(q_refs, supR0, comp, nsup)
+            z1b = _window_gather(q_refs, supR1, comp, nsup)
+            z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+            ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+            qR = jnp.where(g < 8, ya, yb)
+            dq = (qR - qL) * vL
+            oQ_ref[r8, comp, :] = qL
+            oQ_ref[r8, 3 + comp, :] = qR
+            oDqL_ref[r8, comp, :] = dq
+            u0 = jnp.take_along_axis(dq, gi0, axis=0)
+            u1 = jnp.take_along_axis(dq, gi1, axis=0)
+            oDqR_ref[rA, comp, :] = (
+                jnp.take_along_axis(u0, mi0, axis=1) * vR0
+            )
+            oDqR_ref[rB, comp, :] = (
+                jnp.take_along_axis(u1, mi1, axis=1) * vR1
+            )
 
 
 def muscl_pre_slotted(arrays, q, nsup, interpret=False):
@@ -658,27 +704,32 @@ def muscl_pre_slotted(arrays, q, nsup, interpret=False):
     q2d = jnp.pad(
         q32.reshape(3, Crows, 128), ((0, 0), (0, nsup * 8 + 8), (0, 0))
     )
+    nsteps = ntiles // GT
     in_specs = [
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # m
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # mi
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # validR
     ] + [
-        pl.BlockSpec((3, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
+        pl.BlockSpec(
+            (3, 8, 128),
+            lambda t, ws, g=g, s=s: (0, ws[t * GT + g] + s, 0),
+        )
+        for g in range(GT)
         for s in range(nsup)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=(nsteps,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((8, 6, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((8, 3, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, 6, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
     f = pl.pallas_call(
@@ -697,7 +748,7 @@ def muscl_pre_slotted(arrays, q, nsup, interpret=False):
     return f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
         arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
-        *([q2d] * nsup),
+        *([q2d] * (GT * nsup)),
     )
 
 
@@ -705,34 +756,38 @@ def _grad_kernel(wsl_ref, wsr_ref, sL_ref, cxL_ref, cyL_ref, sR_ref,
                  cxR_ref, cyR_ref, *rest, nsupL, nsupR, KL, KR):
     """Least-squares cell gradients: grad[c] += coef * dq over incident
     edges (the reference scatter in gather form; muscl.py docstring)."""
-    dL_refs = rest[:nsupL]
-    dR_refs = rest[nsupL:nsupL + nsupR]
-    o_ref = rest[nsupL + nsupR]
+    dL_all = rest[: GT * nsupL]
+    dR_all = rest[GT * nsupL : GT * (nsupL + nsupR)]
+    o_ref = rest[GT * (nsupL + nsupR)]
 
-    gx = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
-    gy = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        gx = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
+        gy = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
 
-    def side(refs, s_ref, cx_ref, cy_ref, K, nsup):
-        for k in range(K):
-            sup = s_ref[k]
-            cx = cx_ref[k]
-            cy = cy_ref[k]
-            for comp in range(3):
-                gat = jnp.zeros((8, 128), jnp.float32)
-                for s in range(nsup):
-                    src = refs[s][:, comp, :]
-                    gg = jnp.take_along_axis(
-                        src, jnp.clip(sup - s * 8, 0, 7), axis=0
-                    )
-                    gat = jnp.where((sup >> 3) == s, gg, gat)
-                gx[comp] = gx[comp] + gat * cx
-                gy[comp] = gy[comp] + gat * cy
+        def side(refs, s_ref, cx_ref, cy_ref, K, nsup):
+            for k in range(K):
+                sup = s_ref[k, r8]
+                cx = cx_ref[k, r8]
+                cy = cy_ref[k, r8]
+                for comp in range(3):
+                    gat = jnp.zeros((8, 128), jnp.float32)
+                    for s in range(nsup):
+                        src = refs[s][:, comp, :]
+                        gg = jnp.take_along_axis(
+                            src, jnp.clip(sup - s * 8, 0, 7), axis=0
+                        )
+                        gat = jnp.where((sup >> 3) == s, gg, gat)
+                    gx[comp] = gx[comp] + gat * cx
+                    gy[comp] = gy[comp] + gat * cy
 
-    side(dL_refs, sL_ref, cxL_ref, cyL_ref, KL, nsupL)
-    side(dR_refs, sR_ref, cxR_ref, cyR_ref, KR, nsupR)
-    for comp in range(3):
-        o_ref[:, comp, :] = gx[comp]
-        o_ref[:, 3 + comp, :] = gy[comp]
+        side(dL_all[gt * nsupL : (gt + 1) * nsupL], sL_ref, cxL_ref,
+             cyL_ref, KL, nsupL)
+        side(dR_all[gt * nsupR : (gt + 1) * nsupR], sR_ref, cxR_ref,
+             cyR_ref, KR, nsupR)
+        for comp in range(3):
+            o_ref[r8, comp, :] = gx[comp]
+            o_ref[r8, 3 + comp, :] = gy[comp]
 
 
 def muscl_grad_slotted(arrays, dqL, dqR, nsupL, nsupR, interpret=False):
@@ -743,25 +798,36 @@ def muscl_grad_slotted(arrays, dqL, dqR, nsupL, nsupR, interpret=False):
     Ct = RcL // 8
     dqL = jnp.pad(dqL, ((0, nsupL * 8 + 8), (0, 0), (0, 0)))
     dqR = jnp.pad(dqR, ((0, nsupR * 8 + RROWS), (0, 0), (0, 0)))
+    nsteps = Ct // GT
     in_specs = [
-        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KL, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KR, 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
     ] + [
-        pl.BlockSpec((8, 3, 128), lambda t, wl, wr, s=s: (wl[t] + s, 0, 0))
+        pl.BlockSpec(
+            (8, 3, 128),
+            lambda t, wl, wr, g=g, s=s: (wl[t * GT + g] + s, 0, 0),
+        )
+        for g in range(GT)
         for s in range(nsupL)
     ] + [
-        pl.BlockSpec((8, 3, 128), lambda t, wl, wr, s=s: (wr[t] + s, 0, 0))
+        pl.BlockSpec(
+            (8, 3, 128),
+            lambda t, wl, wr, g=g, s=s: (wr[t * GT + g] + s, 0, 0),
+        )
+        for g in range(GT)
         for s in range(nsupR)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(Ct,),
+        grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, 6, 128), lambda t, wl, wr: (t, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (GT * 8, 6, 128), lambda t, wl, wr: (t, 0, 0)
+        ),
     )
     f = pl.pallas_call(
         functools.partial(
@@ -778,7 +844,7 @@ def muscl_grad_slotted(arrays, dqL, dqR, nsupL, nsupR, interpret=False):
         arrays.pl_cd_wsL, arrays.pl_cd_wsR,
         arrays.pl_cd_supL, arrays.pl_cd_cxL, arrays.pl_cd_cyL,
         arrays.pl_cd_supR, arrays.pl_cd_cxR, arrays.pl_cd_cyR,
-        *([dqL] * nsupL), *([dqR] * nsupR),
+        *([dqL] * (GT * nsupL)), *([dqR] * (GT * nsupR)),
     )
 
 
@@ -805,86 +871,94 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
     if bs:
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
         rest = rest[4:]
-    g_refs = rest[:nsup]
-    oL_ref, oR_ref = rest[nsup], rest[nsup + 1]
+    g_all = rest[: GT * nsup]
+    oL_ref, oR_ref = rest[GT * nsup], rest[GT * nsup + 1]
 
-    supL = supL_ref[:, :]
-    supR0 = supR_ref[0:8, :]
-    supR1 = supR_ref[8:16, :]
-    mm0 = m_ref[0:8, :]
-    mm1 = m_ref[8:16, :]
-    g = g_ref[:, :]
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        rA = slice(gt * RROWS, gt * RROWS + 8)
+        rB = slice(gt * RROWS + 8, gt * RROWS + 16)
+        g_refs = g_all[gt * nsup : (gt + 1) * nsup]
+        supL = supL_ref[r8, :]
+        supR0 = supR_ref[rA, :]
+        supR1 = supR_ref[rB, :]
+        mm0 = m_ref[rA, :]
+        mm1 = m_ref[rB, :]
+        g = g_ref[r8, :]
 
-    def gatherLR(comp):
-        gL = _window_gather(g_refs, supL, comp, nsup)
-        z1a = _window_gather(g_refs, supR0, comp, nsup)
-        z1b = _window_gather(g_refs, supR1, comp, nsup)
-        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
-        z2b = jnp.take_along_axis(z1b, mm1, axis=1)
-        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
-        yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
-        gR = jnp.where(g < 8, ya, yb)
-        return gL, gR
+        def gatherLR(comp):
+            gL = _window_gather(g_refs, supL, comp, nsup)
+            z1a = _window_gather(g_refs, supR0, comp, nsup)
+            z1b = _window_gather(g_refs, supR1, comp, nsup)
+            z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+            ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+            gR = jnp.where(g < 8, ya, yb)
+            return gL, gR
 
-    dxl = dxl_ref[:, :]
-    dyl = dyl_ref[:, :]
-    dxr = dxr_ref[:, :]
-    dyr = dyr_ref[:, :]
+        dxl = dxl_ref[r8, :]
+        dyl = dyl_ref[r8, :]
+        dxr = dxr_ref[r8, :]
+        dyr = dyr_ref[r8, :]
 
-    qf = []
-    for comp in range(3):
-        gxL, gxR = gatherLR(comp)
-        gyL, gyR = gatherLR(3 + comp)
-        qL = oq_ref[:, comp, :]
-        qR = oq_ref[:, 3 + comp, :]
-        dq = dql_ref[:, comp, :]
-        extrap_L = gxL * dxl + gyL * dyl
-        extrap_R = gxR * dxr + gyR * dyr
-        qfL = qL + _limit(limiter, extrap_L, 0.5 * dq)
-        qfR = qR + _limit(limiter, extrap_R, -0.5 * dq)
-        qf.append((qfL, qfR))
+        qf = []
+        for comp in range(3):
+            gxL, gxR = gatherLR(comp)
+            gyL, gyR = gatherLR(3 + comp)
+            qL = oq_ref[r8, comp, :]
+            qR = oq_ref[r8, 3 + comp, :]
+            dq = dql_ref[r8, comp, :]
+            extrap_L = gxL * dxl + gyL * dyl
+            extrap_R = gxR * dxr + gyR * dyr
+            qfL = qL + _limit(limiter, extrap_L, 0.5 * dq)
+            qfR = qR + _limit(limiter, extrap_R, -0.5 * dq)
+            qf.append((qfL, qfR))
 
-    (hl, hr), (hul, hur), (hvl, hvr) = qf
-    hl = jnp.maximum(0.0, hl)
-    hr = jnp.maximum(0.0, hr)
-    ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
-    ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
-    cn = cn_ref[:, :]
-    sn = sn_ref[:, :]
-    f_h, f_hu, f_hv, amax = roe_flux(
-        hl, ul, vl, hr, ur, vr, sn, cn, fast=True
-    )
-    if bs:
-        # BS2002 momentum correction, same as the first-order kernel (the
-        # reference applies eta_vertices + muscl_interior_flux together,
-        # operator.c:159-176)
-        from ...constants import GRAVITY
+        (hl, hr), (hul, hur), (hvl, hvr) = qf
+        hl = jnp.maximum(0.0, hl)
+        hr = jnp.maximum(0.0, hr)
+        ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
+        ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
+        cn = cn_ref[r8, :]
+        sn = sn_ref[r8, :]
+        f_h, f_hu, f_hv, amax = roe_flux(
+            hl, ul, vl, hr, ur, vr, sn, cn, fast=True
+        )
+        if bs:
+            # BS2002 momentum correction, same as the first-order kernel
+            # (the reference applies eta_vertices + muscl_interior_flux
+            # together, operator.c:159-176)
+            from ...constants import GRAVITY
 
-        hvb = jnp.maximum(etab_ref[:, :] - zvb_ref[:, :], 0.0)
-        hve = jnp.maximum(etae_ref[:, :] - zve_ref[:, :], 0.0)
-        dhv = hve - hvb
-        corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
-        f_hu = f_hu + corr * cn
-        f_hv = f_hv + corr * sn
-    dry = (hl < tiny_h) & (hr < tiny_h)
-    mask = jnp.where(dry, 0.0, vL_ref[:, :])
-    fluxes = (f_h * mask, f_hu * mask, f_hv * mask)
-    oL_ref[:, 0, :] = fluxes[0]
-    oL_ref[:, 1, :] = fluxes[1]
-    oL_ref[:, 2, :] = fluxes[2]
-    oL_ref[:, 3, :] = amax * mask
+            hvb = jnp.maximum(etab_ref[r8, :] - zvb_ref[r8, :], 0.0)
+            hve = jnp.maximum(etae_ref[r8, :] - zve_ref[r8, :], 0.0)
+            dhv = hve - hvb
+            corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
+            f_hu = f_hu + corr * cn
+            f_hv = f_hv + corr * sn
+        dry = (hl < tiny_h) & (hr < tiny_h)
+        mask = jnp.where(dry, 0.0, vL_ref[r8, :])
+        fluxes = (f_h * mask, f_hu * mask, f_hv * mask)
+        oL_ref[r8, 0, :] = fluxes[0]
+        oL_ref[r8, 1, :] = fluxes[1]
+        oL_ref[r8, 2, :] = fluxes[2]
+        oL_ref[r8, 3, :] = amax * mask
 
-    gi0 = gi_ref[0:8, :]
-    gi1 = gi_ref[8:16, :]
-    mi0 = mi_ref[0:8, :]
-    mi1 = mi_ref[8:16, :]
-    vR = vR_ref[:, :]
-    for comp in range(3):
-        fL = fluxes[comp]
-        u0 = jnp.take_along_axis(fL, gi0, axis=0)
-        u1 = jnp.take_along_axis(fL, gi1, axis=0)
-        oR_ref[0:8, comp, :] = jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
-        oR_ref[8:16, comp, :] = jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
+        gi0 = gi_ref[rA, :]
+        gi1 = gi_ref[rB, :]
+        mi0 = mi_ref[rA, :]
+        mi1 = mi_ref[rB, :]
+        for comp in range(3):
+            fL = fluxes[comp]
+            u0 = jnp.take_along_axis(fL, gi0, axis=0)
+            u1 = jnp.take_along_axis(fL, gi1, axis=0)
+            oR_ref[rA, comp, :] = (
+                jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
+            )
+            oR_ref[rB, comp, :] = (
+                jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
+            )
 
 
 def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
@@ -899,39 +973,44 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
     g2d = jnp.pad(
         grad.transpose(1, 0, 2), ((0, 0), (0, nsup * 8 + 8), (0, 0))
     )
+    nsteps = ntiles // GT
     in_specs = [
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # m
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # mi
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((RROWS, 128), lambda t, ws: (t, 0)),  # validR
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # cn
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # sn
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dxl
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dyl
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dxr
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # dyr
-        pl.BlockSpec((8, 6, 128), lambda t, ws: (t, 0, 0)),  # oQ
-        pl.BlockSpec((8, 3, 128), lambda t, ws: (t, 0, 0)),  # dqL
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
+        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # cn
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # sn
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # dxl
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # dyl
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # dxr
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # dyr
+        pl.BlockSpec((GT * 8, 6, 128), lambda t, ws: (t, 0, 0)),  # oQ
+        pl.BlockSpec((GT * 8, 3, 128), lambda t, ws: (t, 0, 0)),  # dqL
     ] + ([
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etab
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs etae
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zvb
-        pl.BlockSpec((8, 128), lambda t, ws: (t, 0)),      # bs zve
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs etab
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs etae
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs zvb
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs zve
     ] if bs is not None else []) + [
-        pl.BlockSpec((6, 8, 128), lambda t, ws, s=s: (0, ws[t] + s, 0))
+        pl.BlockSpec(
+            (6, 8, 128),
+            lambda t, ws, g=g, s=s: (0, ws[t * GT + g] + s, 0),
+        )
+        for g in range(GT)
         for s in range(nsup)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(ntiles,),
+        grid=(nsteps,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((8, 4, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, 4, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
     f = pl.pallas_call(
@@ -959,7 +1038,7 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
         arrays.pl_cn, arrays.pl_sn,
         arrays.pl_dxl, arrays.pl_dyl, arrays.pl_dxr, arrays.pl_dyr,
-        oQ, dqL, *bs_args, *([g2d] * nsup),
+        oQ, dqL, *bs_args, *([g2d] * (GT * nsup)),
     )
 
 
