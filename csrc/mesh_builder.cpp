@@ -203,14 +203,15 @@ void rdy_block_halos(int64_t num_cells, int64_t num_edges, int64_t block,
 // (window starts in rows). need_sup[0] gets the max supers actually
 // needed. Returns the tile count, or -1 when a single edge alone exceeds
 // the window budget (mesh bandwidth too large -- caller falls back).
-int64_t rdy_slot_pack(int64_t E, const int64_t* il, const int64_t* ir,
-                      int64_t max_sup, int64_t* slot_row, int64_t* color,
-                      int64_t* tile_of, int64_t* ws_rows,
-                      int64_t* need_sup) {
+int64_t rdy_slot_pack_rc(int64_t E, const int64_t* il, const int64_t* ir,
+                         int64_t max_sup, int64_t rcap, int64_t* slot_row,
+                         int64_t* color, int64_t* tile_of, int64_t* ws_rows,
+                         int64_t* need_sup) {
   int64_t ntiles = 0;
   int64_t count = 0, ws_row = 0, hi_row = 0;
   int32_t cntL[128];
   uint32_t usedS[128], usedD[128];
+  const uint32_t cmask = (rcap >= 32) ? 0xFFFFFFFFu : ((1u << rcap) - 1u);
   auto open_tile = [&](int64_t lo) {
     std::memset(cntL, 0, sizeof cntL);
     std::memset(usedS, 0, sizeof usedS);
@@ -230,7 +231,7 @@ int64_t rdy_slot_pack(int64_t E, const int64_t* il, const int64_t* ir,
       bool fresh = (ntiles == 0) || (count == 0 && attempt > 0);
       if (ntiles == 0) open_tile(lo);
       uint32_t freemask =
-          ~(usedS[b] | usedD[a]) & 0xFFFFu;
+          ~(usedS[b] | usedD[a]) & cmask;
       bool fits = count < 1024 && cntL[a] < 8 && freemask != 0 &&
                   ((hi >> 7) - ws_row) < max_sup * 8;
       if (fits) {
@@ -252,6 +253,14 @@ int64_t rdy_slot_pack(int64_t E, const int64_t* il, const int64_t* ir,
     }
   }
   return ntiles;
+}
+
+int64_t rdy_slot_pack(int64_t E, const int64_t* il, const int64_t* ir,
+                      int64_t max_sup, int64_t* slot_row, int64_t* color,
+                      int64_t* tile_of, int64_t* ws_rows,
+                      int64_t* need_sup) {
+  return rdy_slot_pack_rc(E, il, ir, max_sup, 16, slot_row, color, tile_of,
+                          ws_rows, need_sup);
 }
 
 }  // extern "C"

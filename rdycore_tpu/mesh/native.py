@@ -70,6 +70,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, i64p, i64p, ctypes.c_int64,
             i64p, i64p, i64p, i64p, i64p,
         ]
+    if hasattr(lib, "rdy_slot_pack_rc"):
+        lib.rdy_slot_pack_rc.restype = ctypes.c_int64
+        lib.rdy_slot_pack_rc.argtypes = [
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, i64p, i64p,
+        ]
     _lib = lib
     return _lib
 
@@ -100,16 +106,20 @@ def extract_edges(
 
 
 def slot_pack(
-    il: np.ndarray, ir: np.ndarray, max_sup: int
+    il: np.ndarray, ir: np.ndarray, max_sup: int, rcap: int = 16
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]]:
     """Native one-pass slot packing/coloring for the slotted Pallas plan.
 
+    rcap caps the per-tile color count (the R-layout row height).
     Returns (slot_row, color, tile_of, ws_rows[ntiles], need_sup), raises
     ValueError when the mesh bandwidth exceeds the window budget, or
     returns None when the native library is unavailable."""
     lib = _load()
-    if lib is None or not hasattr(lib, "rdy_slot_pack"):
+    if lib is None:
         return None
+    has_rc = hasattr(lib, "rdy_slot_pack_rc")
+    if not has_rc and (rcap != 16 or not hasattr(lib, "rdy_slot_pack")):
+        return None  # older .so: only the 16-color entry point
     E = len(il)
     il = np.ascontiguousarray(il, dtype=np.int64)
     ir = np.ascontiguousarray(ir, dtype=np.int64)
@@ -118,9 +128,15 @@ def slot_pack(
     tile_of = np.empty(E, np.int64)
     ws_rows = np.empty(E, np.int64)
     need_sup = np.empty(1, np.int64)
-    ntiles = lib.rdy_slot_pack(
-        E, il, ir, max_sup, slot_row, color, tile_of, ws_rows, need_sup
-    )
+    if has_rc:
+        ntiles = lib.rdy_slot_pack_rc(
+            E, il, ir, max_sup, rcap, slot_row, color, tile_of, ws_rows,
+            need_sup,
+        )
+    else:
+        ntiles = lib.rdy_slot_pack(
+            E, il, ir, max_sup, slot_row, color, tile_of, ws_rows, need_sup
+        )
     if ntiles < 0:
         raise ValueError("bandwidth exceeds window budget")
     return slot_row, color, tile_of, ws_rows[:ntiles], int(need_sup[0])

@@ -59,6 +59,7 @@ class SlottedPlan(NamedTuple):
 
     order: np.ndarray  # [Ei] original -> sorted interior edge permutation
     ntiles: int
+    rrows: int  # R-layout rows per tile (8 when <= 8 colors suffice)
     nsup: int  # q window size in 8-row supers
     ws: np.ndarray  # [ntiles] i32 q-window start (units of 8 rows)
     supL: np.ndarray  # [ntiles*8, 128] i32 window row of left cell
@@ -101,10 +102,11 @@ def _cumcount(x: np.ndarray) -> np.ndarray:
     return c
 
 
-def _slot_pack_py(il, ir, max_sup):
+def _slot_pack_py(il, ir, max_sup, rcap=16):
     """Python twin of csrc rdy_slot_pack (one-pass packing + coloring).
     Returns (slot_row, color, tile_of, ws_rows, need_sup); raises
     ValueError when a lone edge exceeds the window budget."""
+    cmask = (1 << rcap) - 1
     E = len(il)
     slot_row = np.zeros(E, np.int64)
     color = np.zeros(E, np.int64)
@@ -135,7 +137,7 @@ def _slot_pack_py(il, ir, max_sup):
             fresh = not ws_list or (count == 0 and attempt > 0)
             if not ws_list:
                 open_tile(lo)
-            freemask = ~(usedS[b] | usedD[a]) & 0xFFFF
+            freemask = ~(usedS[b] | usedD[a]) & cmask
             fits = (
                 count < TE and cntL[a] < 8 and freemask
                 and ((hi >> 7) - ws_row) < max_sup * 8
@@ -167,10 +169,17 @@ def build_slotted_plan(
     courant_coef: np.ndarray,  # [Ei]
     num_cells: int,
     max_sup: int = 4,
+    rcap="auto",
 ) -> Optional[SlottedPlan]:
     """Pack sorted interior edges into slot tiles. Returns None when any
     tile's cell window would exceed max_sup supers (mesh bandwidth too
-    large for the static window budget — reorder with RCM)."""
+    large for the static window budget — reorder with RCM).
+
+    rcap caps the per-tile color count = the R-layout row height: an
+    8-color packing halves the right-state gather/route work in the edge
+    kernel and the fluxR traffic, at the cost of closing tiles earlier
+    when colors run out. "auto" packs with 8 and falls back to 16 when
+    that inflates the tile count by > 15%."""
     E = len(int_left)
     if E == 0:
         return None
@@ -183,10 +192,24 @@ def build_slotted_plan(
     # ---- one-pass packing + coloring (native, Python twin fallback) ----
     from ...mesh import native
 
-    try:
-        packed = native.slot_pack(il, ir, max_sup)
+    def pack(rc):
+        packed = native.slot_pack(il, ir, max_sup, rcap=rc)
         if packed is None:
-            packed = _slot_pack_py(il, ir, max_sup)
+            packed = _slot_pack_py(il, ir, max_sup, rcap=rc)
+        return packed
+
+    try:
+        if rcap == "auto":
+            packed = pack(8)
+            rrows = 8
+            ideal = -(-E // TE)
+            if len(packed[3]) > 1.02 * ideal:
+                packed16 = pack(16)
+                if len(packed[3]) > 1.15 * len(packed16[3]):
+                    packed, rrows = packed16, 16
+        else:
+            packed = pack(int(rcap))
+            rrows = RROWS if int(rcap) > 8 else 8
     except ValueError:
         return None
     slot_row, color, tile_of, ws_tile, need_sup = packed
@@ -197,7 +220,7 @@ def build_slotted_plan(
         [ws_tile, np.zeros(ntiles - len(ws_tile), ws_tile.dtype)]
     )
 
-    R_l, R_r = ntiles * 8, ntiles * RROWS
+    R_l, R_r = ntiles * 8, ntiles * rrows
     supL = np.zeros((R_l, 128), np.int32)
     supR = np.zeros((R_r, 128), np.int32)
     m_al = np.zeros((R_r, 128), np.int32)
@@ -214,7 +237,7 @@ def build_slotted_plan(
     rl = il // 128 - ws_rows
     rr = ir // 128 - ws_rows
     rowsL = tile_of * 8 + slot_row
-    rowsR = tile_of * RROWS + color
+    rowsR = tile_of * rrows + color
     supL[rowsL, laneL] = rl
     validL[rowsL, laneL] = 1.0
     supR[rowsR, laneR] = rr
@@ -234,7 +257,7 @@ def build_slotted_plan(
     slot_edge[eposL] = np.arange(E, dtype=np.int32)
 
     return SlottedPlan(
-        order=order, ntiles=ntiles, nsup=need_sup,
+        order=order, ntiles=ntiles, rrows=rrows, nsup=need_sup,
         ws=(ws_tile // 8).astype(np.int32),
         supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
         validL=validL, validR=validR, cn=cn_s, sn=sn_s,
@@ -338,7 +361,8 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
 
 def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
                  vL_ref, vR_ref, cn_ref, sn_ref, *rest,
-                 nsup, ndof, upwind, tiny_h, h_anuga, hr=False, bs=False):
+                 nsup, ndof, upwind, tiny_h, h_anuga, rrows=RROWS,
+                 hr=False, bs=False):
     if hr:
         dzl_ref, dzr_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -350,25 +374,32 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
 
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
-        r16 = slice(gt * RROWS, gt * RROWS + RROWS)
+        rA = slice(gt * rrows, gt * rrows + 8)
+        rB = slice(gt * rrows + 8, gt * rrows + 16)
         q_refs = q_all[gt * nsup : (gt + 1) * nsup]
         supL = supL_ref[r8, :]
-        supR0 = supR_ref[gt * RROWS : gt * RROWS + 8, :]
-        supR1 = supR_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
-        mm0 = m_ref[gt * RROWS : gt * RROWS + 8, :]
-        mm1 = m_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
+        supR0 = supR_ref[rA, :]
+        mm0 = m_ref[rA, :]
+        if rrows == 16:
+            supR1 = supR_ref[rB, :]
+            mm1 = m_ref[rB, :]
         g = g_ref[r8, :]
 
         qs = []
         for comp in range(ndof):
             qL = _window_gather(q_refs, supL, comp, nsup)
             z1a = _window_gather(q_refs, supR0, comp, nsup)
-            z1b = _window_gather(q_refs, supR1, comp, nsup)
             z2a = jnp.take_along_axis(z1a, mm0, axis=1)
-            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
             ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
-            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
-            qR = jnp.where(g < 8, ya, yb)
+            if rrows == 16:
+                z1b = _window_gather(q_refs, supR1, comp, nsup)
+                z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+                yb = jnp.take_along_axis(
+                    z2b, jnp.clip(g - 8, 0, 7), axis=0
+                )
+                qR = jnp.where(g < 8, ya, yb)
+            else:
+                qR = ya
             qs.append((qL, qR))
 
         (hl, hr_), (hul, hur), (hvl, hvr) = qs[:3]
@@ -437,21 +468,22 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
         oL_ref[r8, ndof, :] = amax * mask
 
         # route fluxes into the R-layout for the divergence kernel
-        gi0 = gi_ref[gt * RROWS : gt * RROWS + 8, :]
-        gi1 = gi_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
-        mi0 = mi_ref[gt * RROWS : gt * RROWS + 8, :]
-        mi1 = mi_ref[gt * RROWS + 8 : gt * RROWS + 16, :]
-        vR = vR_ref[r16, :]
+        gi0 = gi_ref[rA, :]
+        mi0 = mi_ref[rA, :]
+        if rrows == 16:
+            gi1 = gi_ref[rB, :]
+            mi1 = mi_ref[rB, :]
         for comp in range(ndof):
             fL = fluxes[comp]
             u0 = jnp.take_along_axis(fL, gi0, axis=0)
-            u1 = jnp.take_along_axis(fL, gi1, axis=0)
-            oR_ref[gt * RROWS : gt * RROWS + 8, comp, :] = (
-                jnp.take_along_axis(u0, mi0, axis=1) * vR[0:8, :]
+            oR_ref[rA, comp, :] = (
+                jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
             )
-            oR_ref[gt * RROWS + 8 : gt * RROWS + 16, comp, :] = (
-                jnp.take_along_axis(u1, mi1, axis=1) * vR[8:16, :]
-            )
+            if rrows == 16:
+                u1 = jnp.take_along_axis(fL, gi1, axis=0)
+                oR_ref[rB, comp, :] = (
+                    jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
+                )
 
 
 def edge_flux_slotted(
@@ -465,9 +497,10 @@ def edge_flux_slotted(
     bs=(etab, etae) applies the BS2002 momentum correction from the slotted
     endpoint etas + the static pl_bs.zvb/zve elevations.
     Returns (fluxL [ntiles*8, ndof+1, 128] with the last row = amax,
-    fluxR [ntiles*16, ndof, 128])."""
+    fluxR [ntiles*rrows, ndof, 128])."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
+    rrows = arrays.pl_supR.shape[0] // ntiles
     nsteps = ntiles // GT
     C = q.shape[1]
     Crows = -(-C // 128)
@@ -480,13 +513,13 @@ def edge_flux_slotted(
 
     in_specs = [
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # validR
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # cn
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # sn
     ] + ([
@@ -511,19 +544,19 @@ def edge_flux_slotted(
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((GT * 8, ndof + 1, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((GT * RROWS, ndof, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * rrows, ndof, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
     f = pl.pallas_call(
         functools.partial(
             _edge_kernel, nsup=nsup, ndof=ndof, upwind=bool(upwind),
-            tiny_h=float(tiny_h), h_anuga=float(h_anuga), hr=bool(hr),
-            bs=bs is not None,
+            tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
+            hr=bool(hr), bs=bs is not None,
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ntiles * 8, ndof + 1, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * RROWS, ndof, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * rrows, ndof, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -641,7 +674,7 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
 # ---------------------------------------------------- MUSCL (second order)
 
 def _muscl_pre_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
-                      mi_ref, vL_ref, vR_ref, *rest, nsup):
+                      mi_ref, vL_ref, vR_ref, *rest, nsup, rrows=RROWS):
     """Gather qL/qR per edge slot and emit (qL, qR) in the L-layout plus
     dq = qR - qL in both layouts (for the LS gradient kernel)."""
     q_all = rest[: GT * nsup]
@@ -651,44 +684,49 @@ def _muscl_pre_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
 
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
-        rA = slice(gt * RROWS, gt * RROWS + 8)
-        rB = slice(gt * RROWS + 8, gt * RROWS + 16)
+        rA = slice(gt * rrows, gt * rrows + 8)
+        rB = slice(gt * rrows + 8, gt * rrows + 16)
         q_refs = q_all[gt * nsup : (gt + 1) * nsup]
         supL = supL_ref[r8, :]
         supR0 = supR_ref[rA, :]
-        supR1 = supR_ref[rB, :]
         mm0 = m_ref[rA, :]
-        mm1 = m_ref[rB, :]
-        g = g_ref[r8, :]
         gi0 = gi_ref[rA, :]
-        gi1 = gi_ref[rB, :]
         mi0 = mi_ref[rA, :]
-        mi1 = mi_ref[rB, :]
+        if rrows == 16:
+            supR1 = supR_ref[rB, :]
+            mm1 = m_ref[rB, :]
+            gi1 = gi_ref[rB, :]
+            mi1 = mi_ref[rB, :]
+        g = g_ref[r8, :]
         vL = vL_ref[r8, :]
-        vR0 = vR_ref[rA, :]
-        vR1 = vR_ref[rB, :]
 
         for comp in range(3):
             qL = _window_gather(q_refs, supL, comp, nsup)
             z1a = _window_gather(q_refs, supR0, comp, nsup)
-            z1b = _window_gather(q_refs, supR1, comp, nsup)
             z2a = jnp.take_along_axis(z1a, mm0, axis=1)
-            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
             ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
-            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
-            qR = jnp.where(g < 8, ya, yb)
+            if rrows == 16:
+                z1b = _window_gather(q_refs, supR1, comp, nsup)
+                z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+                yb = jnp.take_along_axis(
+                    z2b, jnp.clip(g - 8, 0, 7), axis=0
+                )
+                qR = jnp.where(g < 8, ya, yb)
+            else:
+                qR = ya
             dq = (qR - qL) * vL
             oQ_ref[r8, comp, :] = qL
             oQ_ref[r8, 3 + comp, :] = qR
             oDqL_ref[r8, comp, :] = dq
             u0 = jnp.take_along_axis(dq, gi0, axis=0)
-            u1 = jnp.take_along_axis(dq, gi1, axis=0)
             oDqR_ref[rA, comp, :] = (
-                jnp.take_along_axis(u0, mi0, axis=1) * vR0
+                jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
             )
-            oDqR_ref[rB, comp, :] = (
-                jnp.take_along_axis(u1, mi1, axis=1) * vR1
-            )
+            if rrows == 16:
+                u1 = jnp.take_along_axis(dq, gi1, axis=0)
+                oDqR_ref[rB, comp, :] = (
+                    jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
+                )
 
 
 def muscl_pre_slotted(arrays, q, nsup, interpret=False):
@@ -696,6 +734,7 @@ def muscl_pre_slotted(arrays, q, nsup, interpret=False):
     dqR [R16, 3, 128])."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
+    rrows = arrays.pl_supR.shape[0] // ntiles
     C = q.shape[1]
     Crows = -(-C // 128)
     q32 = q[:3].astype(jnp.float32)
@@ -707,13 +746,13 @@ def muscl_pre_slotted(arrays, q, nsup, interpret=False):
     nsteps = ntiles // GT
     in_specs = [
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # validR
     ] + [
         pl.BlockSpec(
             (3, 8, 128),
@@ -729,16 +768,16 @@ def muscl_pre_slotted(arrays, q, nsup, interpret=False):
         out_specs=[
             pl.BlockSpec((GT * 8, 6, 128), lambda t, ws: (t, 0, 0)),
             pl.BlockSpec((GT * 8, 3, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((GT * RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * rrows, 3, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
     f = pl.pallas_call(
-        functools.partial(_muscl_pre_kernel, nsup=nsup),
+        functools.partial(_muscl_pre_kernel, nsup=nsup, rrows=rrows),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ntiles * 8, 6, 128), jnp.float32),
             jax.ShapeDtypeStruct((ntiles * 8, 3, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * RROWS, 3, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * rrows, 3, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -866,7 +905,8 @@ def _limit(limiter, extrap, half_dq):
 def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
                        mi_ref, vL_ref, vR_ref, cn_ref, sn_ref,
                        dxl_ref, dyl_ref, dxr_ref, dyr_ref, oq_ref, dql_ref,
-                       *rest, nsup, limiter, tiny_h, h_anuga, bs=False):
+                       *rest, nsup, limiter, tiny_h, h_anuga, rrows=RROWS,
+                       bs=False):
     """Reconstruct limited face states from cell gradients and solve Roe."""
     if bs:
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
@@ -876,26 +916,30 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
 
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
-        rA = slice(gt * RROWS, gt * RROWS + 8)
-        rB = slice(gt * RROWS + 8, gt * RROWS + 16)
+        rA = slice(gt * rrows, gt * rrows + 8)
+        rB = slice(gt * rrows + 8, gt * rrows + 16)
         g_refs = g_all[gt * nsup : (gt + 1) * nsup]
         supL = supL_ref[r8, :]
         supR0 = supR_ref[rA, :]
-        supR1 = supR_ref[rB, :]
         mm0 = m_ref[rA, :]
-        mm1 = m_ref[rB, :]
+        if rrows == 16:
+            supR1 = supR_ref[rB, :]
+            mm1 = m_ref[rB, :]
         g = g_ref[r8, :]
 
         def gatherLR(comp):
             gL = _window_gather(g_refs, supL, comp, nsup)
             z1a = _window_gather(g_refs, supR0, comp, nsup)
-            z1b = _window_gather(g_refs, supR1, comp, nsup)
             z2a = jnp.take_along_axis(z1a, mm0, axis=1)
-            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
             ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
-            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
-            gR = jnp.where(g < 8, ya, yb)
-            return gL, gR
+            if rrows == 16:
+                z1b = _window_gather(g_refs, supR1, comp, nsup)
+                z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+                yb = jnp.take_along_axis(
+                    z2b, jnp.clip(g - 8, 0, 7), axis=0
+                )
+                return gL, jnp.where(g < 8, ya, yb)
+            return gL, ya
 
         dxl = dxl_ref[r8, :]
         dyl = dyl_ref[r8, :]
@@ -946,19 +990,21 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
         oL_ref[r8, 3, :] = amax * mask
 
         gi0 = gi_ref[rA, :]
-        gi1 = gi_ref[rB, :]
         mi0 = mi_ref[rA, :]
-        mi1 = mi_ref[rB, :]
+        if rrows == 16:
+            gi1 = gi_ref[rB, :]
+            mi1 = mi_ref[rB, :]
         for comp in range(3):
             fL = fluxes[comp]
             u0 = jnp.take_along_axis(fL, gi0, axis=0)
-            u1 = jnp.take_along_axis(fL, gi1, axis=0)
             oR_ref[rA, comp, :] = (
                 jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
             )
-            oR_ref[rB, comp, :] = (
-                jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
-            )
+            if rrows == 16:
+                u1 = jnp.take_along_axis(fL, gi1, axis=0)
+                oR_ref[rB, comp, :] = (
+                    jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
+                )
 
 
 def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
@@ -968,6 +1014,7 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
     (fluxL [R8, 4, 128], fluxR [R16, 3, 128]) like edge_flux_slotted."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
+    rrows = arrays.pl_supR.shape[0] // ntiles
     # cell-major -> comp-major (the edge gather machinery reads
     # [comp, cell_row, 128] blocks, same layout as q2d)
     g2d = jnp.pad(
@@ -976,13 +1023,13 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
     nsteps = ntiles // GT
     in_specs = [
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # m
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # mi
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((GT * RROWS, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # validR
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # cn
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # sn
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # dxl
@@ -1010,19 +1057,19 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((GT * 8, 4, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((GT * RROWS, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * rrows, 3, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
     f = pl.pallas_call(
         functools.partial(
             _muscl_flux_kernel, nsup=nsup, limiter=limiter,
-            tiny_h=float(tiny_h), h_anuga=float(h_anuga),
+            tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
             bs=bs is not None,
         ),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((ntiles * 8, 4, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ntiles * RROWS, 3, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * rrows, 3, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)
@@ -1061,7 +1108,7 @@ def edge_flux_muscl_slotted(op, q, interpret=False, bs=None):
 
 def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
                       max_sup: int = 4, max_sup_cd: int = 16, muscl=None,
-                      cell_z=None):
+                      cell_z=None, rcap="auto"):
     """Host-level plan build over one edge set (all numpy in/out).
 
     il/ir: [Ei] cell ids; cn_h/sn_h: [Ei]; ccoef: [E] (interior first);
@@ -1081,6 +1128,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     """
     plan = build_slotted_plan(
         il, ir, cn_h, sn_h, ccoef[:Ei], num_cells, max_sup=max_sup,
+        rcap=rcap,
     )
     if plan is None:
         return None
@@ -1187,6 +1235,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         order=order,  # original -> sorted interior edge permutation
         eposL=plan.eposL,  # sorted edge -> L-layout flat slot position
         ntiles=plan.ntiles,
+        rrows=plan.rrows,
     )
     return plan_np, reordered, meta
 

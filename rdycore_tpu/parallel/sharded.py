@@ -594,9 +594,7 @@ class ShardedSWE:
             if bs2002:
                 from ..ops.swe.bs2002 import build_bs2002_routed_plans
 
-            per_shard = []
-            bs_plans = []
-            for p in range(Pn):
+            def shard_plan(p, rcap):
                 muscl_p = None
                 if second_order:
                     muscl_p = dict(
@@ -604,23 +602,45 @@ class ShardedSWE:
                         int_dxl=idxl[p], int_dyl=idyl[p],
                         int_dxr=idxr[p], int_dyr=idyr[p],
                     )
-                res = build_plan_arrays(
+                return build_plan_arrays(
                     il[p], ir[p], icn[p], isn[p], ccoef[p], ce[p], cec[p],
                     C_loc, max(Ei_max, 1),
                     max_sup=self._pallas_max_sup,
                     max_sup_cd=self._pallas_max_sup_cd,
                     muscl=muscl_p,
                     cell_z=cell_z[p] if hr else None,
+                    rcap=rcap,
                 )
+
+            # phase 1: slot plans at a uniform R-layout height (the stacked
+            # plans must share one rrows; rebuild everything at 16 colors
+            # as soon as any shard needs them)
+            per_shard = []
+            rcap = "auto"
+            for p in range(Pn):
+                res = shard_plan(p, rcap)
                 if res is None:
                     per_shard = None
                     break
-                if bs2002:
-                    # per-shard BS2002 route/accumulate plans over the LOCAL
-                    # cell/vertex/slot spaces (padding edges excluded: their
-                    # endpoint ids are meaningless and would pile onto one
-                    # source lane)
-                    _, _, m_ = res
+                if rcap == "auto" and res[2]["rrows"] == 16:
+                    rcap = 16
+                    per_shard = [shard_plan(q_, 16) for q_ in range(p)]
+                    if any(r is None for r in per_shard):
+                        per_shard = None
+                        break
+                    res = shard_plan(p, 16)
+                    if res is None:
+                        per_shard = None
+                        break
+                per_shard.append(res)
+
+            # phase 2: per-shard BS2002 route/accumulate plans over the
+            # LOCAL cell/vertex/slot spaces (padding edges excluded: their
+            # endpoint ids are meaningless and would pile onto one source
+            # lane)
+            bs_plans = []
+            if per_shard is not None and bs2002:
+                for p, (_, _, m_) in enumerate(per_shard):
                     ordp = m_["order"]
                     gsel = int_gidx[p][ordp] >= 0
                     if not gsel.any():
@@ -639,7 +659,6 @@ class ShardedSWE:
                         per_shard = None
                         break
                     bs_plans.append(bs_res)
-                per_shard.append(res)
             if per_shard is not None:
                 for p, (_, reo, m_) in enumerate(per_shard):
                     il[p] = reo["int_left"]
