@@ -34,9 +34,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .slotted import GT  # tiles per grid step (shared: the BS2002
+# accumulate output feeds the edge kernel, so both paddings must agree)
+
 TE = 1024
 RROWS = 16
-GT = 8  # tiles per grid step (see slotted.GT; padded tiles are inert)
 
 
 class RoutePlan(NamedTuple):

@@ -1247,7 +1247,7 @@ _PLAN_INT_FIELDS = frozenset({
 
 
 def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
-                      interpret: bool = False):
+                      interpret: bool = False, rcap="auto"):
     """Rebuild an SWEOperator with the slot-routed Pallas backend.
 
     Reorders interior edges into sorted (min-cell) order, builds the slot
@@ -1296,6 +1296,7 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         cell_z=(
             asnp("cell_z", a.cell_z) if op.well_balancing_hr else None
         ),
+        rcap=rcap,
     )
     if res is None:
         return op

@@ -623,13 +623,11 @@ class ShardedSWE:
                     per_shard = None
                     break
                 if rcap == "auto" and res[2]["rrows"] == 16:
+                    # res is already the 16-color plan (auto's fallback IS
+                    # pack(16)); only the earlier shards need rebuilding
                     rcap = 16
                     per_shard = [shard_plan(q_, 16) for q_ in range(p)]
                     if any(r is None for r in per_shard):
-                        per_shard = None
-                        break
-                    res = shard_plan(p, 16)
-                    if res is None:
                         per_shard = None
                         break
                 per_shard.append(res)

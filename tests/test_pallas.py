@@ -84,6 +84,48 @@ def test_pallas_dry_lake_at_rest():
     np.testing.assert_allclose(np.asarray(r.rhs), 0.0, atol=1e-6)
 
 
+def test_pallas_16_color_layout_matches_xla():
+    """Force the 16-row R-layout (auto packs every test mesh at 8 colors,
+    so the rrows==16 kernel branches need explicit coverage)."""
+    mesh = structured_tri(20, 16)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02), dtype=jnp.float32
+    )
+    op_p = to_pallas_backend(op, max_sup=2, rcap=16, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    ntiles = op_p.arrays.pl_supL.shape[0] // 8
+    assert op_p.arrays.pl_supR.shape[0] // ntiles == 16
+
+    q = _random_state(mesh)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+
+
+def test_pallas_16_color_muscl_matches_xla():
+    mesh = structured_tri(20, 16)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02), second_order=True,
+        dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, max_sup=2, rcap=16, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    q = _random_state(mesh)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+
+
 def test_pallas_fallback_when_unsupported():
     mesh = structured_quad(16, 8)
     op = build_operator(
