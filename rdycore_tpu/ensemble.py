@@ -69,6 +69,21 @@ class EnsembleSimulation:
         ]
         grids = {m.config.grid.file for m in self.members}
         self.vmapped = len(grids) == 1
+        if self.vmapped and any(
+            m.operator.edge_flux_backend == "pallas" for m in self.members
+        ):
+            # jax CAN batch pallas_call, but the result is wrong for the
+            # scalar-prefetch slot kernels (verified: vmapped fluxes
+            # diverge from the XLA twin by O(1)); vmapped ensembles run
+            # the XLA gather twin instead
+            self.members[0].log.info(
+                "ensemble: vmapped members run the XLA edge-flux backend "
+                "(pallas kernels do not batch correctly under vmap)"
+            )
+            for m in self.members:
+                m.operator = dataclasses.replace(
+                    m.operator, edge_flux_backend="xla"
+                )
         self._vadvance = None
 
     @property

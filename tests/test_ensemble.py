@@ -52,3 +52,28 @@ def test_vmapped_ensemble_matches_independent_runs(tmp_path):
     assert not np.allclose(
         ens.members[0].get_solution(), ens.members[1].get_solution()
     )
+
+
+def test_vmapped_ensemble_with_pallas_backend(tmp_path):
+    """jax CAN vmap pallas_call, but the scalar-prefetch slot kernels
+    compute garbage under it (silently!); a vmapped ensemble must demote
+    its members to the XLA twin and match the plain-XLA ensemble."""
+    cfg = _cfg(tmp_path, stop_n=10)
+    ens_x = EnsembleSimulation(cfg)
+    while not ens_x.finished:
+        ens_x.advance()
+
+    cfg_p = _cfg(tmp_path, stop_n=10)
+    cfg_p.numerics.edge_flux_backend = "pallas"
+    cfg_p.numerics.cell_ordering = "rcm"
+    cfg_p.validate()
+    ens_p = EnsembleSimulation(cfg_p)
+    assert ens_p.members[0].operator.edge_flux_backend == "xla"
+    while not ens_p.finished:
+        ens_p.advance()
+
+    for mx, mp in zip(ens_x.members, ens_p.members):
+        hx, hp = mx.get_height(), mp.get_height()
+        # internal cell orders differ (rcm vs file); compare sorted values
+        rel = np.abs(np.sort(hp) - np.sort(hx)) / (1.0 + np.abs(np.sort(hx)))
+        assert rel.max() < 1e-10
