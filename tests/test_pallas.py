@@ -425,3 +425,39 @@ def test_pallas_hr_tracer_matches_xla():
         1.0 + np.abs(np.asarray(r_x.rhs))
     )
     assert rel.max() < 1e-4
+
+
+@pytest.mark.parametrize("path,reader", [
+    ("/root/reference/share/meshes/mms_triangles_dx1.exo", "exo"),
+    ("/root/reference/share/meshes/Houston1km_with_z.exo", "exo"),
+    ("/root/reference/share/meshes/planar_dam_10x5.msh", "msh"),
+])
+def test_pallas_on_reference_meshes(path, reader):
+    """Plan building + kernels on the reference's REAL unstructured
+    fixtures (irregular vertex valence, non-banded file orderings fixed
+    by RCM) — not just the generated structured meshes."""
+    from rdycore_tpu.mesh.core import rcm_reorder
+    from rdycore_tpu.mesh.exodus import read_exodus
+    from rdycore_tpu.mesh.gmsh import read_gmsh
+
+    mesh = read_exodus(path) if reader == "exo" else read_gmsh(path)
+    mesh = rcm_reorder(mesh)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02), dtype=jnp.float32
+    )
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.edge_flux_backend == "pallas", path
+
+    rng = np.random.default_rng(1)
+    q = np.zeros((3, mesh.num_cells), np.float32)
+    q[0] = 1.0 + rng.random(mesh.num_cells)
+    q[1] = 0.3 * rng.standard_normal(mesh.num_cells)
+    q = jnp.asarray(q)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4, path
