@@ -30,7 +30,8 @@ module rdycore_tpu
             rdytpu_get_natural_ids, rdytpu_set_domain_water_source, &
             rdytpu_set_regional_water_source, &
             rdytpu_set_flow_dirichlet_boundary_values, &
-            rdytpu_get_num_boundary_edges
+            rdytpu_get_num_boundary_edges, &
+            rdytpu_write_checkpoint, rdytpu_read_checkpoint
 
   interface
     function c_rdytpu_init() bind(c, name="rdytpu_init") result(ierr)
@@ -176,6 +177,22 @@ module rdycore_tpu
       character(kind=c_char), intent(in) :: region(*)
       real(c_double), intent(in) :: rate(*)
       integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_write_checkpoint(handle, path) &
+        bind(c, name="rdytpu_write_checkpoint") result(ierr)
+      import :: c_char, c_int, c_int64_t
+      integer(c_int64_t), value :: handle
+      character(kind=c_char), intent(in) :: path(*)
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_read_checkpoint(handle, path) &
+        bind(c, name="rdytpu_read_checkpoint") result(ierr)
+      import :: c_char, c_int, c_int64_t
+      integer(c_int64_t), value :: handle
+      character(kind=c_char), intent(in) :: path(*)
       integer(c_int) :: ierr
     end function
 
@@ -328,6 +345,20 @@ contains
     integer(c_int64_t), value :: n
     integer, intent(out) :: ierr
     ierr = c_rdytpu_set_regional_water_source(rdy, cstr(region), rate, n)
+  end subroutine
+
+  subroutine rdytpu_write_checkpoint(rdy, path, ierr)
+    integer(c_int64_t), value :: rdy
+    character(len=*), intent(in) :: path
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_write_checkpoint(rdy, cstr(path))
+  end subroutine
+
+  subroutine rdytpu_read_checkpoint(rdy, path, ierr)
+    integer(c_int64_t), value :: rdy
+    character(len=*), intent(in) :: path
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_read_checkpoint(rdy, cstr(path))
   end subroutine
 
   subroutine rdytpu_set_flow_dirichlet_boundary_values( &

@@ -192,6 +192,24 @@ int rdytpu_set_regional_water_source(int64_t h, const char *region,
   return 0;
 }
 
+/* RDyWriteHDF5CheckpointFile / RDyReadHDF5CheckpointFile ------------- */
+
+int rdytpu_write_checkpoint(int64_t h, const char *path) {
+  PyObject *r = PyObject_CallMethod(
+      g_bridge, "write_checkpoint", "Ls", h, path);
+  if (!r) return err();
+  Py_DECREF(r);
+  return 0;
+}
+
+int rdytpu_read_checkpoint(int64_t h, const char *path) {
+  PyObject *r = PyObject_CallMethod(
+      g_bridge, "read_checkpoint", "Ls", h, path);
+  if (!r) return err();
+  Py_DECREF(r);
+  return 0;
+}
+
 int rdytpu_set_flow_dirichlet_boundary_values(
     int64_t h, const char *boundary, const double *values, int64_t n_edges) {
   PyObject *r = PyObject_CallMethod(

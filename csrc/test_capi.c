@@ -20,6 +20,8 @@ int rdytpu_get_height(int64_t, double *, int64_t);
 int rdytpu_get_x_momentum(int64_t, double *, int64_t);
 int rdytpu_get_cell_areas(int64_t, double *, int64_t);
 int rdytpu_set_domain_water_source(int64_t, const double *, int64_t);
+int rdytpu_write_checkpoint(int64_t, const char *);
+int rdytpu_read_checkpoint(int64_t, const char *);
 
 #define CHECK(expr)                                             \
   do {                                                          \
@@ -87,6 +89,23 @@ int main(int argc, char **argv) {
   if (vol1 <= vol0) { /* rain fell on reflecting walls: volume must grow */
     fprintf(stderr, "FAIL: rain did not accumulate\n");
     return 1;
+  }
+
+  /* coupler-driven checkpoint round-trip (RDy{Write,Read}HDF5Checkpoint) */
+  if (argc > 2) {
+    CHECK(rdytpu_write_checkpoint(rdy, argv[2]));
+    double *h2 = malloc((size_t)n * sizeof(double));
+    for (int64_t i = 0; i < n; ++i) h2[i] = -1.0;
+    CHECK(rdytpu_read_checkpoint(rdy, argv[2]));
+    CHECK(rdytpu_get_height(rdy, h2, n));
+    for (int64_t i = 0; i < n; ++i) {
+      if (h2[i] != h[i]) {
+        fprintf(stderr, "FAIL: checkpoint round-trip mismatch\n");
+        return 1;
+      }
+    }
+    free(h2);
+    printf("OK: checkpoint round-trip bitwise\n");
   }
 
   CHECK(rdytpu_destroy(rdy));

@@ -141,3 +141,13 @@ def set_flow_dirichlet_boundary_values(
     reference's RDySetFlowDirichletBoundaryValues layout)."""
     vals = np.frombuffer(buf, dtype=np.float64).copy()
     _sims[h].set_flow_dirichlet_boundary_values(boundary, vals)
+
+
+def write_checkpoint(h: int, path: str) -> None:
+    """RDyWriteHDF5CheckpointFile: coupler-driven checkpoint."""
+    _sims[h].write_checkpoint(path)
+
+
+def read_checkpoint(h: int, path: str) -> None:
+    """RDyReadHDF5CheckpointFile."""
+    _sims[h].read_checkpoint(path)
