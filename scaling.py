@@ -51,6 +51,16 @@ def run_case(n_devices, nx, ny, n_steps):
 
 
 def main():
+    if os.environ.get("SCALING_CPU"):
+        # virtual CPU devices for plumbing validation; must be in XLA_FLAGS
+        # before the backend initializes
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count="
+                + os.environ.get("SCALING_DEVICES", "8")
+            ).strip()
+
     import jax
 
     if os.environ.get("SCALING_CPU"):
