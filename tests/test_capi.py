@@ -115,3 +115,17 @@ def test_f90_module_compiles(tmp_path):
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr
+
+
+def test_c_coupling_driver_bad_config(capi_build, tmp_path):
+    """A nonexistent config must fail with a nonzero exit code (the
+    reference's bad_input negative-test pattern), not crash or hang."""
+    env = dict(os.environ)
+    env["RDYTPU_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [capi_build, str(tmp_path / "nope.yaml")],
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert r.returncode != 0
