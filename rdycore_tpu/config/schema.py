@@ -480,6 +480,23 @@ class Config:
                 p.sediment.num_classes == 0,
                 "BS2002 well balancing requires sediment.num_classes = 0",
             )
+        if n.second_order:
+            # both restrictions mirror the reference's operator checks:
+            # MUSCL is pure-SWE only (operator.c:361-363) and incompatible
+            # with HR well balancing (operator.c:388-390; the h-based
+            # reconstruction measurably breaks HR's lake-at-rest exactness)
+            _check(
+                p.sediment.num_classes == 0
+                and not p.salinity
+                and not p.heat,
+                "numerics.second_order is only supported for pure SWE "
+                "(no sediment, salinity, or heat tracers)",
+            )
+            _check(
+                p.flow.well_balancing != "hydrostatic_reconstruction",
+                "numerics.second_order cannot be used with "
+                "well_balancing = hydrostatic_reconstruction",
+            )
         if (
             p.flow.source.xq2018_threshold != DEFAULT_XQ2018_THRESHOLD
             and p.flow.source.method != "implicit_xq2018"

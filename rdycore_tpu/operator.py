@@ -753,6 +753,22 @@ def build_operator(
     reflecting wall BC, like the reference's auto-assignment
     (rdysetup.c:706-777).
     """
+    if second_order and num_tracers:
+        # the reference errors likewise (operator.c:361-363); our tracer
+        # path has no reconstruction and would silently run first order
+        raise ValueError(
+            "second-order MUSCL reconstruction is only supported for pure "
+            "SWE (no sediment, salinity, or heat tracers)"
+        )
+    if second_order and well_balancing_hr:
+        # the reference errors likewise ('not yet implemented',
+        # operator.c:388-390); measured here: the h-based MUSCL
+        # reconstruction breaks HR's lake-at-rest exactness (|rhs| ~ 0.8
+        # on still water over a bumpy bed)
+        raise ValueError(
+            "second_order cannot be used with well_balancing = "
+            "hydrostatic_reconstruction"
+        )
     bc_types = dict(bc_types or {})
     unknown = set(bc_types) - set(mesh.boundaries)
     if unknown:

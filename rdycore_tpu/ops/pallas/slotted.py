@@ -1257,10 +1257,8 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
     """
     if op.well_balancing_bs2002 and op.num_tracers:
         return op  # BS2002 tracer transport stays on the XLA twin
-    if op.well_balancing_hr and op.second_order:
-        return op  # MUSCL+HR stays on the XLA twin
-    if op.second_order and op.num_tracers:
-        return op  # second-order tracer transport stays on the XLA twin
+    # (MUSCL+HR and MUSCL+tracers are rejected by build_operator, like
+    # the reference — no fallback needed here)
     a = op.arrays
     Ei = op.num_internal_edges
     if Ei == 0:

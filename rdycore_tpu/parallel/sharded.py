@@ -587,8 +587,6 @@ class ShardedSWE:
             self._want_pallas
             and Ei_max > 0
             and not (bs2002 and (second_order or ref_op.num_tracers))
-            and not (hr and second_order)
-            and not (second_order and ref_op.num_tracers)
         ):
             from ..ops.pallas.slotted import build_plan_arrays
             if bs2002:

@@ -134,11 +134,23 @@ def test_pallas_fallback_when_unsupported():
         dtype=jnp.float32,
     )
     assert to_pallas_backend(op) is op  # BS2002+tracers -> fallback
-    op2 = build_operator(
-        mesh, mannings_n=np.zeros(mesh.num_cells), well_balancing_hr=True,
-        second_order=True, dtype=jnp.float32,
-    )
-    assert to_pallas_backend(op2) is op2  # MUSCL+HR -> fallback
+
+
+def test_rejected_combinations_match_reference():
+    """MUSCL+HR and MUSCL+tracers are rejected like the reference
+    (operator.c:361-363, 388-390): the HR combo is measurably not
+    well-balanced and the tracer combo would silently run first order."""
+    mesh = structured_quad(16, 8)
+    with pytest.raises(ValueError, match="hydrostatic"):
+        build_operator(
+            mesh, mannings_n=np.zeros(mesh.num_cells),
+            well_balancing_hr=True, second_order=True, dtype=jnp.float32,
+        )
+    with pytest.raises(ValueError, match="pure"):
+        build_operator(
+            mesh, mannings_n=np.zeros(mesh.num_cells), second_order=True,
+            num_tracers=1, num_sediment=1, dtype=jnp.float32,
+        )
 
 
 def test_pallas_bs2002_matches_xla():
