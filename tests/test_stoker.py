@@ -1,0 +1,94 @@
+"""Stoker (1957) wet-bed dam-break: the exact Riemann solution for the
+reference's flagship ex2b-class case (left rarefaction + right shock on a
+flat frictionless channel). First order must match within shock-smearing
+tolerance; MUSCL must be strictly more accurate."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdycore_tpu.constants import GRAVITY
+from rdycore_tpu.mesh import structured_quad
+from rdycore_tpu.operator import build_operator
+from rdycore_tpu.timestepping import make_interval_advancer
+
+G = GRAVITY
+HL, HR = 10.0, 5.0
+
+
+def _middle_state():
+    """hm via bisection on the rarefaction/shock matching relation."""
+    cl = np.sqrt(G * HL)
+
+    def f(hm):
+        cm = np.sqrt(G * hm)
+        u_rare = 2.0 * (cl - cm)
+        u_shock = (hm - HR) * np.sqrt(G * (hm + HR) / (2.0 * hm * HR))
+        return u_rare - u_shock
+
+    lo, hi = HR, HL
+    for _ in range(100):
+        mid = 0.5 * (lo + hi)
+        if f(mid) > 0:
+            lo = mid
+        else:
+            hi = mid
+    hm = 0.5 * (lo + hi)
+    um = 2.0 * (cl - np.sqrt(G * hm))
+    S = um * hm / (hm - HR)  # shock speed (mass jump condition)
+    return hm, um, S
+
+
+def _exact_h(x, t):
+    cl = np.sqrt(G * HL)
+    hm, um, S = _middle_state()
+    cm = np.sqrt(G * hm)
+    xi = x / t
+    h = np.where(xi < -cl, HL, HR)
+    fan = (xi >= -cl) & (xi < um - cm)
+    h = np.where(fan, ((2.0 * cl - xi) ** 2) / (9.0 * G), h)
+    mid = (xi >= um - cm) & (xi < S)
+    h = np.where(mid, hm, h)
+    return h
+
+
+@pytest.mark.parametrize("second_order,tol", [(False, 0.020), (True, 0.012)])
+def test_stoker_dam_break(second_order, tol):
+    nx, ny = 400, 4
+    L = 100.0
+    mesh = structured_quad(nx, ny, -L, L, 0.0, 2.0)
+    x = mesh.cell_centroid[:, 0]
+    h0 = np.where(x < 0.0, HL, HR)
+    q0 = jnp.zeros((3, mesh.num_cells)).at[0].set(h0)
+
+    op = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells),
+        second_order=second_order,
+    )
+    adv = make_interval_advancer(op, "euler")
+
+    t_end = 4.0  # waves stay well inside [-L, L]: cl*t = 40, S*t ~ 36
+    dt = 0.01  # CFL ~ 0.3 at dx = 0.5, max speed ~ 14 m/s
+    n_steps = int(round(t_end / dt))
+    res = adv(
+        op.arrays, q0, 0.0, dt, n_steps, t_end,
+        op.zero_boundary_values(), jnp.zeros_like(q0),
+    )
+    h1 = np.asarray(res.q[0])
+    h_exact = _exact_h(x, t_end)
+
+    assert np.isfinite(h1).all()
+    rel_l1 = np.abs(h1 - h_exact).mean() / h_exact.mean()
+    assert rel_l1 < tol, f"rel L1 = {rel_l1:.4f} (tol {tol})"
+    # the computed shock sits within a few cells of the exact position
+    _, _, S = _middle_state()
+    x_shock = S * t_end
+    row = np.abs(mesh.cell_centroid[:, 1] - 0.25) < 0.26
+    xs, hs = x[row], h1[row]
+    o = np.argsort(xs)
+    xs, hs = xs[o], hs[o]
+    hm = _middle_state()[0]
+    thresh = 0.5 * (hm + HR)
+    # first cell from the right whose depth exceeds the mid-state mean
+    x_num = xs[len(xs) - 1 - np.argmax(hs[::-1] > thresh)]
+    assert abs(x_num - x_shock) < 2.0, (x_num, x_shock)
