@@ -157,6 +157,12 @@ class SWEOperator:
     well_balancing_bs2002: bool = False  # Bradford & Sanders (2002) mode
     second_order: bool = False
     limiter: str = "minmod"  # minmod | vanleer | none
+    # Audusse-style per-edge positivity limiting for the second-order XLA
+    # path (exact no-op on wet cells; prevents MUSCL front overdraining —
+    # beyond the reference, which never runs MUSCL on a drying case and
+    # shares the blowup). The pallas MUSCL kernels run unlimited
+    # (reference-faithful); disable for exact backend comparisons.
+    positivity_limit: bool = True
     # tracers (sediment classes + salinity + heat); when > 0 the flux/source
     # path switches to the coupled flow+tracer kernels, like the reference's
     # tracer operators replacing the SWE ones (src/tracer/)
@@ -375,6 +381,23 @@ class SWEOperator:
         else:
             fb = jnp.zeros((3, 0), dtype)
             amax_b = jnp.zeros((0,), dtype)
+
+        # ---- positivity flux limiting (second order only) ---------------
+        # MUSCL steepens the drain flux at wetting/drying fronts enough to
+        # pull cells negative, after which u = hu/h amplifies explosively
+        # (measured on the Thacker bowl; the reference shares the failure
+        # mode but never exercises MUSCL on a drying case). Audusse-style
+        # per-edge limiting: scale every component of an edge's flux by the
+        # donor cell's factor s = min(1, h / (dt * total_drain)), so no
+        # cell can be drained below zero in one step. In wet regions
+        # s == 1.0 exactly and the fluxes are bitwise unchanged.
+        if (
+            self.second_order and self.positivity_limit
+            and slotted_flux is None and self.num_edges
+        ):
+            fi_h, fi_hu, fi_hv, fb = self._apply_positivity_limit(
+                q[0], dt, (fi_h, fi_hu, fi_hv), fb
+            )
 
         # ---- cell gather of edge fluxes --------------------------------
         if slotted_flux is not None:
@@ -670,6 +693,39 @@ class SWEOperator:
             courant_edge=courant_edge,
         )
 
+    def _apply_positivity_limit(self, h, dt, fi, fb):
+        """Scale edge fluxes by the donor cell's positivity factor
+        s = min(1, h / (dt * drain)). Both cells of an edge see the same
+        scaled flux, so conservation is exact; wet cells have s == 1.0
+        exactly, leaving their fluxes bitwise unchanged."""
+        a = self.arrays
+        dtype = h.dtype
+        fi_h, fi_hu, fi_hv = fi
+        Ei = self.num_internal_edges
+
+        f_h_all = jnp.concatenate(
+            [fi_h, fb[0] if fb.shape[1] else jnp.zeros((0,), dtype),
+             jnp.zeros((1,), dtype)]
+        )
+        contrib = f_h_all[a.cell_edges] * a.cell_edge_coef  # [C, K] dh/dt
+        drain = -jnp.minimum(contrib, 0.0).sum(axis=-1)  # >= 0
+        drain_safe = jnp.where(drain > 0.0, drain, 1.0)
+        s = jnp.where(
+            drain > 0.0,
+            jnp.clip(h / (dt * drain_safe), 0.0, 1.0),
+            1.0,
+        )
+
+        s_int = jnp.where(fi_h > 0.0, s[a.int_left], s[a.int_right])
+        fi_h = fi_h * s_int
+        fi_hu = fi_hu * s_int
+        fi_hv = fi_hv * s_int
+        if fb.shape[1]:
+            # boundary: the interior cell is the donor when flow exits
+            s_b = jnp.where(fb[0] > 0.0, s[a.bnd_left], 1.0)
+            fb = fb * s_b
+        return fi_h, fi_hu, fi_hv, fb
+
     def _hr_pressure_correction(self, q, dtype):
         """Hydrostatic pressure correction term of the HR scheme
         (swe_petsc.c:1136-1153): per edge-side 0.5*g*(h^2 - h_rec^2)*(cn,sn),
@@ -742,6 +798,7 @@ def build_operator(
     well_balancing_bs2002: bool = False,
     second_order: bool = False,
     limiter: str = "minmod",
+    positivity_limit: bool = True,
     num_tracers: int = 0,
     num_sediment: int = 0,
     riemann: str = "roe",
@@ -920,6 +977,7 @@ def build_operator(
         well_balancing_bs2002=well_balancing_bs2002,
         second_order=second_order,
         limiter=limiter,
+        positivity_limit=positivity_limit,
         num_tracers=num_tracers,
         num_sediment=num_sediment,
         riemann=riemann,

@@ -111,7 +111,7 @@ def test_pallas_16_color_muscl_matches_xla():
     mesh = structured_tri(20, 16)
     op = build_operator(
         mesh, mannings_n=np.full(mesh.num_cells, 0.02), second_order=True,
-        dtype=jnp.float32,
+        positivity_limit=False, dtype=jnp.float32,
     )
     op_p = to_pallas_backend(op, max_sup=2, rcap=16, interpret=True)
     assert op_p.edge_flux_backend == "pallas"
@@ -197,7 +197,8 @@ def test_pallas_bs2002_muscl_matches_xla():
     mesh = structured_tri(20, 16, 0, 20, 0, 16, z_fn=bumpy)
     op = build_operator(
         mesh, mannings_n=np.full(mesh.num_cells, 0.02),
-        well_balancing_bs2002=True, second_order=True, dtype=jnp.float32,
+        well_balancing_bs2002=True, second_order=True,
+        positivity_limit=False, dtype=jnp.float32,
     )
     op_p = to_pallas_backend(op, max_sup=2, interpret=True)
     assert op_p.edge_flux_backend == "pallas"
@@ -251,7 +252,8 @@ def test_pallas_second_order_matches_xla(limiter):
     mesh = structured_tri(20, 16)
     op = build_operator(
         mesh, mannings_n=np.full(mesh.num_cells, 0.02), second_order=True,
-        limiter=limiter, dtype=jnp.float32,
+        limiter=limiter, positivity_limit=False,  # pallas runs unlimited
+        dtype=jnp.float32,
     )
     op_p = to_pallas_backend(op, max_sup=2, interpret=True)
     assert op_p.edge_flux_backend == "pallas"
