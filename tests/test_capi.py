@@ -86,7 +86,26 @@ def capi_build():
     return os.path.join(REPO, "csrc", "test_capi")
 
 
-def test_c_coupling_driver(capi_build, tmp_path):
+@pytest.fixture(scope="module")
+def dam_break_mesh():
+    """The example meshes are generated artifacts (gitignored); build the
+    dam-break one on demand so a fresh clone passes."""
+    path = os.path.join(REPO, "examples", "dam_break.npz")
+    if not os.path.exists(path):
+        import numpy as np
+
+        from rdycore_tpu.mesh import structured_quad
+        from rdycore_tpu.mesh.core import save_mesh_npz
+
+        mesh = structured_quad(
+            200, 100, 0.0, 2.0, 0.0, 1.0,
+            region_fn=lambda cx, cy: np.where(cx < 1.0, 1, 2),
+        )
+        save_mesh_npz(mesh, path)
+    return path
+
+
+def test_c_coupling_driver(capi_build, dam_break_mesh, tmp_path):
     cfg = tmp_path / "rain.yaml"
     cfg.write_text(CONFIG.format(repo=REPO))
     env = dict(os.environ)
