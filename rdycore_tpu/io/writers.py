@@ -38,10 +38,9 @@ def attach_output_monitors(sim: "Simulation") -> None:
     elif cfg.output.format == "binary":
         sim.add_monitor(BinaryWriter(sim))
     elif cfg.output.format == "cgns":
-        raise NotImplementedError(
-            "CGNS output requires the CGNS library, which is not available "
-            "in this environment; use output.format: xdmf or binary"
-        )
+        from .cgns import CGNSWriter
+
+        sim.add_monitor(CGNSWriter(sim))
     if cfg.checkpoint.interval:
         from .checkpoint import CheckpointMonitor
 
@@ -53,6 +52,44 @@ def attach_output_monitors(sim: "Simulation") -> None:
         from .time_series import TimeSeriesMonitor
 
         sim.add_monitor(TimeSeriesMonitor(sim))
+
+
+def collect_output_fields(sim: "Simulation", fields) -> list:
+    """Evaluate the configured output fields against the current state.
+
+    Returns [(name, 1-D float array over cells)] following the reference's
+    field names + dt-weighted '_Mean' variants (xdmf_output.c:179-241).
+    """
+    sol = sim.get_solution()
+    prim = None
+    src = np.asarray(sim.ext_src)
+    atime = sim.accum_time
+    out = []
+    for name in fields:
+        mean = name.endswith("_Mean")
+        base = name[:-5] if mean else name
+        spec = _FIELD_COMPONENTS.get(base)
+        if spec is None:
+            continue
+        kind, comp = spec
+        if mean and atime > 0:
+            if kind == "sol":
+                data = sim.accum_sol[comp] / atime
+            elif kind == "prim":
+                data = sim.accum_prim[comp] / atime
+            else:
+                data = src[comp]
+        else:
+            if kind == "sol":
+                data = sol[comp]
+            elif kind == "prim":
+                if prim is None:
+                    prim = _primitives(sim, sol)
+                data = prim[comp]
+            else:
+                data = src[comp]
+        out.append((name, np.asarray(data)))
+    return out
 
 
 class XDMFWriter:
@@ -121,34 +158,8 @@ class XDMFWriter:
         self._opened_batches.add(path)
         with h5py.File(path, mode) as f:
             g = f.require_group(f"{snap}")
-            sol = sim.get_solution()
-            prim = None
-            src = np.asarray(sim.ext_src)
-            atime = sim.accum_time
-            for name in self.fields:
-                mean = name.endswith("_Mean")
-                base = name[:-5] if mean else name
-                spec = _FIELD_COMPONENTS.get(base)
-                if spec is None:
-                    continue
-                kind, comp = spec
-                if mean and atime > 0:
-                    if kind == "sol":
-                        data = sim.accum_sol[comp] / atime
-                    elif kind == "prim":
-                        data = sim.accum_prim[comp] / atime
-                    else:
-                        data = src[comp]
-                else:
-                    if kind == "sol":
-                        data = sol[comp]
-                    elif kind == "prim":
-                        if prim is None:
-                            prim = _primitives(sim, sol)
-                        data = prim[comp]
-                    else:
-                        data = src[comp]
-                g.create_dataset(name, data=np.asarray(data))
+            for name, data in collect_output_fields(sim, self.fields):
+                g.create_dataset(name, data=data)
             g.attrs["time"] = sim.t
             g.attrs["step"] = sim.step
         self._times.append(sim.t)
