@@ -992,10 +992,90 @@ class Simulation:
     def set_coupling_interval(self, value: float, unit: Optional[str] = None):
         self.coupling_interval = time_to_seconds(value, unit or self.time_unit)
 
+    @staticmethod
+    def convert_time(value: float, unit_from: str, unit_to: str) -> float:
+        """RDyConvertTime (rdyadvance.c:427-432)."""
+        from .config.schema import time_from_seconds
+
+        return time_from_seconds(time_to_seconds(value, unit_from), unit_to)
+
+    def get_time_unit(self) -> str:
+        """RDyGetTimeUnit: the config file's time unit."""
+        return self.time_unit
+
+    def get_version(self) -> str:
+        """RDyGetVersion."""
+        from . import __version__
+
+        return __version__
+
+    def set_log_file(self, path: str):
+        """RDySetLogFile (rdysetup.c:1282): redirect leveled logging."""
+        self.log.close()
+        self.log = Logger(self.config.logging.level, path)
+
+    def set_initial_conditions(self, q: np.ndarray):
+        """RDySetInitialConditions (rdydata.c:541): copy a prognostic array
+        into the solution."""
+        self.set_solution(q)
+
+    def create_prognostic_array(self) -> np.ndarray:
+        """RDyCreatePrognosticVec: a zeroed [ndof, num_cells] array shaped
+        like the solution."""
+        return np.zeros(np.asarray(self.q).shape, dtype=np.float64)
+
+    def create_one_dof_array(self) -> np.ndarray:
+        """RDyCreateOneDOFGlobalVec: a zeroed per-cell scalar array."""
+        return np.zeros(self.mesh.num_cells, dtype=np.float64)
+
+    def read_one_dof_vec_from_binary(self, path: str) -> np.ndarray:
+        """RDyReadOneDOF{Global,Local}VecFromBinaryFile (rdydata.c:583-633):
+        read a naturally-ordered per-cell scalar PETSc binary Vec and return
+        it in the simulation's cell order (the natural->global scatter)."""
+        data = read_petsc_vec(path)
+        if data.size != self.mesh.num_cells:
+            raise ValueError(
+                f"{path}: expected {self.mesh.num_cells} values, "
+                f"got {data.size}"
+            )
+        return data[self.mesh.natural_ids]
+
+    def write_one_dof_vec_to_binary(self, path: str, values: np.ndarray):
+        """RDyWriteOneDOFGlobalVecToBinaryFile (rdydata.c:559-580): write a
+        per-cell scalar (simulation cell order) as a naturally-ordered PETSc
+        binary Vec (the global->natural scatter)."""
+        from .io.petsc_binary import write_petsc_vec
+
+        values = np.asarray(values, dtype=np.float64)
+        if values.shape != (self.mesh.num_cells,):
+            raise ValueError(
+                f"expected shape ({self.mesh.num_cells},), got {values.shape}"
+            )
+        natural = np.empty_like(values)
+        natural[self.mesh.natural_ids] = values
+        write_petsc_vec(path, natural)
+
     # ---- boundary metadata (RDyGetNumBoundary*/RDyGetBoundary*) ----
     @property
     def boundary_names(self) -> List[str]:
         return [s.name for s in self.operator.segments]
+
+    def get_num_global_cells(self) -> int:
+        """RDyGetNumGlobalCells (== owned cells on a single global domain)."""
+        return self.mesh.num_cells
+
+    def get_num_boundary_conditions(self) -> int:
+        """RDyGetNumBoundaryConditions (rdydata.c:18)."""
+        return len(self.operator.segments)
+
+    def get_boundary_id(self, boundary: str) -> int:
+        """RDyGetBoundaryID (rdydata.c:434): the mesh's boundary id for a
+        named boundary; -1 for the implicit auto-reflecting wall."""
+        for b in self.config.boundaries:
+            if b.name == boundary:
+                return b.grid_boundary_id
+        self._segment(boundary)  # raises KeyError if unknown
+        return -1
 
     def get_num_boundary_edges(self, boundary: str) -> int:
         return {s.name: s for s in self.operator.segments}[boundary].count

@@ -105,3 +105,39 @@ def test_courant_number_diagnostics(sim):
         assert cid == int(np.asarray(a.int_left)[eid])
     else:
         assert cid == int(np.asarray(a.bnd_left)[eid - Ei])
+
+
+def test_misc_api_parity(sim, tmp_path):
+    """RDyConvertTime / RDyGetTimeUnit / RDyGetVersion / RDyGetNumGlobalCells
+    / RDyGetNumBoundaryConditions / RDyGetBoundaryID / prognostic + one-DOF
+    vec helpers (rdydata.c:541-633, rdyadvance.c:427)."""
+    assert Simulation.convert_time(2.0, "minutes", "seconds") == pytest.approx(120.0)
+    assert Simulation.convert_time(3600.0, "seconds", "hours") == pytest.approx(1.0)
+    assert sim.get_time_unit() == sim.time_unit
+    assert sim.get_version()
+
+    assert sim.get_num_global_cells() == sim.num_cells
+    assert sim.get_num_boundary_conditions() == len(sim.boundary_names)
+    for b in sim.boundary_names:
+        assert isinstance(sim.get_boundary_id(b), int)
+    with pytest.raises(KeyError):
+        sim.get_boundary_id("no_such_boundary")
+
+    prog = sim.create_prognostic_array()
+    assert prog.shape == sim.get_solution().shape
+    prog[:] = sim.get_solution()
+    sim.set_initial_conditions(prog)  # round-trips through set_solution
+    np.testing.assert_allclose(sim.get_height(), prog[0], rtol=1e-6)
+
+    # one-DOF binary round trip in natural order: write from the sim's cell
+    # order, read back, and check the file itself is naturally ordered
+    vals = np.asarray(sim.get_cell_centroids()[:, 0], dtype=np.float64)
+    path = str(tmp_path / "onedof.bin")
+    sim.write_one_dof_vec_to_binary(path, vals)
+    back = sim.read_one_dof_vec_from_binary(path)
+    np.testing.assert_array_equal(back, vals)
+    from rdycore_tpu.io.petsc_binary import read_petsc_vec
+
+    raw = read_petsc_vec(path)
+    np.testing.assert_array_equal(raw[sim.mesh.natural_ids], vals)
+    assert sim.create_one_dof_array().shape == (sim.num_cells,)
