@@ -31,7 +31,13 @@ module rdycore_tpu
             rdytpu_set_regional_water_source, &
             rdytpu_set_flow_dirichlet_boundary_values, &
             rdytpu_get_num_boundary_edges, &
-            rdytpu_write_checkpoint, rdytpu_read_checkpoint
+            rdytpu_write_checkpoint, rdytpu_read_checkpoint, &
+            rdytpu_convert_time, rdytpu_get_num_boundary_conditions, &
+            rdytpu_get_boundary_id, &
+            rdytpu_get_boundary_condition_flow_type, &
+            rdytpu_get_boundary_edge_centroids, rdytpu_get_solution, &
+            rdytpu_set_initial_conditions, rdytpu_read_one_dof_vec, &
+            rdytpu_write_one_dof_vec
 
   interface
     function c_rdytpu_init() bind(c, name="rdytpu_init") result(ierr)
@@ -206,6 +212,90 @@ module rdycore_tpu
       integer(c_int64_t), value :: n
       integer(c_int) :: ierr
     end function
+
+    function c_rdytpu_convert_time(unit_from, t, unit_to, out) &
+        bind(c, name="rdytpu_convert_time") result(ierr)
+      import :: c_char, c_int, c_double
+      character(kind=c_char), intent(in) :: unit_from(*), unit_to(*)
+      real(c_double), value :: t
+      real(c_double), intent(out) :: out
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_num_bcs(handle, n) &
+        bind(c, name="rdytpu_get_num_boundary_conditions") result(ierr)
+      import :: c_int, c_int64_t
+      integer(c_int64_t), value :: handle
+      integer(c_int64_t), intent(out) :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_boundary_id(handle, boundary, id) &
+        bind(c, name="rdytpu_get_boundary_id") result(ierr)
+      import :: c_char, c_int, c_int64_t
+      integer(c_int64_t), value :: handle
+      character(kind=c_char), intent(in) :: boundary(*)
+      integer(c_int64_t), intent(out) :: id
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_bc_flow_type(handle, boundary, bc_type) &
+        bind(c, name="rdytpu_get_boundary_condition_flow_type") &
+        result(ierr)
+      import :: c_char, c_int, c_int64_t, c_int32_t
+      integer(c_int64_t), value :: handle
+      character(kind=c_char), intent(in) :: boundary(*)
+      integer(c_int32_t), intent(out) :: bc_type
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_bnd_edge_centroids(handle, boundary, out, n) &
+        bind(c, name="rdytpu_get_boundary_edge_centroids") result(ierr)
+      import :: c_char, c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      character(kind=c_char), intent(in) :: boundary(*)
+      real(c_double), intent(out) :: out(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_solution(handle, out, n) &
+        bind(c, name="rdytpu_get_solution") result(ierr)
+      import :: c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      real(c_double), intent(out) :: out(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_set_initial_conditions(handle, q, n) &
+        bind(c, name="rdytpu_set_initial_conditions") result(ierr)
+      import :: c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      real(c_double), intent(in) :: q(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_read_one_dof_vec(handle, path, out, n) &
+        bind(c, name="rdytpu_read_one_dof_vec") result(ierr)
+      import :: c_char, c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      character(kind=c_char), intent(in) :: path(*)
+      real(c_double), intent(out) :: out(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_write_one_dof_vec(handle, path, vals, n) &
+        bind(c, name="rdytpu_write_one_dof_vec") result(ierr)
+      import :: c_char, c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      character(kind=c_char), intent(in) :: path(*)
+      real(c_double), intent(in) :: vals(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
   end interface
 
 contains
@@ -369,6 +459,83 @@ contains
     integer(c_int64_t), value :: n_edges
     integer, intent(out) :: ierr
     ierr = c_rdytpu_set_flow_dirichlet(rdy, cstr(boundary), values, n_edges)
+  end subroutine
+
+  subroutine rdytpu_convert_time(unit_from, t, unit_to, out, ierr)
+    character(len=*), intent(in) :: unit_from, unit_to
+    real(c_double), value :: t
+    real(c_double), intent(out) :: out
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_convert_time(cstr(unit_from), t, cstr(unit_to), out)
+  end subroutine
+
+  subroutine rdytpu_get_num_boundary_conditions(rdy, n, ierr)
+    integer(c_int64_t), value :: rdy
+    integer(c_int64_t), intent(out) :: n
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_num_bcs(rdy, n)
+  end subroutine
+
+  subroutine rdytpu_get_boundary_id(rdy, boundary, id, ierr)
+    integer(c_int64_t), value :: rdy
+    character(len=*), intent(in) :: boundary
+    integer(c_int64_t), intent(out) :: id
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_boundary_id(rdy, cstr(boundary), id)
+  end subroutine
+
+  subroutine rdytpu_get_boundary_condition_flow_type(rdy, boundary, &
+      bc_type, ierr)
+    integer(c_int64_t), value :: rdy
+    character(len=*), intent(in) :: boundary
+    integer(c_int32_t), intent(out) :: bc_type
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_bc_flow_type(rdy, cstr(boundary), bc_type)
+  end subroutine
+
+  subroutine rdytpu_get_boundary_edge_centroids(rdy, boundary, xyz, &
+      n_edges, ierr)
+    integer(c_int64_t), value :: rdy
+    character(len=*), intent(in) :: boundary
+    real(c_double), intent(out) :: xyz(:)  ! n_edges*3, edge-major
+    integer(c_int64_t), value :: n_edges
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_bnd_edge_centroids(rdy, cstr(boundary), xyz, &
+                                           n_edges)
+  end subroutine
+
+  subroutine rdytpu_get_solution(rdy, q, n_values, ierr)
+    integer(c_int64_t), value :: rdy
+    real(c_double), intent(out) :: q(:)  ! ndof*num_cells, dof-major
+    integer(c_int64_t), value :: n_values
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_solution(rdy, q, n_values)
+  end subroutine
+
+  subroutine rdytpu_set_initial_conditions(rdy, q, n_values, ierr)
+    integer(c_int64_t), value :: rdy
+    real(c_double), intent(in) :: q(:)
+    integer(c_int64_t), value :: n_values
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_set_initial_conditions(rdy, q, n_values)
+  end subroutine
+
+  subroutine rdytpu_read_one_dof_vec(rdy, path, vals, n, ierr)
+    integer(c_int64_t), value :: rdy
+    character(len=*), intent(in) :: path
+    real(c_double), intent(out) :: vals(:)
+    integer(c_int64_t), value :: n
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_read_one_dof_vec(rdy, cstr(path), vals, n)
+  end subroutine
+
+  subroutine rdytpu_write_one_dof_vec(rdy, path, vals, n, ierr)
+    integer(c_int64_t), value :: rdy
+    character(len=*), intent(in) :: path
+    real(c_double), intent(in) :: vals(:)
+    integer(c_int64_t), value :: n
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_write_one_dof_vec(rdy, cstr(path), vals, n)
   end subroutine
 
 end module rdycore_tpu

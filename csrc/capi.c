@@ -219,3 +219,116 @@ int rdytpu_set_flow_dirichlet_boundary_values(
   Py_DECREF(r);
   return 0;
 }
+
+/* ---- misc API parity (RDyConvertTime, boundary metadata, one-DOF IO) -- */
+
+int rdytpu_convert_time(const char *unit_from, double value,
+                        const char *unit_to, double *out) {
+  PyObject *r = PyObject_CallMethod(
+      g_bridge, "convert_time", "dss", value, unit_from, unit_to);
+  /* note: keep arg order (value, from, to) on the bridge side */
+  if (!r) return err();
+  *out = PyFloat_AsDouble(r);
+  Py_DECREF(r);
+  return PyErr_Occurred() ? err() : 0;
+}
+
+int rdytpu_get_version(char *buf, int64_t max_bytes) {
+  PyObject *r = PyObject_CallMethod(g_bridge, "version", NULL);
+  if (!r) return err();
+  char *data;
+  Py_ssize_t n;
+  if (PyBytes_AsStringAndSize(r, &data, &n) < 0) {
+    Py_DECREF(r);
+    return err();
+  }
+  if (n + 1 > max_bytes) n = max_bytes - 1;
+  memcpy(buf, data, (size_t)n);
+  buf[n] = '\0';
+  Py_DECREF(r);
+  return 0;
+}
+
+int rdytpu_get_num_boundary_conditions(int64_t h, int64_t *n) {
+  return get_i64("num_boundary_conditions", h, n);
+}
+
+int rdytpu_get_boundary_id(int64_t h, const char *boundary, int64_t *id) {
+  PyObject *r = PyObject_CallMethod(g_bridge, "boundary_id", "Ls", h,
+                                    boundary);
+  if (!r) return err();
+  *id = PyLong_AsLongLong(r);
+  Py_DECREF(r);
+  return PyErr_Occurred() ? err() : 0;
+}
+
+int rdytpu_get_boundary_condition_flow_type(int64_t h, const char *boundary,
+                                            int32_t *type) {
+  PyObject *r = PyObject_CallMethod(
+      g_bridge, "boundary_condition_flow_type", "Ls", h, boundary);
+  if (!r) return err();
+  *type = (int32_t)PyLong_AsLong(r);
+  Py_DECREF(r);
+  return PyErr_Occurred() ? err() : 0;
+}
+
+int rdytpu_get_boundary_edge_centroids(int64_t h, const char *boundary,
+                                       double *out, int64_t n_edges) {
+  PyObject *r = PyObject_CallMethod(
+      g_bridge, "get_boundary_edge_centroids", "Ls", h, boundary);
+  if (!r) return err();
+  char *data;
+  Py_ssize_t n;
+  if (PyBytes_AsStringAndSize(r, &data, &n) < 0) {
+    Py_DECREF(r);
+    return err();
+  }
+  if (n > n_edges * 24) {
+    Py_DECREF(r);
+    fprintf(stderr, "rdytpu: centroid buffer too small\n");
+    return 1;
+  }
+  memcpy(out, data, (size_t)n);
+  Py_DECREF(r);
+  return 0;
+}
+
+int rdytpu_get_solution(int64_t h, double *out, int64_t n_values) {
+  return get_buf("get_solution", h, out, n_values * 8);
+}
+
+int rdytpu_set_initial_conditions(int64_t h, const double *q,
+                                  int64_t n_values) {
+  return set_buf("set_initial_conditions", h, q, n_values);
+}
+
+int rdytpu_read_one_dof_vec(int64_t h, const char *path, double *out,
+                            int64_t n) {
+  PyObject *r = PyObject_CallMethod(g_bridge, "read_one_dof_vec", "Ls", h,
+                                    path);
+  if (!r) return err();
+  char *data;
+  Py_ssize_t nb;
+  if (PyBytes_AsStringAndSize(r, &data, &nb) < 0) {
+    Py_DECREF(r);
+    return err();
+  }
+  if (nb > n * 8) {
+    Py_DECREF(r);
+    fprintf(stderr, "rdytpu: one-DOF buffer too small\n");
+    return 1;
+  }
+  memcpy(out, data, (size_t)nb);
+  Py_DECREF(r);
+  return 0;
+}
+
+int rdytpu_write_one_dof_vec(int64_t h, const char *path,
+                             const double *vals, int64_t n) {
+  PyObject *r = PyObject_CallMethod(
+      g_bridge, "write_one_dof_vec", "Lsy#", h, path, (const char *)vals,
+      (Py_ssize_t)(n * 8));
+  if (!r) return err();
+  Py_DECREF(r);
+  return 0;
+}

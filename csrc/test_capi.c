@@ -22,6 +22,13 @@ int rdytpu_get_cell_areas(int64_t, double *, int64_t);
 int rdytpu_set_domain_water_source(int64_t, const double *, int64_t);
 int rdytpu_write_checkpoint(int64_t, const char *);
 int rdytpu_read_checkpoint(int64_t, const char *);
+int rdytpu_convert_time(const char *, double, const char *, double *);
+int rdytpu_get_version(char *, int64_t);
+int rdytpu_get_num_boundary_conditions(int64_t, int64_t *);
+int rdytpu_get_solution(int64_t, double *, int64_t);
+int rdytpu_set_initial_conditions(int64_t, const double *, int64_t);
+int rdytpu_write_one_dof_vec(int64_t, const char *, const double *, int64_t);
+int rdytpu_read_one_dof_vec(int64_t, const char *, double *, int64_t);
 
 #define CHECK(expr)                                             \
   do {                                                          \
@@ -43,6 +50,20 @@ int main(int argc, char **argv) {
   int64_t n = 0;
   CHECK(rdytpu_get_num_cells(rdy, &n));
   if (n <= 0) return 1;
+
+  /* misc API parity: version string, time conversion, boundary count */
+  char ver[64];
+  CHECK(rdytpu_get_version(ver, sizeof ver));
+  if (ver[0] == '\0') return 1;
+  double t_conv = 0.0;
+  CHECK(rdytpu_convert_time("minutes", 2.0, "seconds", &t_conv));
+  if (t_conv < 119.9 || t_conv > 120.1) {
+    fprintf(stderr, "convert_time wrong: %g\n", t_conv);
+    return 1;
+  }
+  int64_t nbc = 0;
+  CHECK(rdytpu_get_num_boundary_conditions(rdy, &nbc));
+  if (nbc < 0) return 1;
   double *h = malloc((size_t)n * sizeof(double));
   double *hu = malloc((size_t)n * sizeof(double));
   double *src = calloc((size_t)n, sizeof(double));
@@ -106,6 +127,34 @@ int main(int argc, char **argv) {
     }
     free(h2);
     printf("OK: checkpoint round-trip bitwise\n");
+  }
+
+  /* one-DOF natural-order binary round trip + set_initial_conditions */
+  if (argc > 3) {
+    CHECK(rdytpu_write_one_dof_vec(rdy, argv[3], h, n));
+    double *hb = malloc((size_t)n * sizeof(double));
+    for (int64_t i = 0; i < n; ++i) hb[i] = -1.0;
+    CHECK(rdytpu_read_one_dof_vec(rdy, argv[3], hb, n));
+    for (int64_t i = 0; i < n; ++i) {
+      if (hb[i] != h[i]) {
+        fprintf(stderr, "FAIL: one-DOF vec round-trip mismatch\n");
+        return 1;
+      }
+    }
+    free(hb);
+    double *q = malloc((size_t)(3 * n) * sizeof(double));
+    CHECK(rdytpu_get_solution(rdy, q, 3 * n));
+    CHECK(rdytpu_set_initial_conditions(rdy, q, 3 * n));
+    double *h3 = malloc((size_t)n * sizeof(double));
+    CHECK(rdytpu_get_height(rdy, h3, n));
+    for (int64_t i = 0; i < n; ++i) {
+      if (h3[i] != q[i]) {
+        fprintf(stderr, "FAIL: set_initial_conditions mismatch\n");
+        return 1;
+      }
+    }
+    free(q); free(h3);
+    printf("OK: one-DOF vec round-trip + set_initial_conditions\n");
   }
 
   CHECK(rdytpu_destroy(rdy));

@@ -151,3 +151,60 @@ def write_checkpoint(h: int, path: str) -> None:
 def read_checkpoint(h: int, path: str) -> None:
     """RDyReadHDF5CheckpointFile."""
     _sims[h].read_checkpoint(path)
+
+
+# ---- misc API parity (RDyConvertTime, boundary metadata, one-DOF IO) -----
+
+def convert_time(value: float, unit_from: str, unit_to: str) -> float:
+    """RDyConvertTime."""
+    from .simulation import Simulation
+
+    return float(Simulation.convert_time(value, unit_from, unit_to))
+
+
+def version() -> bytes:
+    from . import __version__
+
+    return __version__.encode()
+
+
+def num_boundary_conditions(h: int) -> int:
+    return int(_sims[h].get_num_boundary_conditions())
+
+
+def boundary_id(h: int, boundary: str) -> int:
+    return int(_sims[h].get_boundary_id(boundary))
+
+
+def boundary_condition_flow_type(h: int, boundary: str) -> int:
+    return int(_sims[h].get_boundary_condition_flow_type(boundary))
+
+
+def get_boundary_edge_centroids(h: int, boundary: str) -> bytes:
+    """[n_edges, 3] row-major (RDyGetBoundaryEdge{X,Y,Z}Centroids)."""
+    return _bytes(_sims[h].get_boundary_edge_centroids(boundary))
+
+
+def get_solution(h: int) -> bytes:
+    """[ndof, C] row-major (RDyCreatePrognosticVec + getters)."""
+    return _bytes(_sims[h].get_solution())
+
+
+def set_initial_conditions(h: int, buf: bytes) -> None:
+    """RDySetInitialConditions: ndof*C doubles, [ndof, C] row-major."""
+    sim = _sims[h]
+    q = np.frombuffer(buf, dtype=np.float64).reshape(-1, sim.mesh.num_cells)
+    sim.set_initial_conditions(q.copy())
+
+
+def read_one_dof_vec(h: int, path: str) -> bytes:
+    """RDyReadOneDOFGlobalVecFromBinaryFile: per-cell values in the
+    simulation's cell order."""
+    return _bytes(_sims[h].read_one_dof_vec_from_binary(path))
+
+
+def write_one_dof_vec(h: int, path: str, buf: bytes) -> None:
+    """RDyWriteOneDOFGlobalVecToBinaryFile."""
+    _sims[h].write_one_dof_vec_to_binary(
+        path, np.frombuffer(buf, dtype=np.float64).copy()
+    )

@@ -113,12 +113,14 @@ def test_c_coupling_driver(capi_build, dam_break_mesh, tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     r = subprocess.run(
-        [capi_build, str(cfg), str(tmp_path / "ckpt.h5")],
+        [capi_build, str(cfg), str(tmp_path / "ckpt.h5"),
+         str(tmp_path / "onedof.bin")],
         capture_output=True, text=True, env=env, timeout=300,
     )
     assert r.returncode == 0, f"\n{r.stdout}\n{r.stderr}"
     assert "OK:" in r.stdout
     assert "checkpoint round-trip bitwise" in r.stdout
+    assert "one-DOF vec round-trip + set_initial_conditions" in r.stdout
 
 
 def test_f90_module_compiles(tmp_path):
