@@ -506,7 +506,7 @@ contains
 
   subroutine rdytpu_get_solution(rdy, q, n_values, ierr)
     integer(c_int64_t), value :: rdy
-    real(c_double), intent(out) :: q(:)  ! ndof*num_cells, dof-major
+    real(c_double), intent(out) :: q(:)  ! ndof*num_cells, cell-major interleaved (blocksize ndof, PETSc Vec layout)
     integer(c_int64_t), value :: n_values
     integer, intent(out) :: ierr
     ierr = c_rdytpu_get_solution(rdy, q, n_values)

@@ -234,6 +234,7 @@ int rdytpu_convert_time(const char *unit_from, double value,
 }
 
 int rdytpu_get_version(char *buf, int64_t max_bytes) {
+  if (max_bytes < 1) return -1;
   PyObject *r = PyObject_CallMethod(g_bridge, "version", NULL);
   if (!r) return err();
   char *data;

@@ -142,13 +142,15 @@ int main(int argc, char **argv) {
       }
     }
     free(hb);
+    /* solution buffers are cell-major interleaved (blocksize ndof), like
+     * the reference's PETSc prognostic Vec: q[3*i] = h of cell i */
     double *q = malloc((size_t)(3 * n) * sizeof(double));
     CHECK(rdytpu_get_solution(rdy, q, 3 * n));
     CHECK(rdytpu_set_initial_conditions(rdy, q, 3 * n));
     double *h3 = malloc((size_t)n * sizeof(double));
     CHECK(rdytpu_get_height(rdy, h3, n));
     for (int64_t i = 0; i < n; ++i) {
-      if (h3[i] != q[i]) {
+      if (h3[i] != q[3 * i]) {
         fprintf(stderr, "FAIL: set_initial_conditions mismatch\n");
         return 1;
       }

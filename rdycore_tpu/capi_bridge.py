@@ -186,15 +186,19 @@ def get_boundary_edge_centroids(h: int, boundary: str) -> bytes:
 
 
 def get_solution(h: int) -> bytes:
-    """[ndof, C] row-major (RDyCreatePrognosticVec + getters)."""
-    return _bytes(_sims[h].get_solution())
+    """Cell-major interleaved [C, ndof] (PETSc Vec blocksize-ndof layout),
+    matching the reference's RDyCreatePrognosticVec/RDyGetSolution* so a
+    host ported from the reference passes buffers unchanged. The internal
+    Python layout is [ndof, C]; this bridge transposes at the boundary."""
+    return _bytes(np.ascontiguousarray(_sims[h].get_solution().T))
 
 
 def set_initial_conditions(h: int, buf: bytes) -> None:
-    """RDySetInitialConditions: ndof*C doubles, [ndof, C] row-major."""
+    """RDySetInitialConditions: ndof*C doubles, cell-major interleaved
+    [C, ndof] (see get_solution)."""
     sim = _sims[h]
-    q = np.frombuffer(buf, dtype=np.float64).reshape(-1, sim.mesh.num_cells)
-    sim.set_initial_conditions(q.copy())
+    q = np.frombuffer(buf, dtype=np.float64).reshape(sim.mesh.num_cells, -1)
+    sim.set_initial_conditions(np.ascontiguousarray(q.T))
 
 
 def read_one_dof_vec(h: int, path: str) -> bytes:

@@ -37,6 +37,7 @@ from .ops.swe import boundary as bc_mod
 from .ops.swe.riemann import regularized_velocity, roe_flux
 from .ops.swe.sources import (
     SOURCE_IMPLICIT_XQ2018,
+    SOURCE_NONE,
     SOURCE_SEMI_IMPLICIT,
     apply_source_semi_implicit,
     apply_source_xq2018,
@@ -113,6 +114,12 @@ class OperatorArrays(NamedTuple):
     # hydrostatic-reconstruction plan arrays (None unless well_balancing_hr)
     pl_hr_dzl: jnp.ndarray = None  # slotted zmax - zL per edge [R8, 128]
     pl_hr_dzr: jnp.ndarray = None
+    # HR pressure-correction tables, precomputed at build time so the hot
+    # path does no per-apply edge-table concatenates (None unless
+    # well_balancing_hr)
+    hr_nbr_cell: jnp.ndarray = None  # [C, K] neighbor across each slot edge
+    hr_cn: jnp.ndarray = None  # [C, K] edge cos(normal) per slot
+    hr_sn: jnp.ndarray = None  # [C, K] edge sin(normal) per slot
     # BS2002 slot-routed plan arrays (ops/swe/bs2002.BS2002PlanArrays)
     pl_bs: object = None
     # MUSCL second-order plan arrays (None unless second_order)
@@ -464,6 +471,13 @@ class SWEOperator:
                 tiny_h, h_anuga, jnp.asarray(self.xq2018_threshold, dtype),
                 include_bed_slope=not self.well_balancing_hr,
             )
+        elif self.source_method == SOURCE_NONE:
+            from .ops.swe.sources import apply_source_none
+
+            src = apply_source_none(
+                q, flux_div, ext_src, a.mannings_n, a.dz_dx, a.dz_dy, dt,
+                tiny_h, h_anuga, include_bed_slope=not self.well_balancing_hr,
+            )
         else:
             src = apply_source_semi_implicit(
                 q, flux_div, ext_src, a.mannings_n, a.dz_dx, a.dz_dy, dt,
@@ -738,34 +752,15 @@ class SWEOperator:
         tiny_h = jnp.asarray(self.tiny_h, dtype)
         h = q[0]
 
-        # per (cell, slot): the neighbor across that edge; dummy -> self
-        C = self.num_cells
-        # Precomputed in arrays? derive from edge maps: cell_edges indexes E+1
-        # We need per-slot neighbor z and both-raw-dry mask. Compute via edge
-        # arrays: build edge-side lookup tables on the fly (cheap gathers).
-        zl_e = jnp.concatenate(
-            [a.cell_z[a.int_left], a.cell_z[a.bnd_left], jnp.zeros((1,), dtype)]
-        )
-        zr_e = jnp.concatenate(
-            [a.cell_z[a.int_right], a.cell_z[a.bnd_left], jnp.zeros((1,), dtype)]
-        )
-        hl_e = jnp.concatenate(
-            [h[a.int_left], h[a.bnd_left], jnp.zeros((1,), dtype)]
-        )
-        hr_e = jnp.concatenate(
-            [h[a.int_right], h[a.bnd_left], jnp.zeros((1,), dtype)]
-        )
-        cn_e = jnp.concatenate([a.int_cn, a.bnd_cn, jnp.zeros((1,), dtype)])
-        sn_e = jnp.concatenate([a.int_sn, a.bnd_sn, jnp.zeros((1,), dtype)])
-
-        ce = a.cell_edges  # [C, K]
-        sign = a.cell_edge_coef  # sign * len/area
-        is_left = sign < 0  # left cell has negative coefficient
+        # hr_nbr_cell/hr_cn/hr_sn are precomputed per (cell, slot) at build
+        # time (build_operator); the hot path is two gathers + elementwise.
+        sign = a.cell_edge_coef  # sign * len/area (0 on padding slots)
+        nbr = a.hr_nbr_cell  # neighbor across each slot edge; bnd/dummy=self
 
         z_self = a.cell_z[:, None]
-        z_nbr = jnp.where(is_left, zr_e[ce], zl_e[ce])
+        z_nbr = a.cell_z[nbr]
         h_self = h[:, None]
-        h_nbr = jnp.where(is_left, hr_e[ce], hl_e[ce])
+        h_nbr = h[nbr]
 
         zmax = jnp.maximum(z_self, z_nbr)
         h_rec = jnp.maximum(0.0, h_self + z_self - zmax)
@@ -776,8 +771,8 @@ class SWEOperator:
         both_dry = (h_self < tiny_h) & (h_nbr < tiny_h)
         corr = jnp.where(both_dry, 0.0, corr)
 
-        dcx = (corr * cn_e[ce] * sign).sum(axis=-1)
-        dcy = (corr * sn_e[ce] * sign).sum(axis=-1)
+        dcx = (corr * a.hr_cn * sign).sum(axis=-1)
+        dcy = (corr * a.hr_sn * sign).sum(axis=-1)
         zero = jnp.zeros_like(dcx)
         return jnp.stack([zero, dcx, dcy])
 
@@ -905,6 +900,31 @@ def build_operator(
         )
         bs_fields = dict(bs2002=bs_arr)
 
+    hr_fields = {}
+    if well_balancing_hr:
+        # HR pressure-correction tables (VERDICT r1 #10): per (cell, slot)
+        # neighbor cell + edge normal, so _hr_pressure_correction needs no
+        # per-apply edge-table construction. Boundary edges see equal bed on
+        # both sides (reconstruction = identity), so neighbor = self there;
+        # dummy slots have coef == 0 and any neighbor (self) is safe.
+        nbr_l = np.concatenate([left[:Ei], left[Ei:], [0]])
+        nbr_r = np.concatenate(
+            [np.where(right[:Ei] >= 0, right[:Ei], 0), left[Ei:], [0]]
+        )
+        # "this cell is the left cell" <=> negative gather coefficient
+        is_left_slot = coef < 0
+        nbr = np.where(is_left_slot, nbr_r[cell_edges], nbr_l[cell_edges])
+        nbr = np.where(
+            cell_edges == E, np.arange(C, dtype=np.int64)[:, None], nbr
+        )
+        cn_pad = np.concatenate([mesh.edge_cn[edge_perm], [0.0]])
+        sn_pad = np.concatenate([mesh.edge_sn[edge_perm], [0.0]])
+        hr_fields = dict(
+            hr_nbr_cell=i(nbr),
+            hr_cn=f(cn_pad[cell_edges]),
+            hr_sn=f(sn_pad[cell_edges]),
+        )
+
     muscl_fields = {}
     if second_order:
         from .ops.swe.muscl import precompute_ls_coefficients
@@ -947,6 +967,7 @@ def build_operator(
         bnd_len=f(lengths[Ei:]),
         **muscl_fields,
         **bs_fields,
+        **hr_fields,
     )
 
     host_arrays = dict(

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..math import safe_cbrt, safe_sqrt
+
 from ...constants import GRAVITY
 from .riemann import regularized_velocity
 
@@ -40,8 +42,8 @@ def critical_outflow_ghost(h, u, v, sn, cn):
     outgoing = uperp >= 0.0
 
     q = h * jnp.abs(uperp)
-    h_crit = jnp.cbrt(q * q / g)
-    vel = jnp.sqrt(g * h_crit)
+    h_crit = safe_cbrt(q * q / g)
+    vel = safe_sqrt(g * h_crit)
 
     hl = jnp.where(outgoing, h, 0.0)
     ul = jnp.where(outgoing, u, 0.0)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ...constants import GRAVITY
+from ..math import safe_sqrt
 
 
 def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
@@ -32,8 +33,8 @@ def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
 
     hl_s = jnp.maximum(hl, 0.0)
     hr_s = jnp.maximum(hr, 0.0)
-    duml = jnp.sqrt(hl_s)
-    dumr = jnp.sqrt(hr_s)
+    duml = safe_sqrt(hl_s)
+    dumr = safe_sqrt(hr_s)
     cl = sqrt_g * duml  # = sqrt(g*hl_s), one sqrt instead of two
     cr = sqrt_g * dumr
     hhat = duml * dumr
@@ -41,7 +42,7 @@ def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
     denom_safe = jnp.where(denom > 0.0, denom, 1.0)
     uhat = (duml * ul + dumr * ur) / denom_safe
     vhat = (duml * vl + dumr * vr) / denom_safe
-    chat = jnp.sqrt(0.5 * g * (hl_s + hr_s))
+    chat = safe_sqrt(0.5 * g * (hl_s + hr_s))
     chat_safe = jnp.where(chat > 0.0, chat, 1.0)
     uperp = uhat * cn + vhat * sn
 
@@ -109,8 +110,8 @@ def roe_flux(
 
     hl_s = jnp.maximum(hl, 0.0)
     hr_s = jnp.maximum(hr, 0.0)
-    duml = jnp.sqrt(hl_s) if sqrt_hl is None else sqrt_hl
-    dumr = jnp.sqrt(hr_s) if sqrt_hr is None else sqrt_hr
+    duml = safe_sqrt(hl_s) if sqrt_hl is None else sqrt_hl
+    dumr = safe_sqrt(hr_s) if sqrt_hr is None else sqrt_hr
     cl = sqrt_g * duml  # = sqrt(g*hl_s), one sqrt instead of two
     cr = sqrt_g * dumr
     hhat = duml * dumr
@@ -123,7 +124,7 @@ def roe_flux(
         inv_chat = jax.lax.rsqrt(jnp.where(c2 > 0.0, c2, 1.0))
         chat = c2 * inv_chat  # = sqrt(c2); exactly 0 when c2 == 0
     else:
-        chat = jnp.sqrt(c2)
+        chat = safe_sqrt(c2)
         inv_chat = 1.0 / jnp.where(chat > 0.0, chat, 1.0)
     uperp = uhat * cn + vhat * sn
 

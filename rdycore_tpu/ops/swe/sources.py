@@ -16,9 +16,35 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ...constants import GRAVITY
+from ..math import safe_sqrt
 
 SOURCE_SEMI_IMPLICIT = 0
 SOURCE_IMPLICIT_XQ2018 = 1
+# friction-free source (bed slope + external only): the explicit part of
+# the ARK-IMEX splitting, whose DIRK stages own the friction term
+SOURCE_NONE = 2
+
+
+def apply_source_none(
+    q, flux_div, ext_src, mannings_n, dz_dx, dz_dy, dt, tiny_h, h_anuga,
+    include_bed_slope=True,
+) -> SourceResult:
+    """Bed slope + external sources, NO friction (ARK-IMEX explicit part)."""
+    dtype = q.dtype
+    g = jnp.asarray(GRAVITY, dtype)
+    h, hu, hv = q[0], q[1], q[2]
+    if include_bed_slope:
+        bedx = dz_dx * g * h
+        bedy = dz_dy * g * h
+    else:
+        bedx = jnp.zeros_like(h)
+        bedy = jnp.zeros_like(h)
+    rhs = jnp.stack(
+        [ext_src[0], -bedx + ext_src[1], -bedy + ext_src[2]]
+    )
+    pu, pv = _primitives(h, hu, hv, tiny_h, h_anuga)
+    prim = jnp.stack([h, pu, pv])
+    return SourceResult(rhs=rhs, prim=prim)
 
 
 class SourceResult(NamedTuple):
@@ -60,7 +86,7 @@ def apply_source_semi_implicit(
     u = hu / h_safe
     v = hv / h_safe
     cd = g * mannings_n * mannings_n * jnp.power(h_safe, -1.0 / 3.0)
-    speed = jnp.sqrt(u * u + v * v)
+    speed = safe_sqrt(u * u + v * v)
     tb = cd * speed / h_safe
     factor = tb / (1.0 + dt * tb)
 
@@ -75,6 +101,42 @@ def apply_source_semi_implicit(
     pu, pv = _primitives(h, hu, hv, tiny_h, h_anuga)
     prim = jnp.stack([h, pu, pv])
     return SourceResult(rhs=rhs, prim=prim)
+
+
+def friction_implicit_stage_solve(m, mannings_n, dt_imp, tiny_h):
+    """Exact per-cell solve of the implicit friction stage equation
+
+        q + dt_imp * tau(q) = m,   tau(q) = n^2 g h^{-7/3} q |q|
+
+    used by the ARK-IMEX integrator's DIRK stages (the reference routes
+    ark_imex through PETSc TSARKIMEX for exactly this stiff Manning term,
+    rdysetup.c:1183-1196 + rdyconfigimpl.h:52-56). Friction acts on the
+    momentum only and is colinear with it, so the 2x2 system reduces to a
+    scalar quadratic: with K = dt_imp n^2 g h^{-7/3} and M = |m|,
+    s + K s^2 = M gives s = (-1 + sqrt(1 + 4KM)) / (2K) — the same closed
+    form as the XQ2018 treatment (swe_petsc.c:816-932), here applied per
+    stage. Returns (q_stage [3, C], F_I(q_stage) [3, C]) where
+    F_I = (q_stage - m) / dt_imp is recovered algebraically (exact)."""
+    dtype = m.dtype
+    g = jnp.asarray(GRAVITY, dtype)
+    h, mx, my = m[0], m[1], m[2]
+    wet = h >= tiny_h
+    h_safe = jnp.where(wet, h, 1.0)
+
+    K = dt_imp * g * mannings_n * mannings_n * jnp.power(h_safe, -7.0 / 3.0)
+    M = safe_sqrt(mx * mx + my * my)
+    KM = K * M
+    # s/M = 2 / (1 + sqrt(1 + 4KM)): no cancellation as KM -> 0
+    ratio = 2.0 / (1.0 + jnp.sqrt(1.0 + 4.0 * KM))
+    ratio = jnp.where(wet, ratio, 1.0)  # dry cells: no friction
+    qx = mx * ratio
+    qy = my * ratio
+    dt_safe = jnp.where(dt_imp > 0.0, dt_imp, 1.0)
+    fi = jnp.stack(
+        [jnp.zeros_like(h), (qx - mx) / dt_safe, (qy - my) / dt_safe]
+    )
+    q_stage = jnp.stack([h, qx, qy])
+    return q_stage, fi
 
 
 def apply_source_xq2018(
@@ -105,7 +167,7 @@ def apply_source_xq2018(
     lam = (
         n2g
         * jnp.power(h_safe, -4.0 / 3.0)
-        * jnp.sqrt((mx / h_safe) ** 2 + (my / h_safe) ** 2)
+        * safe_sqrt((mx / h_safe) ** 2 + (my / h_safe) ** 2)
     )
 
     dtlam = dt * lam
@@ -117,7 +179,7 @@ def apply_source_xq2018(
     qx1 = jnp.where(small, mx, qx_impl)
     qy1 = jnp.where(small, my, qy_impl)
 
-    qmag = jnp.sqrt(qx1 * qx1 + qy1 * qy1)
+    qmag = safe_sqrt(qx1 * qx1 + qy1 * qy1)
     tbx = jnp.where(wet, n2g * jnp.power(h_safe, -7.0 / 3.0) * qx1 * qmag, 0.0)
     tby = jnp.where(wet, n2g * jnp.power(h_safe, -7.0 / 3.0) * qy1 * qmag, 0.0)
 

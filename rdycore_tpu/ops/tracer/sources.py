@@ -17,6 +17,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ...constants import GRAVITY
+from ..math import safe_sqrt
 
 DENSITY_OF_WATER = 1000.0
 DEFAULT_KP_CONSTANT = 0.001
@@ -69,7 +70,7 @@ def tracer_source_terms(
     ci = jnp.where(wet, hci / h_safe, 0.0)
 
     cd = g * mannings_n * mannings_n * jnp.power(h_safe, -1.0 / 3.0)
-    speed = jnp.sqrt(u * u + v * v)
+    speed = safe_sqrt(u * u + v * v)
     tb = cd * speed / h_safe
     factor = tb / (1.0 + dt * tb)
     tbx = jnp.where(wet, (hu + dt * (flux_div[1] - bedx)) * factor, 0.0)

@@ -694,6 +694,31 @@ class ShardedSWE:
 
         f = lambda x: jnp.asarray(x, dtype=dtype)
         ii = lambda x: jnp.asarray(x, dtype=jnp.int32)
+
+        # HR pressure-correction tables per shard (same precompute as
+        # build_operator, over the LOCAL edge numbering, built after any
+        # pallas reorder of il/ir/ce so slots stay consistent)
+        hr_fields = {}
+        if hr:
+            K_ce = ce.shape[2]
+            hr_nbr = np.zeros((Pn, C_loc, K_ce), np.int64)
+            hr_cn_a = np.zeros((Pn, C_loc, K_ce))
+            hr_sn_a = np.zeros((Pn, C_loc, K_ce))
+            self_idx = np.arange(C_loc, dtype=np.int64)[:, None]
+            for p in range(Pn):
+                nbr_l = np.concatenate([il[p], bl[p], [0]])
+                nbr_r = np.concatenate([ir[p], bl[p], [0]])
+                cn_pad = np.concatenate([icn[p], bcn[p], [0.0]])
+                sn_pad = np.concatenate([isn[p], bsn[p], [0.0]])
+                cep = ce[p]
+                nbr = np.where(cec[p] < 0, nbr_r[cep], nbr_l[cep])
+                hr_nbr[p] = np.where(cep == E_loc, self_idx, nbr)
+                hr_cn_a[p] = cn_pad[cep]
+                hr_sn_a[p] = sn_pad[cep]
+            hr_fields = dict(
+                hr_nbr_cell=ii(hr_nbr), hr_cn=f(hr_cn_a), hr_sn=f(hr_sn_a)
+            )
+
         bs_fields = {}
         if bs2002:
             from ..ops.swe.bs2002 import BS2002Arrays
@@ -754,6 +779,7 @@ class ShardedSWE:
             },
             **bs_fields,
             **bs_plan_fields,
+            **hr_fields,
         )
         self.halo = HaloMaps(
             send_ids=ii(send_ids),
@@ -830,6 +856,19 @@ class ShardedSWE:
         """
         axis = self.axis_name
         op = self.op
+        if scheme == "beuler":
+            raise NotImplementedError(
+                "beuler is single-device only: the Newton-Krylov inner "
+                "products are not yet psum-aware across shards"
+            )
+        if scheme == "ark_imex":
+            from ..ops.swe.sources import SOURCE_NONE
+
+            if op.ndof != 3:
+                raise ValueError("ark_imex supports pure SWE only")
+            # explicit part excludes friction; DIRK stages solve it
+            # per-cell (cell-local, so no extra halo traffic)
+            op = dataclasses.replace(op, source_method=SOURCE_NONE)
         S_max = self.S_max
         Pn = self.P
         # neighbor-only ppermute halo: O(frontier) traffic instead of the
@@ -890,7 +929,12 @@ class ShardedSWE:
                     q_x = exchange(q_s)
                     return bound_op.apply(q_x, dt_s, bv_local, ext_src)
 
-                q_new, r1 = _rk_step(scheme, full_rhs, qq, tt, dt_i)
+                imex_ctx = (
+                    (arrays.mannings_n, bound_op.tiny_h)
+                    if scheme == "ark_imex"
+                    else None
+                )
+                q_new, r1 = _rk_step(scheme, full_rhs, qq, tt, dt_i, imex_ctx)
                 step_c = r1.max_courant_per_dt * dt_i
                 cedge = jnp.where(
                     step_c > cmax, r1.courant_edge.astype(jnp.int32), cedge

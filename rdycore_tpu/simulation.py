@@ -265,23 +265,36 @@ class Simulation:
         self._advance_fn = None
         self._advance_scheme = config.numerics.temporal
         if self._advance_scheme == "ark_imex":
-            # IMEX = explicit fluxes + implicit stiff friction; the
-            # closed-form XQ2018 implicit source is exactly that treatment
-            # (the reference's ARK-IMEX exists for the same stiff-friction
-            # reason, rdyconfigimpl.h:54-56)
-            self._advance_scheme = "euler"
-            if self.operator.source_method != SOURCE_IMPLICIT_XQ2018:
-                object.__setattr__(
-                    self.operator, "source_method", SOURCE_IMPLICIT_XQ2018
+            # real 2nd-order additive RK, ARS(2,2,2): explicit Roe fluxes /
+            # bed slope / external sources, implicit Manning friction solved
+            # per-cell in closed form at each DIRK stage (timestepping.
+            # _ark_imex_step; the reference routes this through PETSc
+            # TSARKIMEX, rdysetup.c:1183-1196)
+            if self.ndof != 3:
+                raise ConfigError(
+                    "temporal: ark_imex supports pure SWE only (no tracers)"
                 )
             self.log.info(
-                "ark_imex: using explicit fluxes + closed-form implicit "
-                "friction (XQ2018)"
+                "ark_imex: ARS(2,2,2) — explicit fluxes + per-cell "
+                "closed-form implicit Manning friction per stage"
             )
         if self._advance_scheme == "beuler":
-            raise ConfigError(
-                "temporal: beuler (globally implicit) is not supported; "
-                "use euler/rk4/ssprk2/ssprk3 or ark_imex"
+            # backward Euler via matrix-free Newton-Krylov with exact JVPs
+            # (timestepping._beuler_step; the reference's TSBEULER + SNES)
+            if config.parallel.n_devices > 1:
+                raise ConfigError(
+                    "temporal: beuler is single-device only (Newton-Krylov "
+                    "inner products are not yet psum-aware)"
+                )
+            if config.numerics.edge_flux_backend not in ("xla", "auto"):
+                raise ConfigError(
+                    "temporal: beuler requires edge_flux_backend: xla "
+                    "(jax.jvp cannot differentiate through the Pallas or "
+                    "fused-structured kernels)"
+                )
+            self.log.info(
+                "beuler: backward Euler via matrix-free Newton-GMRES "
+                "(exact JVPs)"
             )
         self._monitors: List[Callable] = []
 
@@ -669,8 +682,7 @@ class Simulation:
             )
 
     def _structured_scheme(self) -> str:
-        s = self.config.numerics.temporal
-        return "euler" if s == "ark_imex" else s
+        return self.config.numerics.temporal
 
     def _advance_structured(self, n_steps: int, t_end: float) -> float:
         st = self._structured
@@ -747,7 +759,7 @@ class Simulation:
             self._src_stacked,
         )
         self._q_stacked = q_out
-        self.q = jnp.asarray(sh.gather_state(q_out), self.dtype)
+        self._q = None  # lazily gathered only if a monitor/getter reads q
         self.t = float(t_out)
         self.step += int(n_steps)
         _, gedge = sh.courant_location(cinfo)
@@ -902,6 +914,25 @@ class Simulation:
     def num_cells(self) -> int:
         return self.mesh.num_cells
 
+    @property
+    def q(self) -> jnp.ndarray:
+        """Prognostic state [ndof, C] in global cell order. When running
+        sharded, the live state is the device-resident per-shard
+        `_q_stacked`; reading q triggers a LAZY host gather, so the advance
+        loop itself never does a device->host transfer (the reference
+        likewise only scatters to natural order at I/O time,
+        checkpoint.c:187-203)."""
+        if self._q is None and self._q_stacked is not None:
+            self._q = jnp.asarray(
+                self._sharded.gather_state(self._q_stacked), self.dtype
+            )
+        return self._q
+
+    @q.setter
+    def q(self, value):
+        self._q = value
+        self._q_stacked = None  # re-scatter on next sharded advance
+
     def get_height(self) -> np.ndarray:
         return np.asarray(self.q[0])
 
@@ -915,8 +946,7 @@ class Simulation:
         return np.asarray(self.q)
 
     def set_solution(self, q: np.ndarray):
-        self.q = jnp.asarray(q, dtype=self.dtype)
-        self._q_stacked = None  # re-scatter on next sharded advance
+        self.q = jnp.asarray(q, dtype=self.dtype)  # setter clears _q_stacked
 
     def get_cell_centroids(self) -> np.ndarray:
         return self.mesh.cell_centroid.copy()
@@ -1081,7 +1111,20 @@ class Simulation:
         return {s.name: s for s in self.operator.segments}[boundary].count
 
     def get_boundary_condition_flow_type(self, boundary: str) -> int:
-        return {s.name: s for s in self.operator.segments}[boundary].bc_type
+        """RDyGetBoundaryConditionFlowType: returns the *public*
+        RDyConditionType value (reference include/rdycore.h:133-139:
+        dirichlet=0, neumann=1, reflecting=2, critical-outflow=3, runoff=4),
+        translated from the internal BC_* codes in ops/swe/boundary.py so a
+        host ported from the reference sees the same enum."""
+        from .ops.swe.boundary import (
+            BC_CRITICAL_OUTFLOW,
+            BC_DIRICHLET,
+            BC_REFLECTING,
+        )
+
+        internal = {s.name: s for s in self.operator.segments}[boundary].bc_type
+        to_public = {BC_DIRICHLET: 0, BC_REFLECTING: 2, BC_CRITICAL_OUTFLOW: 3}
+        return to_public[internal]
 
     def _segment(self, boundary: str):
         return {s.name: s for s in self.operator.segments}[boundary]

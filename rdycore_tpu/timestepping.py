@@ -24,6 +24,14 @@ TEMPORAL_EULER = "euler"
 TEMPORAL_RK4 = "rk4"
 TEMPORAL_SSPRK2 = "ssprk2"
 TEMPORAL_SSPRK3 = "ssprk3"
+TEMPORAL_ARK_IMEX = "ark_imex"
+TEMPORAL_BEULER = "beuler"
+
+# ARS(2,2,2) additive RK coefficients (Ascher, Ruuth & Spiteri 1997 §2.6);
+# the reference exposes the same method family via PETSc TSARKIMEX
+# (rdysetup.c:1183-1196, method enum rdyconfigimpl.h:52-56)
+ARS222_GAMMA = 1.0 - 0.5 * 2.0**0.5
+ARS222_DELTA = 1.0 - 1.0 / (2.0 * ARS222_GAMMA)
 
 
 class IntervalResult(NamedTuple):
@@ -37,10 +45,86 @@ class IntervalResult(NamedTuple):
     accum_time: jnp.ndarray  # total time accumulated
 
 
-def _rk_step(scheme: str, rhs_fn, q, t, dt):
-    """One explicit step; rhs_fn(q, t, dt) -> RHSResult. Returns the new q and
+def _ark_imex_step(rhs_fn, q, t, dt, mannings_n, tiny_h):
+    """One ARS(2,2,2) additive IMEX-RK step: explicit Roe fluxes / bed slope
+    / external sources (rhs_fn must be the FRICTION-FREE rhs, i.e. the
+    operator with source_method=SOURCE_NONE), implicit Manning friction
+    solved per-cell in closed form at each DIRK stage. 2nd-order and
+    stiffly accurate (u^{n+1} = U2). The reference gets the same treatment
+    from PETSc TSARKIMEX (rdysetup.c:1183-1196)."""
+    from .ops.swe.sources import friction_implicit_stage_solve
+
+    g_, d_ = ARS222_GAMMA, ARS222_DELTA
+    r1: RHSResult = rhs_fn(q, t, dt)
+    fe0 = r1.rhs
+    # stage 1: U1 = u^n + dt*g*F_E(u^n) + dt*g*F_I(U1)
+    m1 = q + dt * g_ * fe0
+    U1, fi1 = friction_implicit_stage_solve(m1, mannings_n, dt * g_, tiny_h)
+    # stage 2: U2 = u^n + dt*(d*F_E(u^n) + (1-d)*F_E(U1))
+    #               + dt*((1-g)*F_I(U1) + g*F_I(U2))
+    fe1 = rhs_fn(U1, t + g_ * dt, dt).rhs
+    m2 = q + dt * (d_ * fe0 + (1.0 - d_) * fe1) + dt * (1.0 - g_) * fi1
+    q_new, _ = friction_implicit_stage_solve(m2, mannings_n, dt * g_, tiny_h)
+    return q_new, r1
+
+
+def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16):
+    """One backward-Euler step via matrix-free Newton-Krylov: the residual
+    R(u) = u - u^n - dt*F(u, t+dt) is driven to zero with a fixed number of
+    Newton iterations, each solving (I - dt*J) du = -R by GMRES with EXACT
+    Jacobian-vector products from jax.jvp (no finite differencing). This is
+    the TPU-native analogue of the reference's TSBEULER + SNES + KSP stack
+    (rdysetup.c:1183-1196): XLA fuses the JVP with the RHS, and the whole
+    Newton loop stays on-device inside the interval fori_loop.
+    Unconditionally stable in the linear sense — runs at Courant > 1."""
+    r1: RHSResult = rhs_fn(q, t, dt)
+    t1 = t + dt
+
+    def F(qq):
+        return rhs_fn(qq, t1, dt).rhs
+
+    def res_norm(qq):
+        R = qq - q - dt * F(qq)
+        return R, jnp.sqrt(jnp.sum(R * R))
+
+    def newton_body(i, qk):
+        R, rn = res_norm(qk)
+
+        def Av(v):
+            return v - dt * jax.jvp(F, (qk,), (v,))[1]
+
+        dq, _ = jax.scipy.sparse.linalg.gmres(
+            Av, -R, x0=jnp.zeros_like(R), tol=1e-10, atol=0.0,
+            restart=krylov_m, maxiter=1, solve_method="batched",
+        )
+        # Backtracking globalization: full Newton steps overshoot on
+        # wetting/drying kinks (the reference's SNES line search plays the
+        # same role). Keep the best-residual candidate; NaN norms compare
+        # False everywhere, so a diverged candidate is rejected rather
+        # than poisoning the state.
+        best_q, best_n = qk, rn
+        for alpha in (1.0, 0.5, 0.25):
+            q_c = qk + alpha * dq
+            _, n_c = res_norm(q_c)
+            take = n_c < best_n
+            best_q = jnp.where(take, q_c, best_q)
+            best_n = jnp.where(take, n_c, best_n)
+        return best_q
+
+    q_new = jax.lax.fori_loop(0, newton_iters, newton_body, q)
+    return q_new, r1
+
+
+def _rk_step(scheme: str, rhs_fn, q, t, dt, imex_ctx=None):
+    """One step; rhs_fn(q, t, dt) -> RHSResult. Returns the new q and
     the first-stage RHSResult (used for diagnostics, matching the reference's
-    per-apply accumulation under forward euler)."""
+    per-apply accumulation under forward euler). For ark_imex, rhs_fn must be
+    the friction-free explicit RHS and imex_ctx = (mannings_n, tiny_h)."""
+    if scheme == TEMPORAL_ARK_IMEX:
+        mannings_n, tiny_h = imex_ctx
+        return _ark_imex_step(rhs_fn, q, t, dt, mannings_n, tiny_h)
+    if scheme == TEMPORAL_BEULER:
+        return _beuler_step(rhs_fn, q, t, dt)
     r1: RHSResult = rhs_fn(q, t, dt)
     if scheme == TEMPORAL_EULER:
         q_new = q + dt * r1.rhs
@@ -96,6 +180,18 @@ def make_interval_advancer(
     in-graph so the interval ends exactly at t_end.
     """
 
+    base_op = op
+    if scheme == TEMPORAL_ARK_IMEX:
+        from .ops.swe.sources import SOURCE_NONE
+
+        if op.ndof != 3:
+            raise ValueError(
+                "ark_imex supports pure SWE only (no tracers): the friction "
+                "stage solve acts on the flow momentum"
+            )
+        # explicit part excludes friction entirely; the DIRK stages own it
+        base_op = dataclasses.replace(op, source_method=SOURCE_NONE)
+
     def advance(
         arrays: OperatorArrays,
         q: jnp.ndarray,
@@ -106,7 +202,7 @@ def make_interval_advancer(
         bnd_values: jnp.ndarray,
         ext_src: jnp.ndarray,
     ) -> IntervalResult:
-        bound_op = with_arrays(op, arrays)
+        bound_op = with_arrays(base_op, arrays)
         dtype = q.dtype
 
         ndof = q.shape[0]
@@ -127,7 +223,12 @@ def make_interval_advancer(
             def rhs_fn(q_s, t_s, dt_s):
                 return bound_op.apply(q_s, dt_s, bv, es)
 
-            q_new, r1 = _rk_step(scheme, rhs_fn, qq, tt, dt_i)
+            imex_ctx = (
+                (arrays.mannings_n, bound_op.tiny_h)
+                if scheme == TEMPORAL_ARK_IMEX
+                else None
+            )
+            q_new, r1 = _rk_step(scheme, rhs_fn, qq, tt, dt_i, imex_ctx)
             # step-level Courant (uses the actual step dt)
             step_courant = r1.max_courant_per_dt * dt_i
             bigger = step_courant > cmax

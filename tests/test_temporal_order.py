@@ -49,3 +49,85 @@ def test_temporal_order(scheme, expected):
     rates = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
     # allow the usual pre-asymptotic slack; rk4 may touch f64 roundoff
     assert min(rates) > expected - 0.4, (scheme, errs, rates)
+
+
+def test_temporal_order_ark_imex():
+    """ARS(2,2,2) ARK-IMEX must be 2nd order WITH friction active: the
+    Manning term is solved implicitly per stage (closed form), so unlike
+    the semi-implicit treatment it does not cap the formal order
+    (VERDICT r1 #4; reference: TSARKIMEX, rdysetup.c:1183-1196)."""
+    mesh = structured_quad(24, 20, 0.0, 6.0, 0.0, 5.0)
+    x = mesh.cell_centroid[:, 0]
+    y = mesh.cell_centroid[:, 1]
+    h0 = 2.0 + 0.1 * np.sin(np.pi * x / 3.0) * np.cos(np.pi * y / 5.0)
+    q0 = jnp.zeros((3, mesh.num_cells)).at[0].set(h0).at[1].set(0.3 * h0)
+    op = build_operator(mesh, mannings_n=np.full(mesh.num_cells, 0.05))
+
+    t_end = 0.08
+    ref = _run(op, q0, "ark_imex", t_end / 512, t_end)
+    errs = []
+    for dt in [t_end / 8, t_end / 16, t_end / 32]:
+        errs.append(np.abs(_run(op, q0, "ark_imex", dt, t_end) - ref).max())
+    rates = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+    assert min(rates) > 1.6, (errs, rates)
+
+
+def test_temporal_order_beuler():
+    """Backward Euler (matrix-free Newton-GMRES) is 1st order."""
+    mesh = structured_quad(16, 12, 0.0, 4.0, 0.0, 3.0)
+    x = mesh.cell_centroid[:, 0]
+    h0 = 2.0 + 0.1 * np.sin(np.pi * x / 2.0)
+    q0 = jnp.zeros((3, mesh.num_cells)).at[0].set(h0)
+    op = build_operator(mesh, mannings_n=np.full(mesh.num_cells, 0.03))
+
+    t_end = 0.06
+    ref = _run(op, q0, "beuler", t_end / 128, t_end)
+    errs = []
+    for dt in [t_end / 8, t_end / 16, t_end / 32]:
+        errs.append(np.abs(_run(op, q0, "beuler", dt, t_end) - ref).max())
+    rates = [np.log2(errs[i] / errs[i + 1]) for i in range(len(errs) - 1)]
+    assert min(rates) > 0.7, (errs, rates)
+
+
+@pytest.mark.slow
+def test_beuler_stable_above_courant_one():
+    """beuler runs the parabolic bowl at Courant > 1 where euler blows up
+    (VERDICT r1 #4 done-criterion). Wave speed ~ sqrt(g*h0)."""
+    from rdycore_tpu.constants import GRAVITY
+
+    H0, A_R, ETA0 = 0.1, 1.0, 0.02
+
+    def bowl(x, y):
+        return -H0 * (1.0 - (x * x + y * y) / (A_R * A_R))
+
+    n, L = 40, 2.2
+    mesh = structured_quad(n, n, -L, L, -L, L, z_fn=bowl)
+    cx = mesh.cell_centroid[:, 0]
+    cy = mesh.cell_centroid[:, 1]
+    r2 = cx * cx + cy * cy
+    z = mesh.cell_z
+    w = np.sqrt(8.0 * GRAVITY * H0) / A_R
+    A = ((H0 + ETA0) ** 2 - H0**2) / ((H0 + ETA0) ** 2 + H0**2)
+    s = np.sqrt(1.0 - A * A)
+    eta0 = H0 * (s / (1.0 - A) - 1.0 - (r2 / (A_R * A_R)) * ((1.0 - A * A) / (1.0 - A) ** 2 - 1.0))
+    h0 = np.maximum(eta0 - z, 0.0)
+    q0 = jnp.zeros((3, mesh.num_cells)).at[0].set(h0)
+    op = build_operator(mesh, mannings_n=np.full(mesh.num_cells, 0.02))
+
+    dx = 2 * L / n
+    c = np.sqrt(GRAVITY * (H0 + ETA0))
+    dt = 2.5 * dx / c  # Courant ~ 2.5
+    t_end = 2.0 * (2.0 * np.pi / w)  # two full periods (18 steps)
+    n_steps = int(np.ceil(t_end / dt))
+
+    q_be = _run(op, q0, "beuler", dt, t_end)
+    assert np.isfinite(q_be).all()
+    assert q_be[0].min() > -1e-6  # depths stay essentially non-negative
+    assert q_be[0].max() < 10 * (H0 + ETA0)  # bounded (no blow-up)
+
+    adv = make_interval_advancer(op, "euler")
+    res = adv(op.arrays, q0, 0.0, dt, n_steps, t_end,
+              op.zero_boundary_values(), jnp.zeros_like(q0))
+    q_eu = np.asarray(res.q)
+    eu_blown = (~np.isfinite(q_eu).all()) or q_eu[0].max() > 10 * (H0 + ETA0)
+    assert eu_blown  # the same dt is unstable explicitly
