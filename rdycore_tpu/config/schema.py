@@ -392,10 +392,17 @@ class MMS:
 @dataclass
 class Parallel:
     """Multi-device execution over a jax.sharding.Mesh axis (the MPI
-    domain-decomposition replacement). n_devices = 0 -> single device."""
+    domain-decomposition replacement). n_devices = 0 -> single device.
+
+    partitioning: "auto" applies a graph-aware (RCM-banded) cell ordering
+    before the equal-contiguous-block shard split, the analogue of the
+    reference's ParMETIS DMPlexDistribute (rdydm.c:116-121): irregular
+    meshes get O(bandwidth) frontiers and every ghost stays on shard p+-1
+    (neighbor-only ppermute halo). "none" shards the file order as-is."""
 
     n_devices: int = 0
     axis_name: str = "mesh"
+    partitioning: str = "auto"  # auto | none
 
 
 # ------------------------------- root
@@ -456,6 +463,10 @@ class Config:
         _check(
             n.cell_ordering in ("file", "rcm"),
             "numerics.cell_ordering must be file|rcm",
+        )
+        _check(
+            self.parallel.partitioning in ("auto", "none"),
+            "parallel.partitioning must be auto|none",
         )
         _check(t.unit in TIME_UNITS, f"time.unit must be one of {TIME_UNITS}")
         _check(

@@ -74,14 +74,38 @@ class Simulation:
             mesh_path = config.resolve_path(config.grid.file)
             self.log.detail(f"Loading mesh from {mesh_path}")
             mesh = load_mesh_file(mesh_path)
+        cell_elev = None
         if config.grid.cell_elevation.file:
-            z = read_petsc_vec(config.resolve_path(config.grid.cell_elevation.file))
-            mesh.set_cell_elevations(z)
+            cell_elev = read_petsc_vec(
+                config.resolve_path(config.grid.cell_elevation.file)
+            )
         if config.numerics.cell_ordering == "rcm":
             from .mesh.core import rcm_reorder
 
             mesh = rcm_reorder(mesh)
             self.log.detail("applied RCM cell ordering")
+        elif (
+            config.parallel.n_devices > 1
+            and config.parallel.partitioning == "auto"
+            and config.numerics.edge_flux_backend in ("xla", "pallas")
+        ):
+            # Graph-aware partition ordering (the ParMETIS/DMPlexDistribute
+            # analogue, rdydm.c:116-121): the shard split is equal contiguous
+            # blocks of the cell order, so banding the order with RCM gives
+            # irregular meshes O(bandwidth) frontiers and keeps every ghost
+            # on shard p+-1, preserving the neighbor-only ppermute halo.
+            # Couplers see the reordered cells; map via get_natural_ids.
+            from .mesh.core import rcm_reorder
+
+            mesh = rcm_reorder(mesh)
+            self.log.detail(
+                "applied RCM partition ordering (parallel.partitioning: auto)"
+            )
+        if cell_elev is not None:
+            # the file is in natural cell order; any reordering above must
+            # scatter it (the reference's natural->global VecScatter,
+            # rdysetup.c:826-831)
+            mesh.set_cell_elevations(cell_elev[mesh.natural_ids])
         self.mesh = mesh
 
         # ---- regions / boundaries (InitRegions / InitBoundaries) ----
@@ -158,7 +182,9 @@ class Simulation:
             if prop.file:
                 vals = read_petsc_vec(config.resolve_path(prop.file))
                 if len(vals) == mesh.num_cells:
-                    mannings[cells] = vals[cells]
+                    # file is in natural order (reference scatters it,
+                    # rdysetup.c:560-576)
+                    mannings[cells] = vals[mesh.natural_ids[cells]]
                 else:
                     mannings[cells] = vals[: len(cells)]
             elif prop.value is not None:
@@ -375,8 +401,10 @@ class Simulation:
             if fc.file:
                 vals = read_petsc_vec(self.config.resolve_path(fc.file))
                 if len(vals) == N_FLOW_DOF * self.mesh.num_cells:
+                    # blocked Vec in natural order (rdysetup.c:804-835)
                     blocked = vals.reshape(self.mesh.num_cells, N_FLOW_DOF)
-                    q[:N_FLOW_DOF, cells] = blocked[cells].T
+                    nat = self.mesh.natural_ids
+                    q[:N_FLOW_DOF, cells] = blocked[nat[cells]].T
                 else:
                     raise ConfigError(
                         f"IC file for '{fc.name}' has {len(vals)} values; "
@@ -411,7 +439,9 @@ class Simulation:
                 elif cond.file:
                     vals = read_petsc_vec(self.config.resolve_path(cond.file))
                     q[row + k, cells] = (
-                        vals[cells] if len(vals) >= self.mesh.num_cells else vals[: len(cells)]
+                        vals[self.mesh.natural_ids[cells]]
+                        if len(vals) >= self.mesh.num_cells
+                        else vals[: len(cells)]
                     )
                 elif cond.value is not None:
                     q[row + k, cells] = self._eval_cells(cond.value, cells)
@@ -420,7 +450,11 @@ class Simulation:
             cond = self.salinity_conditions[ic.salinity]
             if cond.file:
                 vals = read_petsc_vec(self.config.resolve_path(cond.file))
-                q[row, cells] = vals[cells] if len(vals) >= self.mesh.num_cells else vals[: len(cells)]
+                q[row, cells] = (
+                    vals[self.mesh.natural_ids[cells]]
+                    if len(vals) >= self.mesh.num_cells
+                    else vals[: len(cells)]
+                )
             elif cond.concentration is not None:
                 q[row, cells] = self._eval_cells(cond.concentration, cells)
             row += 1
@@ -428,7 +462,11 @@ class Simulation:
             cond = self.temperature_conditions[ic.temperature]
             if cond.file:
                 vals = read_petsc_vec(self.config.resolve_path(cond.file))
-                q[row, cells] = vals[cells] if len(vals) >= self.mesh.num_cells else vals[: len(cells)]
+                q[row, cells] = (
+                    vals[self.mesh.natural_ids[cells]]
+                    if len(vals) >= self.mesh.num_cells
+                    else vals[: len(cells)]
+                )
             elif cond.temperature is not None:
                 q[row, cells] = self._eval_cells(cond.temperature, cells)
 
@@ -461,7 +499,7 @@ class Simulation:
             if fc.file:
                 vals = read_petsc_vec(self.config.resolve_path(fc.file))
                 if len(vals) == self.mesh.num_cells:
-                    src[0, cells] = vals[cells]
+                    src[0, cells] = vals[self.mesh.natural_ids[cells]]
                 else:
                     src[0, cells] = vals[: len(cells)]
             else:

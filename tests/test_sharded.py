@@ -152,10 +152,37 @@ def test_simulation_parallel_config(tmp_path):
     assert par._sharded is not None
     par.run()
 
-    np.testing.assert_allclose(
-        par.get_solution(), solo.get_solution(), rtol=0, atol=1e-12
-    )
+    # parallel.partitioning: auto reorders cells (RCM) for the shard split,
+    # so compare in NATURAL order (the coupler contract; ADVICE r1)
+    qs = np.zeros_like(solo.get_solution())
+    qs[:, solo.get_natural_ids()] = solo.get_solution()
+    qp = np.zeros_like(par.get_solution())
+    qp[:, par.get_natural_ids()] = par.get_solution()
+    np.testing.assert_allclose(qp, qs, rtol=0, atol=1e-12)
     assert par.step == solo.step
+
+
+def test_auto_partition_ordering_quality():
+    """parallel.partitioning: auto (RCM banding before the contiguous-block
+    split) keeps irregular-mesh frontiers raster-sized and the halo on the
+    neighbor-only ppermute path (VERDICT r1 #9; the reference's ParMETIS
+    DMPlexDistribute analogue, rdydm.c:116-121)."""
+    from rdycore_tpu.mesh.core import rcm_reorder
+    from rdycore_tpu.mesh.exodus import read_exodus
+
+    mesh = read_exodus("/root/reference/share/meshes/Houston1km_with_z.exo")
+    sh_file = ShardedSWE(mesh, 8, dtype=jnp.float64)
+    sh_rcm = ShardedSWE(rcm_reorder(mesh), 8, dtype=jnp.float64)
+    n = int(np.sqrt(mesh.num_cells))
+    rast = structured_quad(n, n, 0, n, 0, n)
+    sh_rast = ShardedSWE(rast, 8, dtype=jnp.float64)
+
+    g_rcm = int(np.asarray(sh_rcm.halo.num_ghosts).max())
+    g_rast = int(np.asarray(sh_rast.halo.num_ghosts).max())
+    assert sh_rcm.neighbor_only
+    assert g_rcm <= 2 * g_rast, (g_rcm, g_rast)
+    # and the file order is genuinely worse on this mesh (guards the test)
+    assert int(np.asarray(sh_file.halo.num_ghosts).max()) > 2 * g_rcm
 
 
 def test_2d_block_partition_matches():
@@ -218,9 +245,12 @@ def test_sharded_sediment_matches_single_device(tmp_path):
     cfg.parallel.n_devices = 4
     par = Simulation(cfg)
     par.run()
-    np.testing.assert_allclose(
-        par.get_solution(), solo.get_solution(), rtol=0, atol=1e-12
-    )
+    # compare in natural order (partitioning: auto reorders cells)
+    qs = np.zeros_like(solo.get_solution())
+    qs[:, solo.get_natural_ids()] = solo.get_solution()
+    qp = np.zeros_like(par.get_solution())
+    qp[:, par.get_natural_ids()] = par.get_solution()
+    np.testing.assert_allclose(qp, qs, rtol=0, atol=1e-12)
 
 
 def test_sharded_bs2002_matches_single_device():
