@@ -180,6 +180,12 @@ class SWEOperator:
     # windowed TPU kernel); the twin-backend pattern mirrors the reference's
     # PETSc/CEED split and is load-bearing for testing
     edge_flux_backend: str = "xla"
+    # halo-exchange/compute overlap (sharded, XLA first-order only): the
+    # first `frontier_split` interior edges touch only owned cells and are
+    # gathered from the UN-exchanged state (q_pure), so XLA can overlap the
+    # ppermute with their flux compute; edges >= frontier_split touch ghost
+    # cells and read the exchanged state. 0 = disabled.
+    frontier_split: int = 0
     # host-side (numpy) copies of the arrays the Pallas plan builder needs;
     # reading device arrays back through the axon relay can take minutes,
     # so to_pallas_backend must never do a device->host round trip
@@ -209,16 +215,41 @@ class SWEOperator:
         dt,
         boundary_values: jnp.ndarray,  # [ndof, Eb] Dirichlet values per boundary edge
         ext_src: jnp.ndarray,  # [ndof, C] external sources
+        q_pure: jnp.ndarray = None,  # pre-halo-exchange state (overlap mode)
     ) -> RHSResult:
-        """Evaluate dq/dt. Pure function of its inputs; jit/scan friendly."""
+        """Evaluate dq/dt. Pure function of its inputs; jit/scan friendly.
+
+        q_pure (sharded overlap mode, frontier_split > 0): the same state
+        BEFORE the halo exchange wrote the ghost slots. Owned-cell entries
+        are identical in q and q_pure, so every read that only touches owned
+        cells (pure-edge gathers, boundary edges, sources) goes through
+        q_pure — giving those computations no data dependence on the
+        collective, which lets XLA's latency-hiding scheduler run the
+        ppermute DMA concurrently with the interior flux work (SURVEY §7
+        "halo-exchange overlap"; the reference overlaps nothing,
+        operator.c:501-647)."""
         if self.num_tracers > 0:
-            return self._apply_tracer(q, dt, boundary_values, ext_src)
+            return self._apply_tracer(q, dt, boundary_values, ext_src, q_pure)
         a = self.arrays
         dtype = q.dtype
         tiny_h = jnp.asarray(self.tiny_h, dtype)
         h_anuga = jnp.asarray(self.h_anuga, dtype)
 
-        h, hu, hv = q[0], q[1], q[2]
+        # HR/BS2002 read neighbor/vertex-adjacent cells (ghosts) at the
+        # CELL level, so the overlap split only applies to the plain
+        # first-order path (the sharded builder only enables it there)
+        split = (
+            self.frontier_split
+            if (
+                q_pure is not None
+                and not self.well_balancing_hr
+                and not self.well_balancing_bs2002
+                and not self.second_order
+            )
+            else 0
+        )
+        qc = q_pure if split else q
+        h, hu, hv = qc[0], qc[1], qc[2]
 
         use_pallas = (
             self.edge_flux_backend == "pallas"
@@ -269,6 +300,23 @@ class SWEOperator:
             from .ops.swe.muscl import reconstruct_interior_states
 
             (hl, hul, hvl), (hr, hur, hvr) = reconstruct_interior_states(self, q)
+        elif split:
+            # pure edges (< split) read the pre-exchange state; frontier
+            # edges read the exchanged one. Owned-cell values are identical,
+            # so results are bitwise-equal to the unsplit gather.
+            hx, hux, hvx = q[0], q[1], q[2]
+
+            def g2(row_pure, row_x, idx):
+                return jnp.concatenate(
+                    [row_pure[idx[:split]], row_x[idx[split:]]]
+                )
+
+            hl = g2(h, hx, a.int_left)
+            hul = g2(hu, hux, a.int_left)
+            hvl = g2(hv, hvx, a.int_left)
+            hr = g2(h, hx, a.int_right)
+            hur = g2(hu, hux, a.int_right)
+            hvr = g2(hv, hvx, a.int_right)
         else:
             hl = h[a.int_left]
             hul = hu[a.int_left]
@@ -322,8 +370,10 @@ class SWEOperator:
         fi_hv = fi_hv * mask_i
         amax_i = amax_i * mask_i
 
+        # boundary edges + sources only read owned cells: hand them the
+        # pre-exchange state in overlap mode (identical values on owned)
         return self._finish_apply(
-            q, dt, boundary_values, ext_src, fi_h, fi_hu, fi_hv, amax_i,
+            qc, dt, boundary_values, ext_src, fi_h, fi_hu, fi_hv, amax_i,
             eta_v=eta_v,
         )
 
@@ -494,7 +544,9 @@ class SWEOperator:
             courant_edge=courant_edge,
         )
 
-    def _apply_tracer(self, q, dt, boundary_values, ext_src) -> RHSResult:
+    def _apply_tracer(
+        self, q, dt, boundary_values, ext_src, q_pure=None
+    ) -> RHSResult:
         """Coupled flow + tracer RHS (the reference's tracer operators,
         src/tracer/tracer_fluxes_ceed.h + tracer_sources_ceed.h)."""
         from .ops.tracer.flux import safe_div, tracer_roe_flux
@@ -508,8 +560,14 @@ class SWEOperator:
         ndof = 3 + nt
         upwind = self.riemann == "upwind_roe"
 
-        h, hu, hv = q[0], q[1], q[2]
-        hci = q[3:]
+        split = (
+            self.frontier_split
+            if (q_pure is not None and not self.well_balancing_hr)
+            else 0
+        )
+        qc = q_pure if split else q
+        h, hu, hv = qc[0], qc[1], qc[2]
+        hci = qc[3:]
 
         use_pallas = (
             self.edge_flux_backend == "pallas"
@@ -534,11 +592,34 @@ class SWEOperator:
 
         # ---- interior edges ------------------------------------------------
         il, ir = a.int_left, a.int_right
-        hl, hr = h[il], h[ir]
-        ul, vl = regularized_velocity(hl, hu[il], hv[il], tiny_h, h_anuga)
-        ur, vr = regularized_velocity(hr, hu[ir], hv[ir], tiny_h, h_anuga)
-        cil = safe_div(hci[:, il], hl, hl, tiny_h)
-        cir = safe_div(hci[:, ir], hr, hr, tiny_h)
+        if split:
+            hx = q
+
+            def g2(row_pure, row_x, idx):
+                return jnp.concatenate(
+                    [row_pure[idx[:split]], row_x[idx[split:]]]
+                )
+
+            hl = g2(h, hx[0], il)
+            hr = g2(h, hx[0], ir)
+            hul, hvl = g2(hu, hx[1], il), g2(hv, hx[2], il)
+            hur, hvr = g2(hu, hx[1], ir), g2(hv, hx[2], ir)
+            ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
+            ur, vr = regularized_velocity(hr, hur, hvr, tiny_h, h_anuga)
+            hcil = jnp.concatenate(
+                [hci[:, il[:split]], hx[3:, il[split:]]], axis=1
+            )
+            hcir = jnp.concatenate(
+                [hci[:, ir[:split]], hx[3:, ir[split:]]], axis=1
+            )
+            cil = safe_div(hcil, hl, hl, tiny_h)
+            cir = safe_div(hcir, hr, hr, tiny_h)
+        else:
+            hl, hr = h[il], h[ir]
+            ul, vl = regularized_velocity(hl, hu[il], hv[il], tiny_h, h_anuga)
+            ur, vr = regularized_velocity(hr, hu[ir], hv[ir], tiny_h, h_anuga)
+            cil = safe_div(hci[:, il], hl, hl, tiny_h)
+            cir = safe_div(hci[:, ir], hr, hr, tiny_h)
 
         if self.well_balancing_hr:
             # hydrostatic reconstruction for the coupled system
@@ -564,7 +645,7 @@ class SWEOperator:
         fi = jnp.concatenate([f_flow, f_tr], axis=0) * mask_i
         amax_i = amax_i * mask_i
         return self._finish_tracer(
-            q, dt, boundary_values, ext_src, fi, amax_i, None
+            qc, dt, boundary_values, ext_src, fi, amax_i, None
         )
 
     def _finish_tracer(

@@ -262,7 +262,46 @@ class ShardedSWE:
                     )
 
         G_max = max((len(g) for g in shard_ghosts), default=0)
+
+        # ---- overlap split (VERDICT r1 #3 / SURVEY §7): order each shard's
+        # interior edges pure-first (both cells owned -> no ghost reads) so
+        # the operator can gather their states from the PRE-exchange array
+        # and XLA overlaps the ppermute with their flux compute. Layout is
+        # [pure | pad to P_split | frontier | pad], giving one uniform
+        # static split point across the stacked shards. Plain first-order
+        # only: MUSCL/BS2002/HR/pallas read ghosts at the cell level or
+        # reorder edges.
+        self.frontier_split = 0
+        split_layout = not (
+            second_order or bs2002 or ref_op.well_balancing_hr
+            or self._want_pallas
+        )
+        if split_layout and Pn > 1:
+            npure: List[int] = []
+            for p in range(Pn):
+                eids = shard_int_edges[p]
+                pure = (int_lo[eids] == p) & (int_ro[eids] == p)
+                shard_int_edges[p] = np.concatenate(
+                    [eids[pure], eids[~pure]]
+                )
+                npure.append(int(pure.sum()))
+            P_split = max(npure) if npure else 0
+            F_max = max(
+                len(shard_int_edges[p]) - npure[p] for p in range(Pn)
+            )
+            if P_split > 0:
+                self.frontier_split = P_split
+                self._shard_npure = npure
+                Ei_slots = P_split + F_max
+            else:
+                split_layout = False
+        if not self.frontier_split:
+            split_layout = False
+
         Ei_max = max((len(e) for e in shard_int_edges), default=0)
+        Ei_slots = (
+            self.frontier_split + F_max if split_layout else max(Ei_max, 1)
+        )
         C_loc = B + G_max + 1  # + dummy cell
         self.C_loc = C_loc
         self.G_max = G_max
@@ -323,16 +362,16 @@ class ShardedSWE:
         dz_dy = np.zeros((Pn, C_loc))
         cell_z = np.zeros((Pn, C_loc))
         mann = np.zeros((Pn, C_loc))
-        il = np.full((Pn, max(Ei_max, 1)), DUMMY_CELL, np.int64)
-        ir = np.full((Pn, max(Ei_max, 1)), DUMMY_CELL, np.int64)
-        int_gidx = np.full((Pn, max(Ei_max, 1)), -1, np.int64)
-        icn = np.zeros((Pn, max(Ei_max, 1)))
-        isn = np.zeros((Pn, max(Ei_max, 1)))
+        il = np.full((Pn, Ei_slots), DUMMY_CELL, np.int64)
+        ir = np.full((Pn, Ei_slots), DUMMY_CELL, np.int64)
+        int_gidx = np.full((Pn, Ei_slots), -1, np.int64)
+        icn = np.zeros((Pn, Ei_slots))
+        isn = np.zeros((Pn, Ei_slots))
         bl = np.full((Pn, Eb_loc), DUMMY_CELL, np.int64)
         bcn = np.zeros((Pn, Eb_loc))
         bsn = np.zeros((Pn, Eb_loc))
         blen = np.zeros((Pn, Eb_loc))
-        E_loc = max(Ei_max, 1) + Eb_loc
+        E_loc = Ei_slots + Eb_loc
         ce = np.full((Pn, C_loc, mesh.cell_edges.shape[1]), E_loc, np.int64)
         cec = np.zeros((Pn, C_loc, mesh.cell_edges.shape[1]))
         ccoef = np.zeros((Pn, E_loc))
@@ -354,10 +393,10 @@ class ShardedSWE:
             bz1 = np.zeros((Pn, C_loc))
             bz2 = np.zeros((Pn, C_loc))
             bz3 = np.zeros((Pn, C_loc))
-            ivb = np.zeros((Pn, max(Ei_max, 1)), np.int64)
-            ive = np.zeros((Pn, max(Ei_max, 1)), np.int64)
-            izvb = np.zeros((Pn, max(Ei_max, 1)))
-            izve = np.zeros((Pn, max(Ei_max, 1)))
+            ivb = np.zeros((Pn, Ei_slots), np.int64)
+            ive = np.zeros((Pn, Ei_slots), np.int64)
+            izvb = np.zeros((Pn, Ei_slots))
+            izve = np.zeros((Pn, Ei_slots))
             bvb = np.zeros((Pn, Eb_loc), np.int64)
             bve = np.zeros((Pn, Eb_loc), np.int64)
             bzvb = np.zeros((Pn, Eb_loc))
@@ -390,10 +429,10 @@ class ShardedSWE:
             K = ref_ce.shape[1]
             cls_cx = np.zeros((Pn, C_loc, K))
             cls_cy = np.zeros((Pn, C_loc, K))
-            idxl = np.zeros((Pn, max(Ei_max, 1)))
-            idyl = np.zeros((Pn, max(Ei_max, 1)))
-            idxr = np.zeros((Pn, max(Ei_max, 1)))
-            idyr = np.zeros((Pn, max(Ei_max, 1)))
+            idxl = np.zeros((Pn, Ei_slots))
+            idyl = np.zeros((Pn, Ei_slots))
+            idxr = np.zeros((Pn, Ei_slots))
+            idyr = np.zeros((Pn, Ei_slots))
 
         for p in range(Pn):
             lo = p * B
@@ -428,23 +467,35 @@ class ShardedSWE:
                     bz2[p, B : B + len(gs)] = g_z2[gs]
                     bz3[p, B : B + len(gs)] = g_z3[gs]
 
-            # interior edges
+            # interior edges; with the overlap split active, edge j of
+            # the pure block lands at slot j and frontier edges start at
+            # the uniform static offset frontier_split
             eids = shard_int_edges[p]
-            # map global edge id -> local edge id
+            np_p = self._shard_npure[p] if split_layout else len(eids)
+
+            def slot_of(j):
+                return (
+                    j if j < np_p else self.frontier_split + (j - np_p)
+                ) if split_layout else j
+
+            # map global edge id -> local edge slot
             emap: Dict[int, int] = {}
+            filled = np.zeros(Ei_slots, bool)
             for j, e in enumerate(eids):
-                emap[int(e)] = j
-                int_gidx[p, j] = int(e)
-                il[p, j] = lmap[int(int_left[e])]
-                ir[p, j] = lmap[int(int_right[e])]
-                icn[p, j] = ref_icn[e]
-                isn[p, j] = ref_isn[e]
+                sj = slot_of(j)
+                filled[sj] = True
+                emap[int(e)] = sj
+                int_gidx[p, sj] = int(e)
+                il[p, sj] = lmap[int(int_left[e])]
+                ir[p, sj] = lmap[int(int_right[e])]
+                icn[p, sj] = ref_icn[e]
+                isn[p, sj] = ref_isn[e]
                 # Courant contributions only from edges touching an owned
                 # cell (ghost-ghost edges in the 2-deep halo may see
                 # degraded reconstructions; their true values come from the
                 # owning shard)
                 if owner(int_left[e]) == p or owner(int_right[e]) == p:
-                    ccoef[p, j] = ref_ccoef[e]
+                    ccoef[p, sj] = ref_ccoef[e]
 
             # padding edges are numerically inert (cn=sn=ccoef=0) but must
             # not all collide on one lane: the slot packer (ops/pallas/
@@ -452,11 +503,13 @@ class ShardedSWE:
             # identical (DUMMY, DUMMY) edges would close a fresh tile every
             # 8 pads and blow up the cell-plan windows. Cycle them through
             # the last <=128 cell ids (distinct lanes, adjacent rows).
-            npad = max(Ei_max, 1) - len(eids)
-            if npad:
-                pad_ids = C_loc - 1 - (np.arange(npad) % min(128, C_loc))
-                il[p, len(eids):] = pad_ids
-                ir[p, len(eids):] = pad_ids
+            pad_slots = np.nonzero(~filled)[0]
+            if len(pad_slots):
+                pad_ids = C_loc - 1 - (
+                    np.arange(len(pad_slots)) % min(128, C_loc)
+                )
+                il[p, pad_slots] = pad_ids
+                ir[p, pad_slots] = pad_ids
 
             # boundary edges per segment
             for s_i, seg in enumerate(ref_op.segments):
@@ -470,8 +523,8 @@ class ShardedSWE:
                     blen[p, out_j] = ref_blen[be]
                     bnd_global_idx[p, out_j] = be
                     bnd_mask[p, out_j] = 1.0
-                    emap[Ei + int(be)] = max(Ei_max, 1) + out_j
-                    ccoef[p, max(Ei_max, 1) + out_j] = ref_ccoef[Ei + be]
+                    emap[Ei + int(be)] = Ei_slots + out_j
+                    ccoef[p, Ei_slots + out_j] = ref_ccoef[Ei + be]
 
             if bs2002:
                 # local vertex universe: endpoints of local interior +
@@ -563,7 +616,7 @@ class ShardedSWE:
                     ghost_src_nbr[p, i] = S_max + idx_in_owner
 
         self.S_max = S_max
-        self.Ei_loc = max(Ei_max, 1)
+        self.Ei_loc = Ei_slots
         self.Eb_loc = Eb_loc
         self.segments = tuple(new_segments)
 
@@ -602,7 +655,7 @@ class ShardedSWE:
                     )
                 return build_plan_arrays(
                     il[p], ir[p], icn[p], isn[p], ccoef[p], ce[p], cec[p],
-                    C_loc, max(Ei_max, 1),
+                    C_loc, Ei_slots,
                     max_sup=self._pallas_max_sup,
                     max_sup_cd=self._pallas_max_sup_cd,
                     muscl=muscl_p,
@@ -809,6 +862,7 @@ class ShardedSWE:
             num_cells=self.C_loc,
             num_internal_edges=self.Ei_loc,
             num_boundary_edges=self.Eb_loc,
+            frontier_split=self.frontier_split,
             **pallas_op,
         )
 
@@ -927,6 +981,13 @@ class ShardedSWE:
                 # does DMGlobalToLocal per RHS eval, rdysetup.c:1133-1134)
                 def full_rhs(q_s, t_s, dt_s):
                     q_x = exchange(q_s)
+                    # overlap mode: pure-edge/boundary/source reads come
+                    # from q_s (no dependence on the ppermute), so XLA
+                    # overlaps the collective with interior flux compute
+                    if bound_op.frontier_split:
+                        return bound_op.apply(
+                            q_x, dt_s, bv_local, ext_src, q_pure=q_s
+                        )
                     return bound_op.apply(q_x, dt_s, bv_local, ext_src)
 
                 imex_ctx = (

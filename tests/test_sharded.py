@@ -516,3 +516,26 @@ def test_sharded_advance_keeps_state_device_resident(tmp_path):
     assert q.shape == ref.shape
     assert np.isfinite(q).all()
     assert not np.allclose(q, ref)  # it actually advanced
+
+
+def test_overlap_split_active_and_exact():
+    """The halo-overlap edge split (frontier_split) is enabled for plain
+    first-order sharding and keeps results bitwise vs single device; pure
+    edges must genuinely avoid ghost reads (all cell ids < B)."""
+    mesh = structured_quad(16, 12, 0, 16, 0, 12)
+    mannings = np.full(mesh.num_cells, 0.02)
+    sh = ShardedSWE(mesh, 4, mannings_n=mannings, dtype=jnp.float64)
+    k = sh.frontier_split
+    assert k > 0
+    il = np.asarray(sh.arrays.int_left)
+    ir = np.asarray(sh.arrays.int_right)
+    gidx = np.asarray(sh.halo.int_gidx)
+    # every real pure-block edge reads only owned cells
+    real = gidx[:, :k] >= 0
+    assert (il[:, :k][real] < sh.B).all()
+    assert (ir[:, :k][real] < sh.B).all()
+    # ...and MUSCL/pallas/BS2002 configurations disable the split
+    sh2 = ShardedSWE(
+        mesh, 4, mannings_n=mannings, dtype=jnp.float64, second_order=True
+    )
+    assert sh2.frontier_split == 0
