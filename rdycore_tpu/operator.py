@@ -94,12 +94,10 @@ class OperatorArrays(NamedTuple):
     pl_ws: jnp.ndarray = None  # [ntiles] i32 q-window starts (8-row units)
     pl_supL: jnp.ndarray = None  # [ntiles*8, 128] i32
     pl_supR: jnp.ndarray = None  # [ntiles*16, 128] i32
-    pl_m: jnp.ndarray = None  # align R->L lane shuffle
-    pl_g: jnp.ndarray = None  # align R->L row pick
-    pl_gi: jnp.ndarray = None  # route L->R row pick
-    pl_mi: jnp.ndarray = None  # route L->R lane shuffle
-    pl_validL: jnp.ndarray = None
-    pl_validR: jnp.ndarray = None
+    pl_m: jnp.ndarray = None  # align R->L lane shuffle (i8)
+    pl_g: jnp.ndarray = None  # align R->L row pick (i8)
+    pl_gi: jnp.ndarray = None  # route L->R row pick (i8)
+    pl_mi: jnp.ndarray = None  # route L->R lane shuffle (i8)
     pl_cn: jnp.ndarray = None  # slotted edge geometry [ntiles*8, 128]
     pl_sn: jnp.ndarray = None
     pl_courant_coef: jnp.ndarray = None
@@ -278,20 +276,20 @@ class SWEOperator:
             if self.second_order:
                 from .ops.pallas.slotted import edge_flux_muscl_slotted
 
-                fluxL, fluxR = edge_flux_muscl_slotted(
+                fluxL, fluxR, amax = edge_flux_muscl_slotted(
                     self, q, interpret=self.pallas_interpret, bs=bs_args
                 )
             else:
                 from .ops.pallas.slotted import edge_flux_slotted
 
-                fluxL, fluxR = edge_flux_slotted(
+                fluxL, fluxR, amax = edge_flux_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                     interpret=self.pallas_interpret,
                     hr=self.well_balancing_hr, bs=bs_args,
                 )
             return self._finish_apply(
                 q, dt, boundary_values, ext_src,
-                None, None, None, None, slotted_flux=(fluxL, fluxR),
+                None, None, None, None, slotted_flux=(fluxL, fluxR, amax),
                 eta_v=eta_v,
             )
 
@@ -490,7 +488,7 @@ class SWEOperator:
         # ---- Courant diagnostics ---------------------------------------
         if slotted_flux is not None:
             Ei = self.num_internal_edges
-            ci = (slotted_flux[0][:, 3, :] * a.pl_courant_coef).reshape(-1)
+            ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
             mi = ci.max()
             ei = a.pl_slot_edge[jnp.argmax(ci)]
             if self.num_boundary_edges:
@@ -750,7 +748,7 @@ class SWEOperator:
         # ---- Courant diagnostics -------------------------------------------
         if slotted_flux is not None:
             Ei = self.num_internal_edges
-            ci = (slotted_flux[0][:, ndof, :] * a.pl_courant_coef).reshape(-1)
+            ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
             mi = ci.max()
             ei = a.pl_slot_edge[jnp.argmax(ci)]
             if self.num_boundary_edges:

@@ -62,14 +62,12 @@ class SlottedPlan(NamedTuple):
     rrows: int  # R-layout rows per tile (8 when <= 8 colors suffice)
     nsup: int  # q window size in 8-row supers
     ws: np.ndarray  # [ntiles] i32 q-window start (units of 8 rows)
-    supL: np.ndarray  # [ntiles*8, 128] i32 window row of left cell
-    supR: np.ndarray  # [ntiles*16, 128] i32 window row of right cell
-    m: np.ndarray  # [ntiles*16, 128] i32 align R->L lane shuffle
-    g: np.ndarray  # [ntiles*8, 128] i32 align R->L row pick
-    gi: np.ndarray  # [ntiles*16, 128] i32 route L->R row pick
-    mi: np.ndarray  # [ntiles*16, 128] i32 route L->R lane shuffle
-    validL: np.ndarray  # [ntiles*8, 128] f32
-    validR: np.ndarray  # [ntiles*16, 128] f32
+    supL: np.ndarray  # [ntiles*8, 128] i8 window row of left cell
+    supR: np.ndarray  # [ntiles*16, 128] i8 window row of right cell
+    m: np.ndarray  # [ntiles*16, 128] i8 align R->L lane shuffle
+    g: np.ndarray  # [ntiles*8, 128] i8 align R->L row pick
+    gi: np.ndarray  # [ntiles*16, 128] i8 route L->R row pick
+    mi: np.ndarray  # [ntiles*16, 128] i8 route L->R lane shuffle
     cn: np.ndarray  # [ntiles*8, 128] f32 slotted edge normals
     sn: np.ndarray
     courant_coef: np.ndarray  # [ntiles*8, 128] f32 slotted len/min(area)
@@ -220,15 +218,15 @@ def build_slotted_plan(
         [ws_tile, np.zeros(ntiles - len(ws_tile), ws_tile.dtype)]
     )
 
+    # all index planes fit int8: window rows < max_sup*8 <= 32, lanes < 128,
+    # row picks < 16 (int8 plan traffic is 1/4 of the round-1 i32 planes)
     R_l, R_r = ntiles * 8, ntiles * rrows
-    supL = np.zeros((R_l, 128), np.int32)
-    supR = np.zeros((R_r, 128), np.int32)
-    m_al = np.zeros((R_r, 128), np.int32)
-    g_al = np.zeros((R_l, 128), np.int32)
-    gi = np.zeros((R_r, 128), np.int32)
-    mi = np.zeros((R_r, 128), np.int32)
-    validL = np.zeros((R_l, 128), np.float32)
-    validR = np.zeros((R_r, 128), np.float32)
+    supL = np.zeros((R_l, 128), np.int8)
+    supR = np.zeros((R_r, 128), np.int8)
+    m_al = np.zeros((R_r, 128), np.int8)
+    g_al = np.zeros((R_l, 128), np.int8)
+    gi = np.zeros((R_r, 128), np.int8)
+    mi = np.zeros((R_r, 128), np.int8)
     cn_s = np.zeros((R_l, 128), np.float32)
     sn_s = np.zeros((R_l, 128), np.float32)
     cc_s = np.zeros((R_l, 128), np.float32)
@@ -239,9 +237,7 @@ def build_slotted_plan(
     rowsL = tile_of * 8 + slot_row
     rowsR = tile_of * rrows + color
     supL[rowsL, laneL] = rl
-    validL[rowsL, laneL] = 1.0
     supR[rowsR, laneR] = rr
-    validR[rowsR, laneR] = 1.0
     m_al[rowsR, laneL] = laneR
     g_al[rowsL, laneL] = color
     gi[rowsR, laneL] = slot_row
@@ -260,7 +256,7 @@ def build_slotted_plan(
         order=order, ntiles=ntiles, rrows=rrows, nsup=need_sup,
         ws=(ws_tile // 8).astype(np.int32),
         supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
-        validL=validL, validR=validR, cn=cn_s, sn=sn_s,
+        cn=cn_s, sn=sn_s,
         courant_coef=cc_s, slot_edge=slot_edge,
         eposL=eposL, eposR=eposR,
     )
@@ -307,9 +303,9 @@ def build_cell_plan(
     if nsupL > max_supL or nsupR > max_supR:
         return None
 
-    supLc = np.zeros((KL, Ct * 8, 128), np.int32)
+    supLc = np.zeros((KL, Ct * 8, 128), np.int8)
     cfL = np.zeros((KL, Ct * 8, 128), np.float32)
-    supRc = np.zeros((KR, Ct * 8, 128), np.int32)
+    supRc = np.zeros((KR, Ct * 8, 128), np.int8)
     cfR = np.zeros((KR, Ct * 8, 128), np.float32)
 
     kL = _cumcount(il_sorted)
@@ -318,9 +314,9 @@ def build_cell_plan(
     claneL = il_sorted & 127
     crowR = ir_sorted // 128
     claneR = ir_sorted & 127
-    supLc[kL, crowL, claneL] = (rowL - wsL[ctile_l]).astype(np.int32)
+    supLc[kL, crowL, claneL] = (rowL - wsL[ctile_l]).astype(np.int8)
     cfL[kL, crowL, claneL] = coefL.astype(np.float32)
-    supRc[kR, crowR, claneR] = (rowR - wsR[ctile_r]).astype(np.int32)
+    supRc[kR, crowR, claneR] = (rowR - wsR[ctile_r]).astype(np.int8)
     cfR[kR, crowR, claneR] = coefR.astype(np.float32)
 
     def slot_coefs(valsL, valsR):
@@ -360,7 +356,7 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
 
 
 def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
-                 vL_ref, vR_ref, cn_ref, sn_ref, *rest,
+                 cn_ref, sn_ref, *rest,
                  nsup, ndof, upwind, tiny_h, h_anuga, rrows=RROWS,
                  hr=False, bs=False):
     if hr:
@@ -370,20 +366,31 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
         rest = rest[4:]
     q_all = rest[: GT * nsup]
-    oL_ref, oR_ref = rest[GT * nsup], rest[GT * nsup + 1]
+    oL_ref, oA_ref, oR_ref = (
+        rest[GT * nsup], rest[GT * nsup + 1], rest[GT * nsup + 2]
+    )
+
+    # int8 plan blocks -> i32 once per grid step (sublane-slicing i8 at
+    # 8-row granularity straddles the (32, 128) i8 tile, so widen first)
+    supL_all = supL_ref[:].astype(jnp.int32)
+    supR_all = supR_ref[:].astype(jnp.int32)
+    m_all = m_ref[:].astype(jnp.int32)
+    g_all_i = g_ref[:].astype(jnp.int32)
+    gi_all = gi_ref[:].astype(jnp.int32)
+    mi_all = mi_ref[:].astype(jnp.int32)
 
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
         rA = slice(gt * rrows, gt * rrows + 8)
         rB = slice(gt * rrows + 8, gt * rrows + 16)
         q_refs = q_all[gt * nsup : (gt + 1) * nsup]
-        supL = supL_ref[r8, :]
-        supR0 = supR_ref[rA, :]
-        mm0 = m_ref[rA, :]
+        supL = supL_all[r8, :]
+        supR0 = supR_all[rA, :]
+        mm0 = m_all[rA, :]
         if rrows == 16:
-            supR1 = supR_ref[rB, :]
-            mm1 = m_ref[rB, :]
-        g = g_ref[r8, :]
+            supR1 = supR_all[rB, :]
+            mm1 = m_all[rB, :]
+        g = g_all_i[r8, :]
 
         qs = []
         for comp in range(ndof):
@@ -461,29 +468,27 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
                 )
         else:
             dry = (hl < tiny_h) & (hr_ < tiny_h)
-        mask = jnp.where(dry, 0.0, vL_ref[r8, :])
+        # no valid-slot mask: unfilled slots produce finite garbage that
+        # the divergence (coef 0) and Courant (coef 0) plans never read
+        mask = jnp.where(dry, 0.0, 1.0)
         fluxes = [f * mask for f in flux_list]
         for comp in range(ndof):
             oL_ref[r8, comp, :] = fluxes[comp]
-        oL_ref[r8, ndof, :] = amax * mask
+        oA_ref[r8, :] = amax * mask
 
         # route fluxes into the R-layout for the divergence kernel
-        gi0 = gi_ref[rA, :]
-        mi0 = mi_ref[rA, :]
+        gi0 = gi_all[rA, :]
+        mi0 = mi_all[rA, :]
         if rrows == 16:
-            gi1 = gi_ref[rB, :]
-            mi1 = mi_ref[rB, :]
+            gi1 = gi_all[rB, :]
+            mi1 = mi_all[rB, :]
         for comp in range(ndof):
             fL = fluxes[comp]
             u0 = jnp.take_along_axis(fL, gi0, axis=0)
-            oR_ref[rA, comp, :] = (
-                jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
-            )
+            oR_ref[rA, comp, :] = jnp.take_along_axis(u0, mi0, axis=1)
             if rrows == 16:
                 u1 = jnp.take_along_axis(fL, gi1, axis=0)
-                oR_ref[rB, comp, :] = (
-                    jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
-                )
+                oR_ref[rB, comp, :] = jnp.take_along_axis(u1, mi1, axis=1)
 
 
 def edge_flux_slotted(
@@ -496,8 +501,8 @@ def edge_flux_slotted(
     hydrostatic reconstruction from the slotted pl_hr_dzl/pl_hr_dzr drops.
     bs=(etab, etae) applies the BS2002 momentum correction from the slotted
     endpoint etas + the static pl_bs.zvb/zve elevations.
-    Returns (fluxL [ntiles*8, ndof+1, 128] with the last row = amax,
-    fluxR [ntiles*rrows, ndof, 128])."""
+    Returns (fluxL [ntiles*8, ndof, 128], fluxR [ntiles*rrows, ndof, 128],
+    amax [ntiles*8, 128])."""
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
     rrows = arrays.pl_supR.shape[0] // ntiles
@@ -512,14 +517,12 @@ def edge_flux_slotted(
     )
 
     in_specs = [
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m i8
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi i8
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # cn
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # sn
     ] + ([
@@ -543,7 +546,8 @@ def edge_flux_slotted(
         grid=(nsteps,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((GT * 8, ndof + 1, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, ndof, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),
             pl.BlockSpec((GT * rrows, ndof, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
@@ -555,7 +559,8 @@ def edge_flux_slotted(
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles * 8, ndof + 1, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, ndof, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((ntiles * rrows, ndof, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -568,12 +573,13 @@ def edge_flux_slotted(
         (bs[0], bs[1], arrays.pl_bs.zvb, arrays.pl_bs.zve)
         if bs is not None else ()
     )
-    return f(
+    fluxL, amax, fluxR = f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
-        arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
+        arrays.pl_gi, arrays.pl_mi,
         arrays.pl_cn, arrays.pl_sn, *hr_args, *bs_args,
         *([q2d] * (GT * nsup)),
     )
+    return fluxL, fluxR, amax
 
 
 def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
@@ -582,13 +588,17 @@ def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
     fR_all = rest[GT * nsupL : GT * (nsupL + nsupR)]
     o_ref = rest[GT * (nsupL + nsupR)]
 
+    # widen the int8 slot planes once (i8 sublane slices straddle tiles)
+    sL_all = sL_ref[:].astype(jnp.int32)
+    sR_all = sR_ref[:].astype(jnp.int32)
+
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
         acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ncomp)]
 
-        def side(refs, s_ref, c_ref, K, nsup):
+        def side(refs, s_all, c_ref, K, nsup):
             for k in range(K):
-                sup = s_ref[k, r8]
+                sup = s_all[k, r8]
                 cf = c_ref[k, r8]
                 for comp in range(ncomp):
                     gat = jnp.zeros((8, 128), jnp.float32)
@@ -600,9 +610,9 @@ def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
                         gat = jnp.where((sup >> 3) == s, gg, gat)
                     acc[comp] = acc[comp] + gat * cf
 
-        side(fL_all[gt * nsupL : (gt + 1) * nsupL], sL_ref, cL_ref,
+        side(fL_all[gt * nsupL : (gt + 1) * nsupL], sL_all, cL_ref,
              KL, nsupL)
-        side(fR_all[gt * nsupR : (gt + 1) * nsupR], sR_ref, cR_ref,
+        side(fR_all[gt * nsupR : (gt + 1) * nsupR], sR_all, cR_ref,
              KR, nsupR)
         for comp in range(ncomp):
             o_ref[r8, comp, :] = acc[comp]
@@ -629,7 +639,7 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
         pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
     ] + [
         pl.BlockSpec(
-            (8, ncomp + 1, 128),
+            (8, ncomp, 128),
             lambda t, wl, wr, g=g, s=s: (wl[t * GT + g] + s, 0, 0),
         )
         for g in range(GT)
@@ -674,7 +684,7 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
 # ---------------------------------------------------- MUSCL (second order)
 
 def _muscl_pre_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
-                      mi_ref, vL_ref, vR_ref, *rest, nsup, rrows=RROWS):
+                      mi_ref, *rest, nsup, rrows=RROWS):
     """Gather qL/qR per edge slot and emit (qL, qR) in the L-layout plus
     dq = qR - qL in both layouts (for the LS gradient kernel)."""
     q_all = rest[: GT * nsup]
@@ -682,23 +692,29 @@ def _muscl_pre_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
         rest[GT * nsup], rest[GT * nsup + 1], rest[GT * nsup + 2]
     )
 
+    supL_all = supL_ref[:].astype(jnp.int32)
+    supR_all = supR_ref[:].astype(jnp.int32)
+    m_all = m_ref[:].astype(jnp.int32)
+    g_all_i = g_ref[:].astype(jnp.int32)
+    gi_all = gi_ref[:].astype(jnp.int32)
+    mi_all = mi_ref[:].astype(jnp.int32)
+
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
         rA = slice(gt * rrows, gt * rrows + 8)
         rB = slice(gt * rrows + 8, gt * rrows + 16)
         q_refs = q_all[gt * nsup : (gt + 1) * nsup]
-        supL = supL_ref[r8, :]
-        supR0 = supR_ref[rA, :]
-        mm0 = m_ref[rA, :]
-        gi0 = gi_ref[rA, :]
-        mi0 = mi_ref[rA, :]
+        supL = supL_all[r8, :]
+        supR0 = supR_all[rA, :]
+        mm0 = m_all[rA, :]
+        gi0 = gi_all[rA, :]
+        mi0 = mi_all[rA, :]
         if rrows == 16:
-            supR1 = supR_ref[rB, :]
-            mm1 = m_ref[rB, :]
-            gi1 = gi_ref[rB, :]
-            mi1 = mi_ref[rB, :]
-        g = g_ref[r8, :]
-        vL = vL_ref[r8, :]
+            supR1 = supR_all[rB, :]
+            mm1 = m_all[rB, :]
+            gi1 = gi_all[rB, :]
+            mi1 = mi_all[rB, :]
+        g = g_all_i[r8, :]
 
         for comp in range(3):
             qL = _window_gather(q_refs, supL, comp, nsup)
@@ -714,19 +730,17 @@ def _muscl_pre_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
                 qR = jnp.where(g < 8, ya, yb)
             else:
                 qR = ya
-            dq = (qR - qL) * vL
+            # garbage slots are inert downstream: the gradient plan has
+            # coef 0 for them (no valid mask needed)
+            dq = qR - qL
             oQ_ref[r8, comp, :] = qL
             oQ_ref[r8, 3 + comp, :] = qR
             oDqL_ref[r8, comp, :] = dq
             u0 = jnp.take_along_axis(dq, gi0, axis=0)
-            oDqR_ref[rA, comp, :] = (
-                jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
-            )
+            oDqR_ref[rA, comp, :] = jnp.take_along_axis(u0, mi0, axis=1)
             if rrows == 16:
                 u1 = jnp.take_along_axis(dq, gi1, axis=0)
-                oDqR_ref[rB, comp, :] = (
-                    jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
-                )
+                oDqR_ref[rB, comp, :] = jnp.take_along_axis(u1, mi1, axis=1)
 
 
 def muscl_pre_slotted(arrays, q, nsup, interpret=False):
@@ -745,14 +759,12 @@ def muscl_pre_slotted(arrays, q, nsup, interpret=False):
     )
     nsteps = ntiles // GT
     in_specs = [
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m i8
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi i8
     ] + [
         pl.BlockSpec(
             (3, 8, 128),
@@ -786,7 +798,7 @@ def muscl_pre_slotted(arrays, q, nsup, interpret=False):
     )
     return f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
-        arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
+        arrays.pl_gi, arrays.pl_mi,
         *([q2d] * (GT * nsup)),
     )
 
@@ -799,14 +811,17 @@ def _grad_kernel(wsl_ref, wsr_ref, sL_ref, cxL_ref, cyL_ref, sR_ref,
     dR_all = rest[GT * nsupL : GT * (nsupL + nsupR)]
     o_ref = rest[GT * (nsupL + nsupR)]
 
+    sL_all = sL_ref[:].astype(jnp.int32)
+    sR_all = sR_ref[:].astype(jnp.int32)
+
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
         gx = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
         gy = [jnp.zeros((8, 128), jnp.float32) for _ in range(3)]
 
-        def side(refs, s_ref, cx_ref, cy_ref, K, nsup):
+        def side(refs, s_all, cx_ref, cy_ref, K, nsup):
             for k in range(K):
-                sup = s_ref[k, r8]
+                sup = s_all[k, r8]
                 cx = cx_ref[k, r8]
                 cy = cy_ref[k, r8]
                 for comp in range(3):
@@ -820,9 +835,9 @@ def _grad_kernel(wsl_ref, wsr_ref, sL_ref, cxL_ref, cyL_ref, sR_ref,
                     gx[comp] = gx[comp] + gat * cx
                     gy[comp] = gy[comp] + gat * cy
 
-        side(dL_all[gt * nsupL : (gt + 1) * nsupL], sL_ref, cxL_ref,
+        side(dL_all[gt * nsupL : (gt + 1) * nsupL], sL_all, cxL_ref,
              cyL_ref, KL, nsupL)
-        side(dR_all[gt * nsupR : (gt + 1) * nsupR], sR_ref, cxR_ref,
+        side(dR_all[gt * nsupR : (gt + 1) * nsupR], sR_all, cxR_ref,
              cyR_ref, KR, nsupR)
         for comp in range(3):
             o_ref[r8, comp, :] = gx[comp]
@@ -903,7 +918,7 @@ def _limit(limiter, extrap, half_dq):
 
 
 def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
-                       mi_ref, vL_ref, vR_ref, cn_ref, sn_ref,
+                       mi_ref, cn_ref, sn_ref,
                        dxl_ref, dyl_ref, dxr_ref, dyr_ref, oq_ref, dql_ref,
                        *rest, nsup, limiter, tiny_h, h_anuga, rrows=RROWS,
                        bs=False):
@@ -912,20 +927,29 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
         rest = rest[4:]
     g_all = rest[: GT * nsup]
-    oL_ref, oR_ref = rest[GT * nsup], rest[GT * nsup + 1]
+    oL_ref, oA_ref, oR_ref = (
+        rest[GT * nsup], rest[GT * nsup + 1], rest[GT * nsup + 2]
+    )
+
+    supL_all = supL_ref[:].astype(jnp.int32)
+    supR_all = supR_ref[:].astype(jnp.int32)
+    m_all = m_ref[:].astype(jnp.int32)
+    g_all_i = g_ref[:].astype(jnp.int32)
+    gi_all = gi_ref[:].astype(jnp.int32)
+    mi_all = mi_ref[:].astype(jnp.int32)
 
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
         rA = slice(gt * rrows, gt * rrows + 8)
         rB = slice(gt * rrows + 8, gt * rrows + 16)
         g_refs = g_all[gt * nsup : (gt + 1) * nsup]
-        supL = supL_ref[r8, :]
-        supR0 = supR_ref[rA, :]
-        mm0 = m_ref[rA, :]
+        supL = supL_all[r8, :]
+        supR0 = supR_all[rA, :]
+        mm0 = m_all[rA, :]
         if rrows == 16:
-            supR1 = supR_ref[rB, :]
-            mm1 = m_ref[rB, :]
-        g = g_ref[r8, :]
+            supR1 = supR_all[rB, :]
+            mm1 = m_all[rB, :]
+        g = g_all_i[r8, :]
 
         def gatherLR(comp):
             gL = _window_gather(g_refs, supL, comp, nsup)
@@ -982,29 +1006,25 @@ def _muscl_flux_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
             f_hu = f_hu + corr * cn
             f_hv = f_hv + corr * sn
         dry = (hl < tiny_h) & (hr < tiny_h)
-        mask = jnp.where(dry, 0.0, vL_ref[r8, :])
+        mask = jnp.where(dry, 0.0, 1.0)
         fluxes = (f_h * mask, f_hu * mask, f_hv * mask)
         oL_ref[r8, 0, :] = fluxes[0]
         oL_ref[r8, 1, :] = fluxes[1]
         oL_ref[r8, 2, :] = fluxes[2]
-        oL_ref[r8, 3, :] = amax * mask
+        oA_ref[r8, :] = amax * mask
 
-        gi0 = gi_ref[rA, :]
-        mi0 = mi_ref[rA, :]
+        gi0 = gi_all[rA, :]
+        mi0 = mi_all[rA, :]
         if rrows == 16:
-            gi1 = gi_ref[rB, :]
-            mi1 = mi_ref[rB, :]
+            gi1 = gi_all[rB, :]
+            mi1 = mi_all[rB, :]
         for comp in range(3):
             fL = fluxes[comp]
             u0 = jnp.take_along_axis(fL, gi0, axis=0)
-            oR_ref[rA, comp, :] = (
-                jnp.take_along_axis(u0, mi0, axis=1) * vR_ref[rA, :]
-            )
+            oR_ref[rA, comp, :] = jnp.take_along_axis(u0, mi0, axis=1)
             if rrows == 16:
                 u1 = jnp.take_along_axis(fL, gi1, axis=0)
-                oR_ref[rB, comp, :] = (
-                    jnp.take_along_axis(u1, mi1, axis=1) * vR_ref[rB, :]
-                )
+                oR_ref[rB, comp, :] = jnp.take_along_axis(u1, mi1, axis=1)
 
 
 def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
@@ -1022,14 +1042,12 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
     )
     nsteps = ntiles // GT
     in_specs = [
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # validL
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # validR
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m i8
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi i8
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # cn
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # sn
         pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # dxl
@@ -1056,7 +1074,8 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         grid=(nsteps,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((GT * 8, 4, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),
             pl.BlockSpec((GT * rrows, 3, 128), lambda t, ws: (t, 0, 0)),
         ],
     )
@@ -1068,7 +1087,8 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ntiles * 8, 4, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, 3, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((ntiles * rrows, 3, 128), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -1080,13 +1100,14 @@ def muscl_flux_slotted(arrays, grad, oQ, dqL, tiny_h, h_anuga, nsup,
         (bs[0], bs[1], arrays.pl_bs.zvb, arrays.pl_bs.zve)
         if bs is not None else ()
     )
-    return f(
+    fluxL, amax, fluxR = f(
         arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
-        arrays.pl_gi, arrays.pl_mi, arrays.pl_validL, arrays.pl_validR,
+        arrays.pl_gi, arrays.pl_mi,
         arrays.pl_cn, arrays.pl_sn,
         arrays.pl_dxl, arrays.pl_dyl, arrays.pl_dxr, arrays.pl_dyr,
         oQ, dqL, *bs_args, *([g2d] * (GT * nsup)),
     )
+    return fluxL, fluxR, amax
 
 
 def edge_flux_muscl_slotted(op, q, interpret=False, bs=None):
@@ -1220,7 +1241,6 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         pl_ws=plan.ws,
         pl_supL=plan.supL, pl_supR=plan.supR,
         pl_m=plan.m, pl_g=plan.g, pl_gi=plan.gi, pl_mi=plan.mi,
-        pl_validL=plan.validL, pl_validR=plan.validR,
         pl_cn=plan.cn, pl_sn=plan.sn,
         pl_courant_coef=plan.courant_coef,
         pl_slot_edge=plan.slot_edge,
@@ -1240,10 +1260,22 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     return plan_np, reordered, meta
 
 
-_PLAN_INT_FIELDS = frozenset({
-    "pl_ws", "pl_supL", "pl_supR", "pl_m", "pl_g", "pl_gi", "pl_mi",
-    "pl_slot_edge", "pl_cd_wsL", "pl_cd_wsR", "pl_cd_supL", "pl_cd_supR",
-})
+# device dtypes per plan field: the per-slot index planes are int8 (window
+# rows < 32, lanes < 128, row picks < 16), quartering their HBM traffic
+_PLAN_DTYPES = {
+    "pl_ws": np.int32,
+    "pl_supL": np.int8, "pl_supR": np.int8,
+    "pl_m": np.int8, "pl_g": np.int8, "pl_gi": np.int8, "pl_mi": np.int8,
+    "pl_slot_edge": np.int32,
+    "pl_cd_wsL": np.int32, "pl_cd_wsR": np.int32,
+    "pl_cd_supL": np.int8, "pl_cd_supR": np.int8,
+}
+_PLAN_INT_FIELDS = frozenset(_PLAN_DTYPES)
+
+
+def plan_field_dtype(name):
+    """Device dtype for a pl_* plan field (float32 when not an index)."""
+    return _PLAN_DTYPES.get(name, np.float32)
 
 
 def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
@@ -1338,8 +1370,7 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         cell_edges=j(reordered["cell_edges"], jnp.int32),
         edge_courant_coef=f32(reordered["edge_courant_coef"]),
         **{
-            k: j(v, jnp.int32 if k in _PLAN_INT_FIELDS else jnp.float32)
-            for k, v in plan_np.items()
+            k: j(v, plan_field_dtype(k)) for k, v in plan_np.items()
         },
         **bs_fields,
     )

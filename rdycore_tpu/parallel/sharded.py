@@ -63,10 +63,10 @@ class HaloMaps(NamedTuple):
     int_gidx: jnp.ndarray = None  # [P, Ei_loc] i32
 
 
-def _plan_int_fields():
-    from ..ops.pallas.slotted import _PLAN_INT_FIELDS
+def _plan_dtype(name):
+    from ..ops.pallas.slotted import plan_field_dtype
 
-    return _PLAN_INT_FIELDS
+    return plan_field_dtype(name)
 
 
 def _stack_bs_plans(plans):
@@ -824,10 +824,7 @@ class ShardedSWE:
                 else {}
             ),
             **{
-                k: jnp.asarray(
-                    v,
-                    jnp.int32 if k in _plan_int_fields() else jnp.float32,
-                )
+                k: jnp.asarray(v, _plan_dtype(k))
                 for k, v in pallas_fields.items()
             },
             **bs_fields,

@@ -105,9 +105,10 @@ def test_plan_layout_invariants(mesh_fn):
     np.testing.assert_array_equal(
         plan.slot_edge[plan.eposL], np.arange(Ei, dtype=np.int32)
     )
-    # valid masks flag exactly the occupied slots
-    assert int(plan.validL.sum()) == Ei
-    assert int(plan.validR.sum()) == Ei
-    # geometry slotted where (and only where) validL
-    occupied = plan.validL.reshape(-1)[plan.eposL]
-    assert (occupied == 1.0).all()
+    # occupancy: slot_edge >= 0 exactly at occupied L slots (the valid
+    # masks were removed — downstream plans carry coef 0 for empty slots)
+    assert int((plan.slot_edge >= 0).sum()) == Ei
+    # the int8 index planes stay in range
+    for arr in (plan.supL, plan.supR, plan.m, plan.g, plan.gi, plan.mi):
+        assert arr.dtype == np.int8
+        assert arr.min() >= 0
