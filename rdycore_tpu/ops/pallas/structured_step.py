@@ -57,8 +57,12 @@ def pad_plane(x: np.ndarray, gr: int = GR) -> np.ndarray:
     return np.pad(np.asarray(x, np.float32), ((gr, gr), (GC, GC)))
 
 
-def _ghost(bc, h, hu, hv, sn, cn, tiny_h, h_anuga):
+def _ghost(bc, h, hu, hv, sn, cn, tiny_h, h_anuga, dirichlet=None):
     """Wall ghost state for a 1-D strip of boundary cells."""
+    if bc == bc_mod.BC_DIRICHLET:
+        # prescribed (h, hu, hv) per wall cell (swe_fluxes_ceed.h:104-156:
+        # ghost = the Dirichlet state, flux = roe(interior, ghost))
+        return dirichlet
     u, v = regularized_velocity(h, hu, hv, tiny_h, h_anuga)
     if bc == bc_mod.BC_REFLECTING:
         hg, ug, vg = bc_mod.reflecting_ghost(h, u, v, sn, cn)
@@ -74,19 +78,24 @@ def _ghost(bc, h, hu, hv, sn, cn, tiny_h, h_anuga):
     raise ValueError(f"unsupported wall BC {bc} for the fused kernel")
 
 
-def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
-    """Fill the 1-cell ghost frame of padded planes from the wall BCs."""
+def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None):
+    """Fill the 1-cell ghost frame of padded planes from the wall BCs.
+
+    bc_vals: optional dict side -> (h, hu, hv) 1-D arrays of prescribed
+    Dirichlet values along that wall (sides "left"/"right" length ny,
+    "bottom"/"top" length nx)."""
     nx, ny = plan.nx, plan.ny
     th, ta = plan.tiny_h, plan.h_anuga
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
     r0, r1 = plan.gr, plan.gr + ny  # interior row range
     c0, c1 = GC, GC + nx
+    bc_vals = bc_vals or {}
 
     # left wall: outward normal (-1, 0)
     hg, hug, hvg = _ghost(
         plan.bc_left, h[r0:r1, c0], hu[r0:r1, c0], hv[r0:r1, c0],
-        zero, -one, th, ta,
+        zero, -one, th, ta, bc_vals.get("left"),
     )
     h = h.at[r0:r1, c0 - 1].set(hg)
     hu = hu.at[r0:r1, c0 - 1].set(hug)
@@ -94,7 +103,7 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
     # right wall: (+1, 0)
     hg, hug, hvg = _ghost(
         plan.bc_right, h[r0:r1, c1 - 1], hu[r0:r1, c1 - 1], hv[r0:r1, c1 - 1],
-        zero, one, th, ta,
+        zero, one, th, ta, bc_vals.get("right"),
     )
     h = h.at[r0:r1, c1].set(hg)
     hu = hu.at[r0:r1, c1].set(hug)
@@ -102,7 +111,7 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
     # bottom wall: (0, -1)
     hg, hug, hvg = _ghost(
         plan.bc_bottom, h[r0, c0:c1], hu[r0, c0:c1], hv[r0, c0:c1],
-        -one, zero, th, ta,
+        -one, zero, th, ta, bc_vals.get("bottom"),
     )
     h = h.at[r0 - 1, c0:c1].set(hg)
     hu = hu.at[r0 - 1, c0:c1].set(hug)
@@ -110,7 +119,7 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
     # top wall: (0, +1)
     hg, hug, hvg = _ghost(
         plan.bc_top, h[r1 - 1, c0:c1], hu[r1 - 1, c0:c1], hv[r1 - 1, c0:c1],
-        one, zero, th, ta,
+        one, zero, th, ta, bc_vals.get("top"),
     )
     h = h.at[r1, c0:c1].set(hg)
     hu = hu.at[r1, c0:c1].set(hug)
@@ -119,9 +128,21 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv):
 
 
 def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
-            ho_ref, huo_ref, hvo_ref, cmax_ref,
-            hw, huw, hvw, dzxw, dzyw, mw, sem_state, sem_geom,
-            *, nxp, ty, gr, tiny_h, h_anuga, inv_dx, inv_dy):
+            *rest,
+            nxp, ty, gr, tiny_h, h_anuga, inv_dx, inv_dy,
+            with_src=False, emit_rhs=False):
+    if with_src:
+        src_hbm = rest[0]
+        rest = rest[1:]
+    ho_ref, huo_ref, hvo_ref, cmax_ref = rest[:4]
+    rest = rest[4:]
+    hw, huw, hvw, dzxw, dzyw, mw = rest[:6]
+    rest = rest[6:]
+    if with_src:
+        srcw = rest[0]
+        rest = rest[1:]
+    sem_state, sem_geom = rest
+
     t = pl.program_id(0)
     ntiles = pl.num_programs(0)
 
@@ -139,12 +160,15 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
         ]
 
     def _geom_dma(slot, tt):
+        pairs = [(dzx_hbm, dzxw), (dzy_hbm, dzyw), (mann_hbm, mw)]
+        if with_src:
+            pairs.append((src_hbm, srcw))
         return [
             pltpu.make_async_copy(
                 src.at[pl.ds(tt * ty + gr, ty), :], dst.at[slot],
                 sem_geom.at[slot],
             )
-            for src, dst in ((dzx_hbm, dzxw), (dzy_hbm, dzyw), (mann_hbm, mw))
+            for src, dst in pairs
         ]
 
     slot = jax.lax.rem(t, jnp.int32(2))
@@ -238,13 +262,20 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     tbx = jnp.where(wet, (huc + dt * dhu - dt * bedx) * factor, 0.0)
     tby = jnp.where(wet, (hvc + dt * dhv - dt * bedy) * factor, 0.0)
 
-    rh = dh
+    rh = dh + (srcw[slot] if with_src else 0.0)
     rhu = dhu - bedx - tbx
     rhv = dhv - bedy - tby
 
-    ho_ref[:] = hc + dt * rh
-    huo_ref[:] = huc + dt * rhu
-    hvo_ref[:] = hvc + dt * rhv
+    if emit_rhs:
+        # rhs mode (multi-stage integrators compose stages in XLA); the
+        # friction factor above still uses the true dt (semi-implicit)
+        ho_ref[:] = rh
+        huo_ref[:] = rhu
+        hvo_ref[:] = rhv
+    else:
+        ho_ref[:] = hc + dt * rh
+        huo_ref[:] = huc + dt * rhu
+        hvo_ref[:] = hvc + dt * rhv
 
     # Courant over physical faces only:
     # - x-faces: columns GC-1 .. GC+nx-1 (left wall .. right wall); ax rows
@@ -262,16 +293,27 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     cmax_ref[0, :] = jnp.full((128,), cm, jnp.float32)
 
 
-def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
-    """Returns advance(h, hu, hv [padded planes], t0, dt, n_steps, t_end) ->
-    (h, hu, hv, t, cmax). Planes stay padded (gr = plan.gr rows) across
-    steps; larger gr (= taller row tiles) cuts the halo read amplification."""
+def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
+                                  scheme: str = "euler",
+                                  with_src: bool = False):
+    """Returns advance(h, hu, hv [padded planes], t0, dt, n_steps, t_end,
+    [dzx, dzy, mann, src, bc_vals]) -> (h, hu, hv, t, cmax). Planes stay
+    padded (gr = plan.gr rows) across steps; larger gr (= taller row tiles)
+    cuts the halo read amplification.
+
+    scheme: euler | ssprk2 | ssprk3 (Shu-Osher convex combinations of fused
+    euler substeps) | rk4 (classic RK from rhs-mode kernel calls).
+    with_src=True threads an external water-source plane (rainfall, m/s)
+    through the kernel as a 4th geometry DMA. bc_vals: Dirichlet wall
+    values dict for fill_ghost_frame."""
     nx, ny = plan.nx, plan.ny
     ty = plan.gr
     if ty < 8 or ty % 8:
         raise ValueError("plan.gr must be a multiple of 8 (row-tile height)")
     if nx % 128 or ny % ty:
         raise ValueError("fused structured kernel needs nx % 128 == 0 and ny % gr == 0")
+    if scheme not in ("euler", "ssprk2", "ssprk3", "rk4"):
+        raise ValueError(f"fused_structured: unsupported scheme '{scheme}'")
     nxp = nx + 2 * GC
     ntiles = ny // ty
 
@@ -280,43 +322,56 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
     dzy_p = None if dzdy is None else jnp.asarray(pad_plane(dzdy, ty))
     mann_p = None if mannings is None else jnp.asarray(pad_plane(mannings, ty))
 
-    kernel = functools.partial(
-        _kernel, nxp=nxp, ty=ty, gr=ty,
-        tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
-        inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
-    )
+    def build_call(emit_rhs):
+        kernel = functools.partial(
+            _kernel, nxp=nxp, ty=ty, gr=ty,
+            tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
+            inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
+            with_src=with_src, emit_rhs=emit_rhs,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,  # dt (as a f32 array of length 1)
+            grid=(ntiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+            * (7 if with_src else 6),
+            out_specs=[
+                pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda t, d: (0, t), memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+                pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+                pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+                pltpu.VMEM((2, ty, nxp), jnp.float32),
+                pltpu.VMEM((2, ty, nxp), jnp.float32),
+                pltpu.VMEM((2, ty, nxp), jnp.float32),
+            ] + ([pltpu.VMEM((2, ty, nxp), jnp.float32)] if with_src else [])
+            + [
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        nyp = ny + 2 * ty
+        out_shape = [
+            jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
+            jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
+            jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
+            jax.ShapeDtypeStruct((1, ntiles * 128), jnp.float32),
+        ]
+        return kernel, grid_spec, out_shape
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # dt (as a f32 array of length 1)
-        grid=(ntiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 6,
-        out_specs=[
-            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda t, d: (0, t), memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
-            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
-            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
-            pltpu.VMEM((2, ty, nxp), jnp.float32),
-            pltpu.VMEM((2, ty, nxp), jnp.float32),
-            pltpu.VMEM((2, ty, nxp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    nyp = ny + 2 * ty
-    out_shape = [
-        jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
-        jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
-        jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
-        jax.ShapeDtypeStruct((1, ntiles * 128), jnp.float32),
-    ]
+    kern_upd = build_call(emit_rhs=False)
+    kern_rhs = build_call(emit_rhs=True) if scheme == "rk4" else None
 
-    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, interpret=False):
-        h, hu, hv = fill_ghost_frame(plan, h, hu, hv)
+    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, src, bc_vals,
+                 interpret=False, emit_rhs=False):
+        h, hu, hv = fill_ghost_frame(plan, h, hu, hv, bc_vals)
+        kernel, grid_spec, out_shape = kern_rhs if emit_rhs else kern_upd
+        args = (dt_arr, h, hu, hv, dzx, dzy, mann)
+        if with_src:
+            args = args + (src,)
         # raise Mosaic's scoped-VMEM cap (default 16MB) toward the chip's
         # physical VMEM: wide meshes (nx >= 8192 -> 8448-col blocks) need
         # ~20-32MB of stack for the flux temporaries at ty=8..16
@@ -326,14 +381,15 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
-        )(dt_arr, h, hu, hv, dzx, dzy, mann)
+        )(*args)
         # the kernel writes the interior row blocks of full padded planes;
         # the ghost frame (unwritten garbage) is refreshed at the start of
         # the next step, so the outputs ARE the new state -- no re-splice
         return ho, huo, hvo, cm.max()
 
     def advance(h, hu, hv, t0, dt, n_steps, t_end,
-                dzx=None, dzy=None, mann=None, interpret=False):
+                dzx=None, dzy=None, mann=None, src=None, bc_vals=None,
+                interpret=False):
         # geometry planes default to the factory-captured constants; VERY
         # large meshes should pass them as runtime args instead (constants
         # are inlined into the compiled program -- a 184M-cell mesh bakes
@@ -342,16 +398,57 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings):
         dzy = dzy_p if dzy is None else dzy
         mann = mann_p if mann is None else mann
 
+        def E(hh, huu, hvv, dt_arr):
+            return one_step(
+                hh, huu, hvv, dt_arr, dzx, dzy, mann, src, bc_vals,
+                interpret=interpret,
+            )
+
         def body(i, carry):
             h, hu, hv, tt, cmax = carry
             dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
-            hn, hun, hvn, cm = one_step(
-                h, hu, hv, jnp.reshape(dt_i.astype(jnp.float32), (1,)),
-                dzx, dzy, mann,
-                interpret=interpret,
-            )
-            # dt_i == 0 leaves the state unchanged (q + 0 * rhs), so no
-            # explicit guard is needed
+            dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
+            if scheme == "euler":
+                hn, hun, hvn, cm = E(h, hu, hv, dt_arr)
+            elif scheme == "ssprk2":
+                # Shu-Osher: u1 = E(u); u' = (u + E(u1)) / 2
+                h1, hu1, hv1, cm = E(h, hu, hv, dt_arr)
+                h2, hu2, hv2, _ = E(h1, hu1, hv1, dt_arr)
+                hn = 0.5 * h + 0.5 * h2
+                hun = 0.5 * hu + 0.5 * hu2
+                hvn = 0.5 * hv + 0.5 * hv2
+            elif scheme == "ssprk3":
+                h1, hu1, hv1, cm = E(h, hu, hv, dt_arr)
+                h2, hu2, hv2, _ = E(h1, hu1, hv1, dt_arr)
+                h2 = 0.75 * h + 0.25 * h2
+                hu2 = 0.75 * hu + 0.25 * hu2
+                hv2 = 0.75 * hv + 0.25 * hv2
+                h3, hu3, hv3, _ = E(h2, hu2, hv2, dt_arr)
+                third = jnp.float32(1.0 / 3.0)
+                hn = third * h + (1.0 - third) * h3
+                hun = third * hu + (1.0 - third) * hu3
+                hvn = third * hv + (1.0 - third) * hv3
+            else:  # rk4 from rhs-mode kernel calls
+                def R(hh, huu, hvv):
+                    return one_step(
+                        hh, huu, hvv, dt_arr, dzx, dzy, mann, src, bc_vals,
+                        interpret=interpret, emit_rhs=True,
+                    )
+
+                k1h, k1u, k1v, cm = R(h, hu, hv)
+                hdt = 0.5 * dt_i
+                k2h, k2u, k2v, _ = R(h + hdt * k1h, hu + hdt * k1u,
+                                     hv + hdt * k1v)
+                k3h, k3u, k3v, _ = R(h + hdt * k2h, hu + hdt * k2u,
+                                     hv + hdt * k2v)
+                k4h, k4u, k4v, _ = R(h + dt_i * k3h, hu + dt_i * k3u,
+                                     hv + dt_i * k3v)
+                w = dt_i / 6.0
+                hn = h + w * (k1h + 2 * k2h + 2 * k3h + k4h)
+                hun = hu + w * (k1u + 2 * k2u + 2 * k3u + k4u)
+                hvn = hv + w * (k1v + 2 * k2v + 2 * k3v + k4v)
+            # dt_i == 0 leaves the state unchanged (q + 0 * rhs for euler;
+            # convex combos of unchanged states for the SSP schemes)
             return (hn, hun, hvn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
 
         init = (h, hu, hv, jnp.float32(t0), jnp.float32(0.0))

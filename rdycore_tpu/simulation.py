@@ -14,6 +14,7 @@ natural cell order between coupling intervals.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Callable, Dict, List, Optional
 
@@ -630,10 +631,12 @@ class Simulation:
                         f"edge_flux_backend: {kind}: wall with normal {w} "
                         "has mixed boundary conditions"
                     )
-        if any(bc == bc_mod.BC_DIRICHLET for bc in walls.values()):
+        if kind != "fused_structured" and any(
+            bc == bc_mod.BC_DIRICHLET for bc in walls.values()
+        ):
             raise ConfigError(
                 f"edge_flux_backend: {kind} does not support Dirichlet "
-                "walls (use the xla/pallas backends)"
+                "walls (use the fused_structured/xla/pallas backends)"
             )
         bc_left = walls.get((-1, 0), bc_mod.BC_REFLECTING)
         bc_right = walls.get((1, 0), bc_mod.BC_REFLECTING)
@@ -647,10 +650,10 @@ class Simulation:
 
         if kind == "fused_structured":
             scheme = self._structured_scheme()
-            if scheme != "euler":
+            if scheme not in ("euler", "ssprk2", "ssprk3", "rk4"):
                 raise ConfigError(
                     "edge_flux_backend: fused_structured supports temporal: "
-                    "euler only"
+                    "euler|ssprk2|ssprk3|rk4"
                 )
             if self.operator.source_method != SOURCE_SEMI_IMPLICIT:
                 raise ConfigError(
@@ -679,17 +682,58 @@ class Simulation:
                 bc_bottom=bc_bottom, bc_top=bc_top,
                 gr=ty,
             )
-            adv = make_fused_structured_stepper(plan, dzx, dzy, mann)
+            # Dirichlet walls: per-side index maps (position along the
+            # wall -> boundary_values column) so the ghost frame can be
+            # filled from the live Dirichlet values each interval
+            side_cols = {}
+            side_of = {(-1, 0): "left", (1, 0): "right",
+                       (0, -1): "bottom", (0, 1): "top"}
+            for w, bc in walls.items():
+                if bc != bc_mod.BC_DIRICHLET:
+                    continue
+                side = side_of[w]
+                n_side = ny if side in ("left", "right") else nx
+                cols = np.full(n_side, -1, np.int64)
+                for seg in self.operator.segments:
+                    sl = np.arange(seg.start, seg.start + seg.count)
+                    cns = np.asarray(a.bnd_cn[sl]).round().astype(int)
+                    sns = np.asarray(a.bnd_sn[sl]).round().astype(int)
+                    on = (cns == w[0]) & (sns == w[1])
+                    cells = np.asarray(a.bnd_left[sl])[on]
+                    pos = (
+                        cells // nx if side in ("left", "right")
+                        else cells % nx
+                    )
+                    cols[pos] = sl[on]
+                if (cols < 0).any():
+                    raise ConfigError(
+                        f"edge_flux_backend: {kind}: Dirichlet wall "
+                        f"'{side}' is not fully covered by boundary edges"
+                    )
+                side_cols[side] = cols
+            # the source plane is threaded through the kernel only when the
+            # config declares sources/forcing (a zero-rain plane costs ~5%)
+            with_src = bool(cfg.sources) or bool(
+                getattr(cfg, "forcing_active", False)
+            )
+            adv = make_fused_structured_stepper(
+                plan, dzx, dzy, mann, scheme=scheme, with_src=with_src
+            )
             interp = jax.default_backend() == "cpu"
             self._structured = dict(
                 kind="fused", plan=plan, nx=nx, ny=ny,
+                with_src=with_src, side_cols=side_cols,
+                scheme=scheme, geo=(dzx, dzy, mann),
                 adv=jax.jit(
-                    lambda *args: adv(*args, interpret=interp)
+                    functools.partial(adv, interpret=interp),
+                    static_argnames=(),
                 ),
             )
             self.log.info(
                 f"structured raster {nx}x{ny}: fused Pallas kernel "
-                f"(ty={ty}{', interpret' if interp else ''})"
+                f"(ty={ty}, {scheme}"
+                f"{', +src' if with_src else ''}"
+                f"{', interpret' if interp else ''})"
             )
         else:
             op = build_structured_operator(
@@ -722,6 +766,20 @@ class Simulation:
     def _structured_scheme(self) -> str:
         return self.config.numerics.temporal
 
+    def _rebuild_fused_stepper(self):
+        """Rebuild the fused-structured stepper (e.g. when a coupler first
+        sets an external water source, requiring the src plane DMA)."""
+        from .ops.pallas.structured_step import make_fused_structured_stepper
+
+        st = self._structured
+        dzx, dzy, mann = st["geo"]
+        adv = make_fused_structured_stepper(
+            st["plan"], dzx, dzy, mann, scheme=st["scheme"],
+            with_src=st["with_src"],
+        )
+        interp = jax.default_backend() == "cpu"
+        st["adv"] = jax.jit(functools.partial(adv, interpret=interp))
+
     def _advance_structured(self, n_steps: int, t_end: float) -> float:
         st = self._structured
         nx, ny = st["nx"], st["ny"]
@@ -737,11 +795,43 @@ class Simulation:
         else:
             from .ops.pallas.structured_step import GC, pad_plane
 
-            if float(jnp.abs(self.ext_src).max()) != 0.0:
+            src_np = np.asarray(self.ext_src)
+            if np.abs(src_np[1:]).max() != 0.0:
                 raise ConfigError(
-                    "edge_flux_backend: fused_structured does not support "
-                    "external sources/forcing (use structured)"
+                    "edge_flux_backend: fused_structured supports water "
+                    "(row 0) external sources only (use structured for "
+                    "momentum sources)"
                 )
+            src_arg = None
+            if st["with_src"]:
+                gr0 = st["plan"].gr
+                src_arg = jnp.asarray(
+                    pad_plane(src_np[0].reshape(ny, nx), gr0)
+                )
+            elif np.abs(src_np[0]).max() != 0.0:
+                # a coupler set rain after init: rebuild the stepper with
+                # the source plane threaded through (one-time recompile)
+                self.log.info(
+                    "fused_structured: external water source appeared; "
+                    "rebuilding the fused stepper with a source plane"
+                )
+                st["with_src"] = True
+                self._rebuild_fused_stepper()
+                st = self._structured
+                gr0 = st["plan"].gr
+                src_arg = jnp.asarray(
+                    pad_plane(src_np[0].reshape(ny, nx), gr0)
+                )
+            bc_vals = None
+            if st["side_cols"]:
+                bv = self.boundary_values
+                bc_vals = {
+                    side: tuple(
+                        jnp.asarray(bv[row, cols], jnp.float32)
+                        for row in range(N_FLOW_DOF)
+                    )
+                    for side, cols in st["side_cols"].items()
+                }
             gr = st["plan"].gr
             q3 = np.asarray(
                 jnp.reshape(self.q, (N_FLOW_DOF, ny, nx)), np.float32
@@ -754,6 +844,8 @@ class Simulation:
                 np.float32(self.dt),
                 np.int32(n_steps),
                 np.float32(t_end),
+                src=src_arg,
+                bc_vals=bc_vals,
             )
             planes = [
                 jnp.asarray(p)[gr : gr + ny, GC : GC + nx] for p in (h, hu, hv)
