@@ -37,7 +37,10 @@ module rdycore_tpu
             rdytpu_get_boundary_condition_flow_type, &
             rdytpu_get_boundary_edge_centroids, rdytpu_get_solution, &
             rdytpu_set_initial_conditions, rdytpu_read_one_dof_vec, &
-            rdytpu_write_one_dof_vec
+            rdytpu_write_one_dof_vec, rdytpu_get_cell_centroids, &
+            rdytpu_get_manning_n, rdytpu_set_manning_n, &
+            rdytpu_get_coupling_interval, rdytpu_set_coupling_interval, &
+            rdytpu_get_version
 
   interface
     function c_rdytpu_init() bind(c, name="rdytpu_init") result(ierr)
@@ -296,6 +299,57 @@ module rdycore_tpu
       integer(c_int64_t), value :: n
       integer(c_int) :: ierr
     end function
+
+    function c_rdytpu_get_cell_centroids(handle, out, n) &
+        bind(c, name="rdytpu_get_cell_centroids") result(ierr)
+      import :: c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      real(c_double), intent(out) :: out(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_manning_n(handle, out, n) &
+        bind(c, name="rdytpu_get_manning_n") result(ierr)
+      import :: c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      real(c_double), intent(out) :: out(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_set_manning_n(handle, nval, n) &
+        bind(c, name="rdytpu_set_manning_n") result(ierr)
+      import :: c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      real(c_double), intent(in) :: nval(*)
+      integer(c_int64_t), value :: n
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_coupling_interval(handle, ci) &
+        bind(c, name="rdytpu_get_coupling_interval") result(ierr)
+      import :: c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      real(c_double), intent(out) :: ci
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_set_coupling_interval(handle, ci) &
+        bind(c, name="rdytpu_set_coupling_interval") result(ierr)
+      import :: c_int, c_int64_t, c_double
+      integer(c_int64_t), value :: handle
+      real(c_double), value :: ci
+      integer(c_int) :: ierr
+    end function
+
+    function c_rdytpu_get_version(buf, max_bytes) &
+        bind(c, name="rdytpu_get_version") result(ierr)
+      import :: c_char, c_int, c_int64_t
+      character(kind=c_char), intent(out) :: buf(*)
+      integer(c_int64_t), value :: max_bytes
+      integer(c_int) :: ierr
+    end function
   end interface
 
 contains
@@ -536,6 +590,61 @@ contains
     integer(c_int64_t), value :: n
     integer, intent(out) :: ierr
     ierr = c_rdytpu_write_one_dof_vec(rdy, cstr(path), vals, n)
+  end subroutine
+
+
+  subroutine rdytpu_get_cell_centroids(rdy, xyz, n_values, ierr)
+    ! [n_cells, 3] row-major (x, y, z) centroids; n_values = 3 * n_cells
+    integer(c_int64_t), value :: rdy
+    real(c_double), intent(out) :: xyz(:)
+    integer(c_int64_t), value :: n_values
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_cell_centroids(rdy, xyz, n_values)
+  end subroutine
+
+  subroutine rdytpu_get_manning_n(rdy, nval, n, ierr)
+    integer(c_int64_t), value :: rdy
+    real(c_double), intent(out) :: nval(:)
+    integer(c_int64_t), value :: n
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_manning_n(rdy, nval, n)
+  end subroutine
+
+  subroutine rdytpu_set_manning_n(rdy, nval, n, ierr)
+    integer(c_int64_t), value :: rdy
+    real(c_double), intent(in) :: nval(:)
+    integer(c_int64_t), value :: n
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_set_manning_n(rdy, nval, n)
+  end subroutine
+
+  subroutine rdytpu_get_coupling_interval(rdy, ci, ierr)
+    ! interval in the config file's time unit (RDyGetCouplingInterval)
+    integer(c_int64_t), value :: rdy
+    real(c_double), intent(out) :: ci
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_get_coupling_interval(rdy, ci)
+  end subroutine
+
+  subroutine rdytpu_set_coupling_interval(rdy, ci, ierr)
+    integer(c_int64_t), value :: rdy
+    real(c_double), value :: ci
+    integer, intent(out) :: ierr
+    ierr = c_rdytpu_set_coupling_interval(rdy, ci)
+  end subroutine
+
+  subroutine rdytpu_get_version(version, ierr)
+    ! version string, blank-padded (RDyGetVersion)
+    character(len=*), intent(out) :: version
+    integer, intent(out) :: ierr
+    character(kind=c_char) :: buf(64)
+    integer :: i
+    ierr = c_rdytpu_get_version(buf, int(64, c_int64_t))
+    version = ""
+    do i = 1, min(len(version), 64)
+      if (buf(i) == c_null_char) exit
+      version(i:i) = buf(i)
+    end do
   end subroutine
 
 end module rdycore_tpu
