@@ -92,6 +92,7 @@ class OperatorArrays(NamedTuple):
     # "pallas"; interior edges are rebuilt in sorted order at backend-build
     # time; see ops/pallas/slotted.py for the layout)
     pl_ws: jnp.ndarray = None  # [ntiles] i32 q-window starts (8-row units)
+    pl_gws: jnp.ndarray = None  # [ntiles//GT] i32 group q-window starts
     pl_supL: jnp.ndarray = None  # [ntiles*8, 128] i32
     pl_supR: jnp.ndarray = None  # [ntiles*16, 128] i32
     pl_m: jnp.ndarray = None  # align R->L lane shuffle (i8)
@@ -105,6 +106,8 @@ class OperatorArrays(NamedTuple):
     # divergence kernel plan (per-cell incident-edge slots)
     pl_cd_wsL: jnp.ndarray = None  # [ctiles] i32 fluxL row-window starts
     pl_cd_wsR: jnp.ndarray = None
+    pl_cd_gwsL: jnp.ndarray = None  # [ctiles//GT] i32 group window starts
+    pl_cd_gwsR: jnp.ndarray = None
     pl_cd_supL: jnp.ndarray = None  # [KL, ctiles*8, 128] i32
     pl_cd_cfL: jnp.ndarray = None  # [KL, ctiles*8, 128] f32
     pl_cd_supR: jnp.ndarray = None
@@ -189,8 +192,11 @@ class SWEOperator:
     # so to_pallas_backend must never do a device->host round trip
     host_arrays: object = None
     pallas_nsup: int = 0  # q-window supers (slot-routed kernel)
+    pallas_wq: int = 0  # group q-window supers (shared DMA window)
     pallas_cd_nsup_l: int = 0  # fluxL window supers (divergence kernel)
     pallas_cd_nsup_r: int = 0
+    pallas_cd_wl: int = 0  # group fluxL window supers
+    pallas_cd_wr: int = 0
     pallas_bs_meta: tuple = ()  # BS2002 route/accumulate window supers
     pallas_interpret: bool = False
 
@@ -284,6 +290,7 @@ class SWEOperator:
 
                 fluxL, fluxR, amax = edge_flux_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
+                    self.pallas_wq,
                     interpret=self.pallas_interpret,
                     hr=self.well_balancing_hr, bs=bs_args,
                 )
@@ -464,6 +471,7 @@ class SWEOperator:
             div = cell_div_slotted(
                 a, slotted_flux[0], slotted_flux[1],
                 self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                self.pallas_cd_wl, self.pallas_cd_wr,
                 interpret=self.pallas_interpret,
             )  # [Ct*8, 3, 128]
             flux_div = (
@@ -580,6 +588,7 @@ class SWEOperator:
 
             slotted_flux = edge_flux_slotted(
                 a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
+                self.pallas_wq,
                 ndof=ndof, upwind=upwind, interpret=self.pallas_interpret,
                 hr=self.well_balancing_hr,
             )
@@ -719,7 +728,8 @@ class SWEOperator:
 
             div = cell_div_slotted(
                 a, slotted_flux[0], slotted_flux[1],
-                self.pallas_cd_nsup_l, self.pallas_cd_nsup_r, ncomp=ndof,
+                self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                self.pallas_cd_wl, self.pallas_cd_wr, ncomp=ndof,
                 interpret=self.pallas_interpret,
             )
             flux_div = (

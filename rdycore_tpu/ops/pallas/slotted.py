@@ -60,8 +60,10 @@ class SlottedPlan(NamedTuple):
     order: np.ndarray  # [Ei] original -> sorted interior edge permutation
     ntiles: int
     rrows: int  # R-layout rows per tile (8 when <= 8 colors suffice)
-    nsup: int  # q window size in 8-row supers
+    nsup: int  # per-tile q window size in 8-row supers
+    wq: int  # per-GROUP q window size in supers (shared DMA window)
     ws: np.ndarray  # [ntiles] i32 q-window start (units of 8 rows)
+    gws: np.ndarray  # [ntiles // GT] i32 group window starts (supers)
     supL: np.ndarray  # [ntiles*8, 128] i8 window row of left cell
     supR: np.ndarray  # [ntiles*16, 128] i8 window row of right cell
     m: np.ndarray  # [ntiles*16, 128] i8 align R->L lane shuffle
@@ -78,10 +80,14 @@ class SlottedPlan(NamedTuple):
 
 class CellPlan(NamedTuple):
     ntiles: int  # cell tiles (1024 cells each)
-    nsupL: int  # fluxL window supers
+    nsupL: int  # per-tile fluxL window supers
     nsupR: int
+    wl: int  # per-GROUP fluxL window supers (shared DMA window)
+    wr: int
     wsL: np.ndarray  # [ntiles] i32 fluxL row-window starts (8-row units)
     wsR: np.ndarray
+    gwsL: np.ndarray  # [ntiles // GT] i32 group window starts (supers)
+    gwsR: np.ndarray
     supL: np.ndarray  # [KL, ntiles*8, 128] i32
     cfL: np.ndarray  # [KL, ntiles*8, 128] f32 signed len/area (0 = none)
     supR: np.ndarray  # [KR, ntiles*8, 128] i32
@@ -212,11 +218,21 @@ def build_slotted_plan(
         return None
     slot_row, color, tile_of, ws_tile, need_sup = packed
     ws_rows = ws_tile[tile_of]  # [E] window start of each edge's tile
-    # pad the tile count to a GT multiple (inert tiles: valid = 0)
+    # pad the tile count to a GT multiple; inert tiles inherit the LAST
+    # window start so the shared group window stays tight (a 0 would blow
+    # wq up to the whole mesh)
     ntiles = -(-len(ws_tile) // GT) * GT
     ws_tile = np.concatenate(
-        [ws_tile, np.zeros(ntiles - len(ws_tile), ws_tile.dtype)]
+        [ws_tile, np.full(ntiles - len(ws_tile), ws_tile[-1], ws_tile.dtype)]
     )
+    # group (grid-step) windows: tiles are min-cell sorted so ws is
+    # nondecreasing; the group window = [min ws, max ws + nsup)
+    ws_sup = (ws_tile // 8).astype(np.int32)
+    grp = ws_sup.reshape(-1, GT)
+    gws = grp.min(axis=1).astype(np.int32)
+    wq = int((grp.max(axis=1) - gws).max()) + need_sup
+    if wq > 64:  # scratch budget: 2 * ndof * 64 supers ~ 1.5 MB VMEM
+        return None
 
     # all index planes fit int8: window rows < max_sup*8 <= 32, lanes < 128,
     # row picks < 16 (int8 plan traffic is 1/4 of the round-1 i32 planes)
@@ -254,7 +270,8 @@ def build_slotted_plan(
 
     return SlottedPlan(
         order=order, ntiles=ntiles, rrows=rrows, nsup=need_sup,
-        ws=(ws_tile // 8).astype(np.int32),
+        wq=wq, gws=gws,
+        ws=ws_sup,
         supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
         cn=cn_s, sn=sn_s,
         courant_coef=cc_s, slot_edge=slot_edge,
@@ -303,6 +320,30 @@ def build_cell_plan(
     if nsupL > max_supL or nsupR > max_supR:
         return None
 
+    # cell tiles with no incident edges on a side (padding tiles) inherit
+    # the previous tile's window start so group windows stay tight
+    def _fill_empty(ws, ctiles):
+        mask = np.zeros(Ct, bool)
+        mask[ctiles] = True
+        idx = np.where(mask, np.arange(Ct), -1)
+        np.maximum.accumulate(idx, out=idx)
+        if (idx < 0).any():
+            first = idx[idx >= 0][0] if (idx >= 0).any() else 0
+            idx = np.where(idx >= 0, idx, first)
+        return ws[idx]
+
+    wsL = _fill_empty(wsL, ctile_l)
+    wsR = _fill_empty(wsR, ctile_r)
+    # group (grid-step) shared flux windows
+    grpL = (wsL // 8).reshape(-1, GT)
+    grpR = (wsR // 8).reshape(-1, GT)
+    gwsL = grpL.min(axis=1).astype(np.int32)
+    gwsR = grpR.min(axis=1).astype(np.int32)
+    wl = int((grpL.max(axis=1) - gwsL).max()) + nsupL
+    wr = int((grpR.max(axis=1) - gwsR).max()) + nsupR
+    if wl > 64 or wr > 64:
+        return None
+
     supLc = np.zeros((KL, Ct * 8, 128), np.int8)
     cfL = np.zeros((KL, Ct * 8, 128), np.float32)
     supRc = np.zeros((KR, Ct * 8, 128), np.int8)
@@ -334,14 +375,28 @@ def build_cell_plan(
         return outL, outR
 
     cp = CellPlan(
-        ntiles=Ct, nsupL=nsupL, nsupR=nsupR,
+        ntiles=Ct, nsupL=nsupL, nsupR=nsupR, wl=wl, wr=wr,
         wsL=(wsL // 8).astype(np.int32), wsR=(wsR // 8).astype(np.int32),
+        gwsL=gwsL, gwsR=gwsR,
         supL=supLc, cfL=cfL, supR=supRc, cfR=cfR,
     )
     return cp, slot_coefs
 
 
 # --------------------------------------------------------------- kernels
+
+def _fetch_gather(fetch, sup_idx, comp, nsup):
+    """Sublane-gather one component over nsup window supers, reading each
+    super via fetch(comp, s) (a VMEM-scratch slice)."""
+    acc = jnp.zeros((8, 128), jnp.float32)
+    for s in range(nsup):
+        src = fetch(comp, s)
+        gat = jnp.take_along_axis(
+            src, jnp.clip(sup_idx - s * 8, 0, 7), axis=0
+        )
+        acc = jnp.where((sup_idx >> 3) == s, gat, acc)
+    return acc
+
 
 def _window_gather(q_refs, sup_idx, comp, nsup):
     """Sublane-gather one component over nsup window supers."""
@@ -355,20 +410,45 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
     return acc
 
 
-def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
-                 cn_ref, sn_ref, *rest,
-                 nsup, ndof, upwind, tiny_h, h_anuga, rrows=RROWS,
+def _edge_kernel(ws_ref, gws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
+                 mi_ref, cn_ref, sn_ref, *rest,
+                 nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows=RROWS,
                  hr=False, bs=False):
+    """Group-window edge kernel: ONE q-window DMA of wq supers per grid
+    step (shared by its GT tiles, double-buffered against compute) instead
+    of GT * nsup per-tile fetches — adjacent tiles' windows overlap by
+    (nsup - 1)/nsup, so the shared fetch cuts q HBM traffic ~2x."""
     if hr:
         dzl_ref, dzr_ref = rest[0], rest[1]
         rest = rest[2:]
     if bs:
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
         rest = rest[4:]
-    q_all = rest[: GT * nsup]
-    oL_ref, oA_ref, oR_ref = (
-        rest[GT * nsup], rest[GT * nsup + 1], rest[GT * nsup + 2]
-    )
+    q_hbm = rest[0]
+    oL_ref, oA_ref, oR_ref = rest[1], rest[2], rest[3]
+    qbuf, sem = rest[4], rest[5]
+
+    t = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def _q_dma(slot, tt):
+        rr = pl.multiple_of(gws_ref[tt] * 8, 8)
+        return pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(rr, wq * 8), :], qbuf.at[slot], sem.at[slot]
+        )
+
+    slot = jax.lax.rem(t, jnp.int32(2))
+    nslot = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
+
+    @pl.when(t == 0)
+    def _():
+        _q_dma(0, 0).start()
+
+    @pl.when(t + 1 < nsteps)
+    def _():
+        _q_dma(nslot, t + 1).start()
+
+    _q_dma(slot, t).wait()
 
     # int8 plan blocks -> i32 once per grid step (sublane-slicing i8 at
     # 8-row granularity straddles the (32, 128) i8 tile, so widen first)
@@ -383,7 +463,11 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
         r8 = slice(gt * 8, gt * 8 + 8)
         rA = slice(gt * rrows, gt * rrows + 8)
         rB = slice(gt * rrows + 8, gt * rrows + 16)
-        q_refs = q_all[gt * nsup : (gt + 1) * nsup]
+        off = (ws_ref[t * GT + gt] - gws_ref[t]) * 8  # 8-row aligned
+
+        def fetch(comp, sup_s):
+            return qbuf[slot, comp, pl.ds(off + sup_s * 8, 8), :]
+
         supL = supL_all[r8, :]
         supR0 = supR_all[rA, :]
         mm0 = m_all[rA, :]
@@ -394,12 +478,12 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
 
         qs = []
         for comp in range(ndof):
-            qL = _window_gather(q_refs, supL, comp, nsup)
-            z1a = _window_gather(q_refs, supR0, comp, nsup)
+            qL = _fetch_gather(fetch, supL, comp, nsup)
+            z1a = _fetch_gather(fetch, supR0, comp, nsup)
             z2a = jnp.take_along_axis(z1a, mm0, axis=1)
             ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
             if rrows == 16:
-                z1b = _window_gather(q_refs, supR1, comp, nsup)
+                z1b = _fetch_gather(fetch, supR1, comp, nsup)
                 z2b = jnp.take_along_axis(z1b, mm1, axis=1)
                 yb = jnp.take_along_axis(
                     z2b, jnp.clip(g - 8, 0, 7), axis=0
@@ -492,8 +576,8 @@ def _edge_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref, mi_ref,
 
 
 def edge_flux_slotted(
-    arrays, q, tiny_h, h_anuga, nsup, ndof=3, upwind=False, interpret=False,
-    hr=False, bs=None,
+    arrays, q, tiny_h, h_anuga, nsup, wq, ndof=3, upwind=False,
+    interpret=False, hr=False, bs=None,
 ):
     """Run the slot-routed edge kernel.
 
@@ -513,47 +597,48 @@ def edge_flux_slotted(
     if C % 128:
         q32 = jnp.pad(q32, ((0, 0), (0, Crows * 128 - C)))
     q2d = jnp.pad(
-        q32.reshape(ndof, Crows, 128), ((0, 0), (0, nsup * 8 + 8), (0, 0))
+        q32.reshape(ndof, Crows, 128), ((0, 0), (0, wq * 8 + 8), (0, 0))
     )
 
     in_specs = [
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL i8
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR i8
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m i8
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g i8
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi i8
-        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi i8
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # cn
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # sn
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # supL i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws, gw: (t, 0)),  # supR i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws, gw: (t, 0)),  # m i8
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # g i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws, gw: (t, 0)),  # gi i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws, gw: (t, 0)),  # mi i8
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # cn
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # sn
     ] + ([
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # hr dzl
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # hr dzr
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # hr dzl
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # hr dzr
     ] if hr else []) + ([
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs etab
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs etae
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs zvb
-        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # bs zve
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # bs etab
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # bs etae
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # bs zvb
+        pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),      # bs zve
     ] if bs is not None else []) + [
-        pl.BlockSpec(
-            (ndof, 8, 128),
-            lambda t, ws, g=g, s=s: (0, ws[t * GT + g] + s, 0),
-        )
-        for g in range(GT)
-        for s in range(nsup)
+        pl.BlockSpec(memory_space=pltpu.ANY),  # q2d (group-window DMA)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nsteps,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((GT * 8, ndof, 128), lambda t, ws: (t, 0, 0)),
-            pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),
-            pl.BlockSpec((GT * rrows, ndof, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, ndof, 128), lambda t, ws, gw: (t, 0, 0)),
+            pl.BlockSpec((GT * 8, 128), lambda t, ws, gw: (t, 0)),
+            pl.BlockSpec(
+                (GT * rrows, ndof, 128), lambda t, ws, gw: (t, 0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ndof, wq * 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     f = pl.pallas_call(
         functools.partial(
-            _edge_kernel, nsup=nsup, ndof=ndof, upwind=bool(upwind),
+            _edge_kernel, nsup=nsup, wq=wq, ndof=ndof, upwind=bool(upwind),
             tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
             hr=bool(hr), bs=bs is not None,
         ),
@@ -574,19 +659,51 @@ def edge_flux_slotted(
         if bs is not None else ()
     )
     fluxL, amax, fluxR = f(
-        arrays.pl_ws, supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
-        arrays.pl_gi, arrays.pl_mi,
+        arrays.pl_ws, arrays.pl_gws, supL, arrays.pl_supR, arrays.pl_m,
+        arrays.pl_g, arrays.pl_gi, arrays.pl_mi,
         arrays.pl_cn, arrays.pl_sn, *hr_args, *bs_args,
-        *([q2d] * (GT * nsup)),
+        q2d,
     )
     return fluxL, fluxR, amax
 
 
-def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
-                 nsupL, nsupR, KL, KR, ncomp):
-    fL_all = rest[: GT * nsupL]
-    fR_all = rest[GT * nsupL : GT * (nsupL + nsupR)]
-    o_ref = rest[GT * (nsupL + nsupR)]
+def _cell_kernel(wsl_ref, wsr_ref, gwl_ref, gwr_ref,
+                 sL_ref, cL_ref, sR_ref, cR_ref, fL_hbm, fR_hbm,
+                 o_ref, flbuf, frbuf, semL, semR, *,
+                 nsupL, nsupR, KL, KR, ncomp, wl, wr):
+    """Group-window divergence: ONE fluxL + ONE fluxR DMA window per grid
+    step (shared by GT cell tiles, double-buffered) — round-1 read each
+    fluxR byte ~3x through overlapping per-tile windows."""
+    t = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    def _dma(slot, tt):
+        rl = pl.multiple_of(gwl_ref[tt] * 8, 8)
+        rr = pl.multiple_of(gwr_ref[tt] * 8, 8)
+        return (
+            pltpu.make_async_copy(
+                fL_hbm.at[pl.ds(rl, wl * 8)], flbuf.at[slot], semL.at[slot]
+            ),
+            pltpu.make_async_copy(
+                fR_hbm.at[pl.ds(rr, wr * 8)], frbuf.at[slot], semR.at[slot]
+            ),
+        )
+
+    slot = jax.lax.rem(t, jnp.int32(2))
+    nslot = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
+
+    @pl.when(t == 0)
+    def _():
+        for d in _dma(0, 0):
+            d.start()
+
+    @pl.when(t + 1 < nsteps)
+    def _():
+        for d in _dma(nslot, t + 1):
+            d.start()
+
+    for d in _dma(slot, t):
+        d.wait()
 
     # widen the int8 slot planes once (i8 sublane slices straddle tiles)
     sL_all = sL_ref[:].astype(jnp.int32)
@@ -594,31 +711,31 @@ def _cell_kernel(wsl_ref, wsr_ref, sL_ref, cL_ref, sR_ref, cR_ref, *rest,
 
     for gt in range(GT):
         r8 = slice(gt * 8, gt * 8 + 8)
+        offL = (wsl_ref[t * GT + gt] - gwl_ref[t]) * 8
+        offR = (wsr_ref[t * GT + gt] - gwr_ref[t]) * 8
         acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ncomp)]
 
-        def side(refs, s_all, c_ref, K, nsup):
+        def side(buf, off, s_all, c_ref, K, nsup):
             for k in range(K):
                 sup = s_all[k, r8]
                 cf = c_ref[k, r8]
                 for comp in range(ncomp):
                     gat = jnp.zeros((8, 128), jnp.float32)
                     for s in range(nsup):
-                        src = refs[s][:, comp, :]
+                        src = buf[slot, pl.ds(off + s * 8, 8), comp, :]
                         gg = jnp.take_along_axis(
                             src, jnp.clip(sup - s * 8, 0, 7), axis=0
                         )
                         gat = jnp.where((sup >> 3) == s, gg, gat)
                     acc[comp] = acc[comp] + gat * cf
 
-        side(fL_all[gt * nsupL : (gt + 1) * nsupL], sL_all, cL_ref,
-             KL, nsupL)
-        side(fR_all[gt * nsupR : (gt + 1) * nsupR], sR_all, cR_ref,
-             KR, nsupR)
+        side(flbuf, offL, sL_all, cL_ref, KL, nsupL)
+        side(frbuf, offR, sR_all, cR_ref, KR, nsupR)
         for comp in range(ncomp):
             o_ref[r8, comp, :] = acc[comp]
 
 
-def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
+def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, wl, wr, ncomp=3,
                      interpret=False):
     """Flux divergence from the two slotted flux layouts.
 
@@ -629,41 +746,35 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
     KR = arrays.pl_cd_supR.shape[0]
     Ct = RcL // 8
     nsteps = Ct // GT
-    fluxL = jnp.pad(fluxL, ((0, nsupL * 8 + 8), (0, 0), (0, 0)))
-    fluxR = jnp.pad(fluxR, ((0, nsupR * 8 + RROWS), (0, 0), (0, 0)))
+    fluxL = jnp.pad(fluxL, ((0, wl * 8 + 8), (0, 0), (0, 0)))
+    fluxR = jnp.pad(fluxR, ((0, wr * 8 + RROWS), (0, 0), (0, 0)))
 
     in_specs = [
-        pl.BlockSpec((KL, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KL, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
-        pl.BlockSpec((KR, GT * 8, 128), lambda t, wl, wr: (0, t, 0)),
-    ] + [
-        pl.BlockSpec(
-            (8, ncomp, 128),
-            lambda t, wl, wr, g=g, s=s: (wl[t * GT + g] + s, 0, 0),
-        )
-        for g in range(GT)
-        for s in range(nsupL)
-    ] + [
-        pl.BlockSpec(
-            (8, ncomp, 128),
-            lambda t, wl, wr, g=g, s=s: (wr[t * GT + g] + s, 0, 0),
-        )
-        for g in range(GT)
-        for s in range(nsupR)
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # fluxL (group-window DMA)
+        pl.BlockSpec(memory_space=pltpu.ANY),  # fluxR
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(nsteps,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (GT * 8, ncomp, 128), lambda t, wl, wr: (t, 0, 0)
+            (GT * 8, ncomp, 128), lambda t, a, b, c, d: (t, 0, 0)
         ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wl * 8, ncomp, 128), jnp.float32),
+            pltpu.VMEM((2, wr * 8, ncomp, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     f = pl.pallas_call(
         functools.partial(
             _cell_kernel, nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR,
-            ncomp=ncomp,
+            ncomp=ncomp, wl=wl, wr=wr,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Ct * 8, ncomp, 128), jnp.float32),
@@ -674,9 +785,10 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, ncomp=3,
     )
     return f(
         arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_cd_gwsL, arrays.pl_cd_gwsR,
         arrays.pl_cd_supL, arrays.pl_cd_cfL,
         arrays.pl_cd_supR, arrays.pl_cd_cfR,
-        *([fluxL] * (GT * nsupL)), *([fluxR] * (GT * nsupR)),
+        fluxL, fluxR,
     )
 
 
@@ -1239,12 +1351,14 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     )
     plan_np = dict(
         pl_ws=plan.ws,
+        pl_gws=plan.gws,
         pl_supL=plan.supL, pl_supR=plan.supR,
         pl_m=plan.m, pl_g=plan.g, pl_gi=plan.gi, pl_mi=plan.mi,
         pl_cn=plan.cn, pl_sn=plan.sn,
         pl_courant_coef=plan.courant_coef,
         pl_slot_edge=plan.slot_edge,
         pl_cd_wsL=cell_plan.wsL, pl_cd_wsR=cell_plan.wsR,
+        pl_cd_gwsL=cell_plan.gwsL, pl_cd_gwsR=cell_plan.gwsR,
         pl_cd_supL=cell_plan.supL, pl_cd_cfL=cell_plan.cfL,
         pl_cd_supR=cell_plan.supR, pl_cd_cfR=cell_plan.cfR,
         **hr_np,
@@ -1252,6 +1366,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     )
     meta = dict(
         nsup=plan.nsup, nsupL=cell_plan.nsupL, nsupR=cell_plan.nsupR,
+        wq=plan.wq, wl=cell_plan.wl, wr=cell_plan.wr,
         order=order,  # original -> sorted interior edge permutation
         eposL=plan.eposL,  # sorted edge -> L-layout flat slot position
         ntiles=plan.ntiles,
@@ -1264,6 +1379,8 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
 # rows < 32, lanes < 128, row picks < 16), quartering their HBM traffic
 _PLAN_DTYPES = {
     "pl_ws": np.int32,
+    "pl_gws": np.int32,
+    "pl_cd_gwsL": np.int32, "pl_cd_gwsR": np.int32,
     "pl_supL": np.int8, "pl_supR": np.int8,
     "pl_m": np.int8, "pl_g": np.int8, "pl_gi": np.int8, "pl_mi": np.int8,
     "pl_slot_edge": np.int32,
@@ -1380,8 +1497,11 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         host_arrays=host2,
         edge_flux_backend="pallas",
         pallas_nsup=meta["nsup"],
+        pallas_wq=meta["wq"],
         pallas_cd_nsup_l=meta["nsupL"],
         pallas_cd_nsup_r=meta["nsupR"],
+        pallas_cd_wl=meta["wl"],
+        pallas_cd_wr=meta["wr"],
         pallas_bs_meta=bs_meta,
         pallas_interpret=interpret,
     )

@@ -100,6 +100,8 @@ def _stack_bs_plans(plans):
 def _stack_shard_plans(plans):
     """Pad per-shard slot plans to common tile/K counts and stack them on a
     leading shard axis (shard_map strips it back off per device)."""
+    from ..ops.pallas.slotted import GT as GT_
+
     keys = plans[0].keys()
     T = max(p["pl_supL"].shape[0] // 8 for p in plans)
     Ks = {
@@ -114,13 +116,19 @@ def _stack_shard_plans(plans):
             v = p[k]
             ntiles_p = p["pl_supL"].shape[0] // 8
             if k == "pl_ws":
-                w = np.zeros(T, v.dtype)
+                # pad with the LAST window start (a zero would make the
+                # padded tiles' group offsets negative / windows huge)
+                w = np.full(T, v[-1], v.dtype)
+                w[: len(v)] = v
+            elif k == "pl_gws":
+                w = np.full(T // GT_, v[-1], v.dtype)
                 w[: len(v)] = v
             elif k == "pl_slot_edge":
                 w = np.full(T * 1024, -1, v.dtype)
                 w[: len(v)] = v
-            elif k in ("pl_cd_wsL", "pl_cd_wsR"):
-                w = v  # [Ct] -- C_loc is uniform across shards
+            elif k in ("pl_cd_wsL", "pl_cd_wsR", "pl_cd_gwsL",
+                       "pl_cd_gwsR"):
+                w = v  # [Ct] / [Ct//GT] -- C_loc is uniform across shards
             elif v.ndim == 3:  # [K, Ct*8, 128] cell-plan array
                 w = np.zeros((Ks[k],) + v.shape[1:], v.dtype)
                 w[: v.shape[0]] = v
@@ -731,8 +739,11 @@ class ShardedSWE:
                 )
                 self._pallas_meta = dict(
                     nsup=max(m["nsup"] for _, _, m in per_shard),
+                    wq=max(m["wq"] for _, _, m in per_shard),
                     nsupL=max(m["nsupL"] for _, _, m in per_shard),
                     nsupR=max(m["nsupR"] for _, _, m in per_shard),
+                    wl=max(m["wl"] for _, _, m in per_shard),
+                    wr=max(m["wr"] for _, _, m in per_shard),
                 )
                 if bs2002:
                     from ..ops.swe.bs2002 import bs_plan_to_device
@@ -847,8 +858,11 @@ class ShardedSWE:
             pallas_op = dict(
                 edge_flux_backend="pallas",
                 pallas_nsup=self._pallas_meta["nsup"],
+                pallas_wq=self._pallas_meta["wq"],
                 pallas_cd_nsup_l=self._pallas_meta["nsupL"],
                 pallas_cd_nsup_r=self._pallas_meta["nsupR"],
+                pallas_cd_wl=self._pallas_meta["wl"],
+                pallas_cd_wr=self._pallas_meta["wr"],
                 pallas_bs_meta=self._pallas_meta.get("bs", ()),
                 pallas_interpret=self._pallas_interpret,
             )
