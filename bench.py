@@ -9,12 +9,18 @@ materialized 24B, sources/geometry ~24B), against ~819 GB/s on TPU v5e
 -> ~1.1e10 cell-updates/s/chip ideal; we use 4.0e9 as the practical
 baseline (flux arrays + RK bookkeeping make ~200 B/cell realistic).
 
-Modes (env): BENCH_MODE=structured (default, flagship raster path) |
-unstructured (general gather path) | sharded (multi-device shard_map over
-BENCH_SHARDS devices); BENCH_NX/BENCH_NY/BENCH_STEPS; BENCH_CPU=1 to
-force CPU.
+Modes (env): BENCH_MODE=fused (flagship fused structured Pallas kernel) |
+structured (XLA raster path) | pallas (general unstructured slot-routed
+Pallas path — realistic .exo-mesh configurations run THIS path) | sharded
+(multi-device shard_map over BENCH_SHARDS devices);
+BENCH_NX/BENCH_NY/BENCH_STEPS; BENCH_CPU=1 to force CPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Default (no BENCH_MODE): runs the flagship fused mode AND the general
+unstructured pallas mode, reporting the flagship as the headline value
+with the unstructured number alongside it in the same JSON line.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"[,
+"unstructured_value", "unstructured_vs_baseline"]}.
 """
 
 import json
@@ -32,52 +38,31 @@ import numpy as np
 # roofline ~1.1e10, docstring above).
 BASELINE = 1.22e9
 
+_results = {}  # mode -> updates/s, shared with the watchdog handler
 
-def main():
-    # watchdog: the axon TPU relay can wedge (remote-compile service
-    # outages); die loudly instead of hanging the driver
-    import signal
 
-    def _timeout(signum, frame):
-        print(
-            "# bench watchdog expired (TPU relay hung?); no result",
-            file=sys.stderr,
-        )
-        os._exit(3)
+def _emit(nx, ny, n_steps, headline):
+    """Print the one-line JSON result (headline mode + any extra modes)."""
+    if headline not in _results:
+        return False
+    v = _results[headline]
+    out = {
+        "metric": f"swe_cell_updates_per_sec_per_chip_{headline}",
+        "value": round(v, 1),
+        "unit": "cell-updates/s",
+        "vs_baseline": round(v / BASELINE, 4),
+    }
+    if "pallas" in _results and headline != "pallas":
+        u = _results["pallas"]
+        out["unstructured_value"] = round(u, 1)
+        out["unstructured_vs_baseline"] = round(u / BASELINE, 4)
+    print(json.dumps(out))
+    return True
 
-    signal.signal(signal.SIGALRM, _timeout)
-    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", 540)))
 
+def measure(mode, nx, ny, n_steps, dt, cache_dir):
     import jax
-
-    if os.environ.get("BENCH_CPU"):
-        jax.config.update("jax_platforms", "cpu")
-    # persistent compilation cache: the axon remote-compile service is
-    # intermittently slow/wedged; once a size compiles, later runs reuse it
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
     import jax.numpy as jnp
-
-    nx = int(os.environ.get("BENCH_NX", 2048))
-    ny = int(os.environ.get("BENCH_NY", 1408))
-    n_steps = int(os.environ.get("BENCH_STEPS", 500))
-    dt = 5e-5  # stable for dx = 2 mm, h <= 10 m (c ~ 10 m/s)
-
-    # default mode: the fused Pallas kernel once its compile is known to be
-    # in the persistent cache (a cold pallas compile through a degraded
-    # remote-compile service can exceed the watchdog); structured otherwise.
-    # A successful fused run drops a marker, arming future runs.
-    ty_default = int(os.environ.get("BENCH_TY", 64))
-    marker = os.path.join(cache_dir, f"fused_ok_{nx}x{ny}_ty{ty_default}")
-    default_mode = "fused" if os.path.exists(marker) else "structured"
-    mode = os.environ.get("BENCH_MODE", default_mode)
 
     t_build = time.time()
     if mode == "structured":
@@ -145,8 +130,8 @@ def main():
         dzx_a = zgeo
         dzy_a = zgeo
         mann_a = jnp.asarray(pad_plane(mann2d, ty))
-        state = (hp, jnp.asarray(pad_plane(zpln, ty)),
-                 jnp.asarray(pad_plane(zpln, ty)))
+        q0 = (hp, jnp.asarray(pad_plane(zpln, ty)),
+              jnp.asarray(pad_plane(zpln, ty)))
 
         if geo_const:
             def run(state, n):
@@ -160,11 +145,6 @@ def main():
                     h, hu, hv, 0.0, dt, n, 1e9, dzx_a, dzy_a, mann_a
                 )
                 return (h, hu, hv), cmax
-
-        q0 = state
-
-        def _finite(s):
-            return np.isfinite(np.asarray(s[0])[GR:-GR, GC:-GC]).all()
     elif mode == "pallas":
         from rdycore_tpu.mesh import structured_quad
         from rdycore_tpu.operator import build_operator
@@ -217,7 +197,7 @@ def main():
         def run(q, n):
             q_out, t_out, cmax, _ = adv(q, 0.0, dt, n, 1e9, bv, es)
             return q_out, cmax
-    else:
+    else:  # plain XLA unstructured gather path
         from rdycore_tpu.mesh import structured_quad
         from rdycore_tpu.operator import build_operator
         from rdycore_tpu.timestepping import make_interval_advancer
@@ -247,6 +227,10 @@ def main():
 
     def finite(q):
         arr = q[0] if isinstance(q, tuple) else q
+        if mode == "fused":
+            from rdycore_tpu.ops.pallas.structured_step import GC, GR
+
+            return np.isfinite(np.asarray(arr)[GR:-GR, GC:-GC]).all()
         return np.isfinite(np.asarray(arr)).all()
 
     # warm-up/compile (the reference uses -preload similarly)
@@ -263,6 +247,8 @@ def main():
     assert finite(q), "bench produced non-finite state"
 
     if mode == "fused":
+        ty = int(os.environ.get("BENCH_TY", 64))
+        marker = os.path.join(cache_dir, f"fused_ok_{nx}x{ny}_ty{ty}")
         try:
             os.makedirs(cache_dir, exist_ok=True)
             open(marker, "w").close()
@@ -270,19 +256,81 @@ def main():
             pass
 
     updates_per_s = n_steps * C / elapsed
-    out = {
-        "metric": f"swe_cell_updates_per_sec_per_chip_{mode}",
-        "value": round(updates_per_s, 1),
-        "unit": "cell-updates/s",
-        "vs_baseline": round(updates_per_s / BASELINE, 4),
-    }
-    print(json.dumps(out))
     print(
         f"# mode={mode} mesh {nx}x{ny} = {C} cells, {n_steps} steps in "
         f"{elapsed:.3f}s (compile {compile_s:.1f}s, build {build_s:.1f}s), "
         f"max_courant={float(cmax):.3f}",
         file=sys.stderr,
     )
+    return updates_per_s
+
+
+def main():
+    nx = int(os.environ.get("BENCH_NX", 2048))
+    ny = int(os.environ.get("BENCH_NY", 1408))
+    n_steps = int(os.environ.get("BENCH_STEPS", 500))
+    dt = 5e-5  # stable for dx = 2 mm, h <= 10 m (c ~ 10 m/s)
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    ty_default = int(os.environ.get("BENCH_TY", 64))
+    marker = os.path.join(cache_dir, f"fused_ok_{nx}x{ny}_ty{ty_default}")
+    # flagship mode: the fused Pallas kernel once its compile is known to be
+    # in the persistent cache (a cold pallas compile through a degraded
+    # remote-compile service can exceed the watchdog); structured otherwise.
+    # A successful fused run drops a marker, arming future runs.
+    mode_env = os.environ.get("BENCH_MODE")
+    if mode_env:
+        modes = [mode_env]
+    else:
+        modes = ["fused" if os.path.exists(marker) else "structured",
+                 "pallas"]
+    headline = modes[0]
+
+    # watchdog: the axon TPU relay can wedge (remote-compile service
+    # outages); emit whatever was measured, or die loudly, instead of
+    # hanging the driver
+    import signal
+
+    def _timeout(signum, frame):
+        if _emit(nx, ny, n_steps, headline):
+            print("# bench watchdog expired after headline mode; "
+                  "partial result emitted", file=sys.stderr)
+            os._exit(0)
+        print(
+            "# bench watchdog expired (TPU relay hung?); no result",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+    signal.signal(signal.SIGALRM, _timeout)
+    signal.alarm(int(os.environ.get("BENCH_TIMEOUT", 540)))
+
+    import jax
+
+    if os.environ.get("BENCH_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the axon remote-compile service is
+    # intermittently slow/wedged; once a size compiles, later runs reuse it
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    for m in modes:
+        try:
+            _results[m] = measure(m, nx, ny, n_steps, dt, cache_dir)
+        except Exception as e:  # secondary-mode failures must not mask
+            print(f"# mode {m} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            if m == headline:
+                raise
+
+    if not _emit(nx, ny, n_steps, headline):
+        sys.exit(3)
 
 
 if __name__ == "__main__":

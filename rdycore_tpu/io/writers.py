@@ -31,6 +31,38 @@ _FIELD_COMPONENTS = {
 DEFAULT_FIELDS = ["Height", "MomentumX", "MomentumY"]
 
 
+def output_filename(cfg, directory, prefix, step, t, suffix):
+    """Reference filename conventions (rdyadvance.c:65-151):
+
+    - when time.date ("YYYY-MM-DD-hh:mm:ss", sscanf'd leniently like
+      yaml_input.c:948) is set: '<prefix>.YYYY-MM-DD.hh.mm.ss.<suffix>'
+      at simulation date + t seconds (GenerateTimestampedFilename);
+    - otherwise '<prefix>-<step 0-padded to digits of stop_n>.<suffix>'
+      (GenerateIndexedFilename).
+    """
+    if cfg.time.date:
+        import datetime as _dt
+        import re
+
+        nums = [int(x) for x in re.findall(r"\d+", cfg.time.date)[:6]]
+        nums += [0] * (6 - len(nums))
+        y, mo, d, hh, mm, ss = nums
+        stamp = _dt.datetime(y, mo, d, hh, mm, ss) + _dt.timedelta(
+            seconds=float(t)
+        )
+        name = (
+            f"{prefix}.{stamp.year:04d}-{stamp.month:02d}-{stamp.day:02d}"
+            f".{stamp.hour:02d}.{stamp.minute:02d}.{stamp.second:02d}"
+            f".{suffix}"
+        )
+    else:
+        import math
+
+        nd = int(math.log10(max(cfg.time.stop_n or 1, 1))) + 1
+        name = f"{prefix}-{step:0{nd}d}.{suffix}"
+    return os.path.join(directory, name)
+
+
 def attach_output_monitors(sim: "Simulation") -> None:
     cfg = sim.config
     if cfg.output.format == "xdmf":
@@ -136,7 +168,15 @@ class XDMFWriter:
 
     def _h5_for_snapshot(self, index: int) -> str:
         """Heavy data is split into files of batch_size snapshots
-        (xdmf_output.c batch behavior); the grid lives in its own file."""
+        (xdmf_output.c batch behavior); the grid lives in its own file.
+        With batch_size 1 and a simulation start date, each snapshot's
+        file is timestamped instead (DetermineOutputFile,
+        rdyadvance.c:117-125)."""
+        if self.batch_size == 1 and self.sim.config.time.date:
+            t = self._times[index] if index < len(self._times) else self.sim.t
+            return output_filename(
+                self.sim.config, self.dir, self.prefix, index, t, "h5"
+            )
         batch = index // self.batch_size
         return os.path.join(self.dir, f"{self.prefix}.{batch:03d}.h5")
 
@@ -240,7 +280,9 @@ class BinaryWriter:
         sol = sim.get_solution()  # [ndof, C]
         nat = np.argsort(sim.get_natural_ids())
         blocked = sol[:, nat].T.reshape(-1)  # cell-blocked, natural order
-        path = os.path.join(self.dir, f"{self.prefix}-{sim.step:04d}.bin")
+        path = output_filename(
+            sim.config, self.dir, self.prefix, sim.step, sim.t, "bin"
+        )
         write_petsc_vec(path, blocked)
 
 

@@ -112,6 +112,11 @@ class OperatorArrays(NamedTuple):
     pl_cd_cfL: jnp.ndarray = None  # [KL, ctiles*8, 128] f32
     pl_cd_supR: jnp.ndarray = None
     pl_cd_cfR: jnp.ndarray = None
+    # streaming fused edge+cell schedule (ops/pallas/slotted.py
+    # FusedSchedule; None -> two-kernel fallback)
+    pl_fs_eg: jnp.ndarray = None  # [nsteps] i32 edge-group block index
+    pl_fs_cg: jnp.ndarray = None  # [nsteps] i32 cell-group output index
+    pl_fs_doc: jnp.ndarray = None  # [nsteps] i32 1 = compute a cell group
     # hydrostatic-reconstruction plan arrays (None unless well_balancing_hr)
     pl_hr_dzl: jnp.ndarray = None  # slotted zmax - zL per edge [R8, 128]
     pl_hr_dzr: jnp.ndarray = None
@@ -197,6 +202,9 @@ class SWEOperator:
     pallas_cd_nsup_r: int = 0
     pallas_cd_wl: int = 0  # group fluxL window supers
     pallas_cd_wr: int = 0
+    # streaming fused kernel meta (nsteps, negrp, nringL, nringR); empty
+    # tuple -> use the separate edge + divergence kernels
+    pallas_fused_meta: tuple = ()
     pallas_bs_meta: tuple = ()  # BS2002 route/accumulate window supers
     pallas_interpret: bool = False
 
@@ -286,6 +294,26 @@ class SWEOperator:
                     self, q, interpret=self.pallas_interpret, bs=bs_args
                 )
             else:
+                if self.pallas_fused_meta and a.pl_fs_cg is not None:
+                    from .ops.pallas.slotted import (
+                        FusedSchedule, fused_rhs_slotted,
+                    )
+
+                    sched = FusedSchedule(
+                        *self.pallas_fused_meta, None, None, None
+                    )
+                    div, cmax8, cidx8 = fused_rhs_slotted(
+                        a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
+                        self.pallas_wq, sched,
+                        self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                        interpret=self.pallas_interpret,
+                        hr=self.well_balancing_hr, bs=bs_args,
+                    )
+                    return self._finish_apply(
+                        q, dt, boundary_values, ext_src,
+                        None, None, None, None,
+                        fused=(div, cmax8, cidx8), eta_v=eta_v,
+                    )
                 from .ops.pallas.slotted import edge_flux_slotted
 
                 fluxL, fluxR, amax = edge_flux_slotted(
@@ -384,7 +412,7 @@ class SWEOperator:
 
     def _finish_apply(
         self, q, dt, boundary_values, ext_src, fi_h, fi_hu, fi_hv, amax_i,
-        eta_v=None, slotted_flux=None,
+        eta_v=None, slotted_flux=None, fused=None,
     ) -> RHSResult:
         """Boundary fluxes + cell gather + Courant + sources (shared by the
         XLA and Pallas interior-flux backends)."""
@@ -462,18 +490,23 @@ class SWEOperator:
             )
 
         # ---- cell gather of edge fluxes --------------------------------
-        if slotted_flux is not None:
-            # Pallas divergence kernel over the two slotted flux layouts;
-            # boundary contributions land via a small scatter-add (Eb <<
-            # C updates -- no large XLA gather on the hot path)
-            from .ops.pallas.slotted import cell_div_slotted
+        if fused is not None or slotted_flux is not None:
+            if fused is not None:
+                # streaming fused kernel already produced the divergence
+                div = fused[0]
+            else:
+                # Pallas divergence kernel over the two slotted flux
+                # layouts; boundary contributions land via a small
+                # scatter-add (Eb << C updates -- no large XLA gather on
+                # the hot path)
+                from .ops.pallas.slotted import cell_div_slotted
 
-            div = cell_div_slotted(
-                a, slotted_flux[0], slotted_flux[1],
-                self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
-                self.pallas_cd_wl, self.pallas_cd_wr,
-                interpret=self.pallas_interpret,
-            )  # [Ct*8, 3, 128]
+                div = cell_div_slotted(
+                    a, slotted_flux[0], slotted_flux[1],
+                    self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                    self.pallas_cd_wl, self.pallas_cd_wr,
+                    interpret=self.pallas_interpret,
+                )  # [Ct*8, 3, 128]
             flux_div = (
                 div.transpose(1, 0, 2)
                 .reshape(3, -1)[:, : self.num_cells]
@@ -494,11 +527,18 @@ class SWEOperator:
             flux_div = flux_div + self._hr_pressure_correction(q, dtype)
 
         # ---- Courant diagnostics ---------------------------------------
-        if slotted_flux is not None:
+        if fused is not None or slotted_flux is not None:
             Ei = self.num_internal_edges
-            ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
-            mi = ci.max()
-            ei = a.pl_slot_edge[jnp.argmax(ci)]
+            if fused is not None:
+                # the fused kernel folded amax*coef and the linear slot
+                # index down to an (8, 128) block
+                cm = fused[1].reshape(-1)
+                mi = cm.max()
+                ei = a.pl_slot_edge[fused[2].reshape(-1)[jnp.argmax(cm)]]
+            else:
+                ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
+                mi = ci.max()
+                ei = a.pl_slot_edge[jnp.argmax(ci)]
             if self.num_boundary_edges:
                 cb = amax_b.astype(jnp.float32) * jnp.asarray(
                     a.edge_courant_coef[Ei:], jnp.float32
@@ -584,6 +624,26 @@ class SWEOperator:
         )
         slotted_flux = None
         if use_pallas:
+            if self.pallas_fused_meta and a.pl_fs_cg is not None:
+                from .ops.pallas.slotted import (
+                    FusedSchedule, fused_rhs_slotted,
+                )
+
+                sched = FusedSchedule(
+                    *self.pallas_fused_meta, None, None, None
+                )
+                fused = fused_rhs_slotted(
+                    a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
+                    self.pallas_wq, sched,
+                    self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                    ndof=ndof, upwind=upwind,
+                    interpret=self.pallas_interpret,
+                    hr=self.well_balancing_hr,
+                )
+                return self._finish_tracer(
+                    q, dt, boundary_values, ext_src, None, None, None,
+                    fused=fused,
+                )
             from .ops.pallas.slotted import edge_flux_slotted
 
             slotted_flux = edge_flux_slotted(
@@ -656,7 +716,8 @@ class SWEOperator:
         )
 
     def _finish_tracer(
-        self, q, dt, boundary_values, ext_src, fi, amax_i, slotted_flux
+        self, q, dt, boundary_values, ext_src, fi, amax_i, slotted_flux,
+        fused=None,
     ) -> RHSResult:
         from .ops.tracer.flux import safe_div, tracer_roe_flux
         from .ops.tracer.sources import SedimentParams, tracer_source_terms
@@ -723,15 +784,18 @@ class SWEOperator:
             amax_b = jnp.zeros((0,), dtype)
 
         # ---- cell gather ---------------------------------------------------
-        if slotted_flux is not None:
-            from .ops.pallas.slotted import cell_div_slotted
+        if fused is not None or slotted_flux is not None:
+            if fused is not None:
+                div = fused[0]
+            else:
+                from .ops.pallas.slotted import cell_div_slotted
 
-            div = cell_div_slotted(
-                a, slotted_flux[0], slotted_flux[1],
-                self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
-                self.pallas_cd_wl, self.pallas_cd_wr, ncomp=ndof,
-                interpret=self.pallas_interpret,
-            )
+                div = cell_div_slotted(
+                    a, slotted_flux[0], slotted_flux[1],
+                    self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                    self.pallas_cd_wl, self.pallas_cd_wr, ncomp=ndof,
+                    interpret=self.pallas_interpret,
+                )
             flux_div = (
                 div.transpose(1, 0, 2)
                 .reshape(ndof, -1)[:, : self.num_cells]
@@ -756,11 +820,16 @@ class SWEOperator:
             flux_div = flux_div.at[:3].add(corr)
 
         # ---- Courant diagnostics -------------------------------------------
-        if slotted_flux is not None:
+        if fused is not None or slotted_flux is not None:
             Ei = self.num_internal_edges
-            ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
-            mi = ci.max()
-            ei = a.pl_slot_edge[jnp.argmax(ci)]
+            if fused is not None:
+                cm = fused[1].reshape(-1)
+                mi = cm.max()
+                ei = a.pl_slot_edge[fused[2].reshape(-1)[jnp.argmax(cm)]]
+            else:
+                ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
+                mi = ci.max()
+                ei = a.pl_slot_edge[jnp.argmax(ci)]
             if self.num_boundary_edges:
                 cb = amax_b.astype(jnp.float32) * jnp.asarray(
                     a.edge_courant_coef[Ei:], jnp.float32

@@ -49,9 +49,14 @@ from ..swe.riemann import regularized_velocity, roe_flux
 
 TE = 1024  # L-slots (edges) per tile: 8 rows x 128 lanes
 RROWS = 16  # R-layout rows per tile
-GT = 8  # tiles per pallas grid step (amortizes ~0.6us/step sequencing
-        # overhead; tile counts are padded to a GT multiple with inert
-        # tiles: valid=0 zeroes their fluxes, coef=0 their divergence)
+# tiles per pallas grid step: amortizes per-step sequencing + per-stream
+# DMA issue overhead (measured ~3.6 us/grid-step at GT=8 against ~1 us of
+# compute — the kernels are overhead-bound, not HBM-bound); tile counts
+# are padded to a GT multiple with inert tiles (valid=0 zeroes their
+# fluxes, coef=0 their divergence). Env-tunable for benchmarking.
+import os as _os
+
+GT = int(_os.environ.get("RDYTPU_GT", 8))
 
 
 class SlottedPlan(NamedTuple):
@@ -410,6 +415,89 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
     return acc
 
 
+def _tile_edge_fluxes(fetch, supL, supR0, mm0, supR1, mm1, g, cn, sn,
+                      nsup, ndof, upwind, tiny_h, h_anuga,
+                      hr_dz=None, bs_vals=None):
+    """Shared per-tile slot math: gather L/R states through the window
+    `fetch`, align R->L, solve Roe (flow or coupled tracer), apply the
+    HR/BS2002 variants, and dry-mask. Returns (fluxes[ndof], amax) as
+    (8, 128) vregs in the L-layout."""
+    qs = []
+    for comp in range(ndof):
+        qL = _fetch_gather(fetch, supL, comp, nsup)
+        z1a = _fetch_gather(fetch, supR0, comp, nsup)
+        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+        if supR1 is not None:
+            z1b = _fetch_gather(fetch, supR1, comp, nsup)
+            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+            qR = jnp.where(g < 8, ya, yb)
+        else:
+            qR = ya
+        qs.append((qL, qR))
+
+    (hl, hr_), (hul, hur), (hvl, hvr) = qs[:3]
+    # velocities/concentrations from the RAW states; depths
+    # hydrostatically reconstructed when hr
+    # (swe_fluxes_hydro_recon_ceed.h: eta - max(z))
+    ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
+    ur, vr = regularized_velocity(hr_, hur, hvr, tiny_h, h_anuga)
+    if hr_dz is not None:
+        hl_f = jnp.maximum(0.0, hl - hr_dz[0])
+        hr_f = jnp.maximum(0.0, hr_ - hr_dz[1])
+    else:
+        hl_f, hr_f = hl, hr_
+    if ndof == 3:
+        f_h, f_hu, f_hv, amax = roe_flux(
+            hl_f, ul, vl, hr_f, ur, vr, sn, cn, fast=True
+        )
+        flux_list = [f_h, f_hu, f_hv]
+    else:
+        from ..tracer.flux import safe_div, tracer_roe_flux
+
+        cil = jnp.stack([safe_div(c[0], hl, hl, tiny_h) for c in qs[3:]])
+        cir = jnp.stack([safe_div(c[1], hr_, hr_, tiny_h) for c in qs[3:]])
+        f_flow, f_tr, amax = tracer_roe_flux(
+            hl_f, ul, vl, cil, hr_f, ur, vr, cir, sn, cn, upwind
+        )
+        flux_list = [f_flow[0], f_flow[1], f_flow[2]] + [
+            f_tr[j] for j in range(ndof - 3)
+        ]
+    if bs_vals is not None:
+        # BS2002 momentum correction (swe_roe_flux_ceed.h:117-119):
+        # g * dhv^2 / 24 * (cn, sn) with dhv from the endpoint etas
+        from ...constants import GRAVITY
+
+        etab, etae, zvb, zve = bs_vals
+        hvb = jnp.maximum(etab - zvb, 0.0)
+        hve = jnp.maximum(etae - zve, 0.0)
+        dhv = hve - hvb
+        corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
+        flux_list[1] = flux_list[1] + corr * cn
+        flux_list[2] = flux_list[2] + corr * sn
+    if hr_dz is not None:
+        if ndof == 3:
+            # outer guard: both *raw* dry; inner: both *reconstructed*
+            # dry (swe_petsc.c:1094,1112)
+            dry = ((hl < tiny_h) & (hr_ < tiny_h)) | (
+                (hl_f <= tiny_h) & (hr_f <= tiny_h)
+            )
+        else:
+            # tracer twin's convention (operator.py _apply_tracer)
+            dry = ~(
+                ((hl > tiny_h) | (hr_ > tiny_h))
+                & ((hl_f > tiny_h) | (hr_f > tiny_h))
+            )
+    else:
+        dry = (hl < tiny_h) & (hr_ < tiny_h)
+    # no valid-slot mask: unfilled slots produce finite garbage that
+    # the divergence (coef 0) and Courant (coef 0) plans never read
+    mask = jnp.where(dry, 0.0, 1.0)
+    fluxes = [f * mask for f in flux_list]
+    return fluxes, amax * mask
+
+
 def _edge_kernel(ws_ref, gws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
                  mi_ref, cn_ref, sn_ref, *rest,
                  nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows=RROWS,
@@ -471,94 +559,24 @@ def _edge_kernel(ws_ref, gws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
         supL = supL_all[r8, :]
         supR0 = supR_all[rA, :]
         mm0 = m_all[rA, :]
+        supR1 = mm1 = None
         if rrows == 16:
             supR1 = supR_all[rB, :]
             mm1 = m_all[rB, :]
         g = g_all_i[r8, :]
-
-        qs = []
-        for comp in range(ndof):
-            qL = _fetch_gather(fetch, supL, comp, nsup)
-            z1a = _fetch_gather(fetch, supR0, comp, nsup)
-            z2a = jnp.take_along_axis(z1a, mm0, axis=1)
-            ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
-            if rrows == 16:
-                z1b = _fetch_gather(fetch, supR1, comp, nsup)
-                z2b = jnp.take_along_axis(z1b, mm1, axis=1)
-                yb = jnp.take_along_axis(
-                    z2b, jnp.clip(g - 8, 0, 7), axis=0
-                )
-                qR = jnp.where(g < 8, ya, yb)
-            else:
-                qR = ya
-            qs.append((qL, qR))
-
-        (hl, hr_), (hul, hur), (hvl, hvr) = qs[:3]
-        # velocities/concentrations from the RAW states; depths
-        # hydrostatically reconstructed when hr
-        # (swe_fluxes_hydro_recon_ceed.h: eta - max(z))
-        ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
-        ur, vr = regularized_velocity(hr_, hur, hvr, tiny_h, h_anuga)
-        if hr:
-            hl_f = jnp.maximum(0.0, hl - dzl_ref[r8, :])
-            hr_f = jnp.maximum(0.0, hr_ - dzr_ref[r8, :])
-        else:
-            hl_f, hr_f = hl, hr_
-        sn = sn_ref[r8, :]
-        cn = cn_ref[r8, :]
-        if ndof == 3:
-            f_h, f_hu, f_hv, amax = roe_flux(
-                hl_f, ul, vl, hr_f, ur, vr, sn, cn, fast=True
-            )
-            flux_list = [f_h, f_hu, f_hv]
-        else:
-            from ..tracer.flux import safe_div, tracer_roe_flux
-
-            cil = jnp.stack(
-                [safe_div(c[0], hl, hl, tiny_h) for c in qs[3:]]
-            )
-            cir = jnp.stack(
-                [safe_div(c[1], hr_, hr_, tiny_h) for c in qs[3:]]
-            )
-            f_flow, f_tr, amax = tracer_roe_flux(
-                hl_f, ul, vl, cil, hr_f, ur, vr, cir, sn, cn, upwind
-            )
-            flux_list = [f_flow[0], f_flow[1], f_flow[2]] + [
-                f_tr[j] for j in range(ndof - 3)
-            ]
-        if bs:
-            # BS2002 momentum correction (swe_roe_flux_ceed.h:117-119):
-            # g * dhv^2 / 24 * (cn, sn) with dhv from the endpoint etas
-            from ...constants import GRAVITY
-
-            hvb = jnp.maximum(etab_ref[r8, :] - zvb_ref[r8, :], 0.0)
-            hve = jnp.maximum(etae_ref[r8, :] - zve_ref[r8, :], 0.0)
-            dhv = hve - hvb
-            corr = jnp.float32(GRAVITY / 24.0) * dhv * dhv
-            flux_list[1] = flux_list[1] + corr * cn
-            flux_list[2] = flux_list[2] + corr * sn
-        if hr:
-            if ndof == 3:
-                # outer guard: both *raw* dry; inner: both *reconstructed*
-                # dry (swe_petsc.c:1094,1112)
-                dry = ((hl < tiny_h) & (hr_ < tiny_h)) | (
-                    (hl_f <= tiny_h) & (hr_f <= tiny_h)
-                )
-            else:
-                # tracer twin's convention (operator.py _apply_tracer)
-                dry = ~(
-                    ((hl > tiny_h) | (hr_ > tiny_h))
-                    & ((hl_f > tiny_h) | (hr_f > tiny_h))
-                )
-        else:
-            dry = (hl < tiny_h) & (hr_ < tiny_h)
-        # no valid-slot mask: unfilled slots produce finite garbage that
-        # the divergence (coef 0) and Courant (coef 0) plans never read
-        mask = jnp.where(dry, 0.0, 1.0)
-        fluxes = [f * mask for f in flux_list]
+        fluxes, amax = _tile_edge_fluxes(
+            fetch, supL, supR0, mm0, supR1, mm1, g,
+            cn_ref[r8, :], sn_ref[r8, :],
+            nsup, ndof, upwind, tiny_h, h_anuga,
+            hr_dz=(dzl_ref[r8, :], dzr_ref[r8, :]) if hr else None,
+            bs_vals=(
+                (etab_ref[r8, :], etae_ref[r8, :],
+                 zvb_ref[r8, :], zve_ref[r8, :]) if bs else None
+            ),
+        )
         for comp in range(ndof):
             oL_ref[r8, comp, :] = fluxes[comp]
-        oA_ref[r8, :] = amax * mask
+        oA_ref[r8, :] = amax
 
         # route fluxes into the R-layout for the divergence kernel
         gi0 = gi_all[rA, :]
@@ -791,6 +809,342 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, wl, wr, ncomp=3,
         fluxL, fluxR,
     )
 
+
+
+# ------------------------------------------- fused streaming edge+cell RHS
+
+class FusedSchedule(NamedTuple):
+    """Host-built schedule interleaving edge-flux groups and (lagged) cell
+    divergence groups on ONE sequential pallas grid, with fluxes held in
+    VMEM ring buffers so they never round-trip through HBM. Round-1
+    measurement: the two-kernel path is pure-DMA-bound (removing ALL
+    compute from the edge kernel saves 6%), and the fluxL/fluxR HBM
+    write+read was ~55% of its total traffic — streaming them through VMEM
+    is the single biggest step toward the HBM roofline."""
+
+    nsteps: int  # total grid steps (>= edge groups; cells lag edges)
+    negrp: int  # edge groups (= ntiles // GT)
+    nringL: int  # fluxL ring size in 8-row supers
+    nringR: int
+    eg: np.ndarray  # [nsteps] i32 edge-group block index (clamped tail)
+    cg: np.ndarray  # [nsteps] i32 cell-group output index (monotone)
+    doc: np.ndarray  # [nsteps] i32 1 when this step computes a cell group
+
+
+def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
+                         max_ring: int = 128) -> Optional[FusedSchedule]:
+    """Schedule cell group ct at the earliest step s(ct) whose edge
+    progress covers ct's flux windows (strictly increasing s). Ring sizes
+    = the max distance between the edge write frontier and the oldest
+    super still needed; None when a ring exceeds `max_ring` supers."""
+    GTn = GT
+    rp = plan.rrows // 8
+    ntiles = plan.ntiles
+    negrp = ntiles // GTn
+    ncgrp = cp.ntiles // GTn
+    totL = ntiles  # fluxL supers (1 per edge tile)
+    totR = ntiles * rp
+
+    grpL = cp.wsL.reshape(-1, GTn)
+    grpR = cp.wsR.reshape(-1, GTn)
+    gL_lo = grpL.min(axis=1).astype(np.int64)
+    gR_lo = grpR.min(axis=1).astype(np.int64)
+    needL = np.minimum(grpL.max(axis=1) + cp.nsupL, totL)
+    needR = np.minimum(grpR.max(axis=1) + cp.nsupR, totR)
+    g_need = np.maximum(
+        -(-needL // GTn), -(-needR // (GTn * rp))
+    ).astype(np.int64) - 1
+    g_need = np.maximum(g_need, 0)
+    # s(ct) = max(g_need[ct], s(ct-1)+1), vectorized as a running max of
+    # (g_need - arange) + arange
+    ar = np.arange(ncgrp, dtype=np.int64)
+    s = np.maximum.accumulate(g_need - ar) + ar
+    nsteps = int(max(negrp, s[-1] + 1))
+
+    frontL = np.minimum((s + 1) * GTn, totL)
+    frontR = np.minimum((s + 1) * GTn * rp, totR)
+    nringL = max(int((frontL - gL_lo).max()), GTn)
+    nringR = max(int((frontR - gR_lo).max()), GTn * rp)
+    if nringL > max_ring or nringR > max_ring:
+        return None
+
+    eg = np.minimum(np.arange(nsteps), negrp - 1).astype(np.int32)
+    cg = np.zeros(nsteps, np.int32)
+    doc = np.zeros(nsteps, np.int32)
+    cg[s] = np.arange(ncgrp, dtype=np.int32)
+    np.maximum.accumulate(cg, out=cg)
+    doc[s] = 1
+    return FusedSchedule(
+        nsteps=nsteps, negrp=negrp, nringL=nringL, nringR=nringR,
+        eg=eg, cg=cg, doc=doc,
+    )
+
+
+def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
+                  doc_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
+                  mi_ref, cn_ref, sn_ref, cc_ref,
+                  csL_ref, cfL_ref, csR_ref, cfR_ref, *rest,
+                  nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows,
+                  nsupL, nsupR, KL, KR, negrp, nringL, nringR,
+                  hr=False, bs=False):
+    """Streaming fused RHS: per grid step, (a) compute one GT-tile group of
+    edge fluxes into VMEM rings + fold the Courant max/argmax, (b) when the
+    schedule says a cell group's flux windows are complete, gather its
+    divergence from the rings. Fluxes and Courant slots never touch HBM."""
+    if hr:
+        dzl_ref, dzr_ref = rest[0], rest[1]
+        rest = rest[2:]
+    if bs:
+        etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
+        rest = rest[4:]
+    q_hbm = rest[0]
+    o_div, o_cmax, o_cidx = rest[1], rest[2], rest[3]
+    qbuf, sem, ringL, ringR = rest[4], rest[5], rest[6], rest[7]
+
+    t = pl.program_id(0)
+    rp = rrows // 8
+
+    def _q_dma(slot, tt):
+        rr = pl.multiple_of(gws_ref[tt] * 8, 8)
+        return pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(rr, wq * 8), :], qbuf.at[slot], sem.at[slot]
+        )
+
+    slot = jax.lax.rem(t, jnp.int32(2))
+    nslot = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
+
+    @pl.when(t == 0)
+    def _():
+        _q_dma(0, 0).start()
+        o_cmax[:] = jnp.zeros((8, 128), jnp.float32)
+        o_cidx[:] = jnp.zeros((8, 128), jnp.int32)
+
+    @pl.when(t + 1 < negrp)
+    def _():
+        _q_dma(nslot, t + 1).start()
+
+    # ---------------- edge phase: flux group t -> VMEM rings -------------
+    @pl.when(t < negrp)
+    def _edge_phase():
+        _q_dma(slot, t).wait()
+        supL_all = supL_ref[:].astype(jnp.int32)
+        supR_all = supR_ref[:].astype(jnp.int32)
+        m_all = m_ref[:].astype(jnp.int32)
+        g_all_i = g_ref[:].astype(jnp.int32)
+        gi_all = gi_ref[:].astype(jnp.int32)
+        mi_all = mi_ref[:].astype(jnp.int32)
+        rowlane = (
+            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        )
+
+        for gt in range(GT):
+            r8 = slice(gt * 8, gt * 8 + 8)
+            rA = slice(gt * rrows, gt * rrows + 8)
+            rB = slice(gt * rrows + 8, gt * rrows + 16)
+            off = (ws_ref[t * GT + gt] - gws_ref[t]) * 8
+
+            def fetch(comp, sup_s):
+                return qbuf[slot, comp, pl.ds(off + sup_s * 8, 8), :]
+
+            mm1 = m_all[rB, :] if rrows == 16 else None
+            fluxes, amax = _tile_edge_fluxes(
+                fetch, supL_all[r8, :], supR_all[rA, :], m_all[rA, :],
+                supR_all[rB, :] if rrows == 16 else None, mm1,
+                g_all_i[r8, :], cn_ref[r8, :], sn_ref[r8, :],
+                nsup, ndof, upwind, tiny_h, h_anuga,
+                hr_dz=(dzl_ref[r8, :], dzr_ref[r8, :]) if hr else None,
+                bs_vals=(
+                    (etab_ref[r8, :], etae_ref[r8, :],
+                     zvb_ref[r8, :], zve_ref[r8, :]) if bs else None
+                ),
+            )
+
+            # Courant fold: value + linear slot index (no amax HBM write)
+            ci = amax * cc_ref[r8, :]
+            cur = o_cmax[:]
+            upd = ci > cur
+            base = (t * GT + gt) * TE
+            o_cmax[:] = jnp.where(upd, ci, cur)
+            o_cidx[:] = jnp.where(upd, rowlane + base, o_cidx[:])
+
+            # fluxL ring store at super (t*GT + gt) mod nringL
+            posL = jax.lax.rem(t * GT + gt, jnp.int32(nringL)) * 8
+            for comp in range(ndof):
+                ringL[pl.ds(posL, 8), comp, :] = fluxes[comp]
+
+            # route into the R-layout ring
+            gi0 = gi_all[rA, :]
+            mi0 = mi_all[rA, :]
+            posR = jax.lax.rem(
+                (t * GT + gt) * rp, jnp.int32(nringR)
+            ) * 8
+            for comp in range(ndof):
+                fL = fluxes[comp]
+                u0 = jnp.take_along_axis(fL, gi0, axis=0)
+                ringR[pl.ds(posR, 8), comp, :] = jnp.take_along_axis(
+                    u0, mi0, axis=1
+                )
+            if rrows == 16:
+                gi1 = gi_all[rB, :]
+                mi1 = mi_all[rB, :]
+                posR1 = jax.lax.rem(
+                    (t * GT + gt) * rp + 1, jnp.int32(nringR)
+                ) * 8
+                for comp in range(ndof):
+                    fL = fluxes[comp]
+                    u1 = jnp.take_along_axis(fL, gi1, axis=0)
+                    ringR[pl.ds(posR1, 8), comp, :] = jnp.take_along_axis(
+                        u1, mi1, axis=1
+                    )
+
+    # ---------------- cell phase: divergence group cg[t] ------------------
+    @pl.when(doc_ref[t] == 1)
+    def _cell_phase():
+        cgi = cg_ref[t]
+        sL_all = csL_ref[:].astype(jnp.int32)
+        sR_all = csR_ref[:].astype(jnp.int32)
+        for gt in range(GT):
+            r8 = slice(gt * 8, gt * 8 + 8)
+            wL = cwsL_ref[cgi * GT + gt]  # absolute fluxL super
+            wR = cwsR_ref[cgi * GT + gt]
+            acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
+
+            def side(ring, w, s_all, c_ref, K, nsupX, nring):
+                for k in range(K):
+                    sup = s_all[k, r8]
+                    cf = c_ref[k, r8]
+                    for comp in range(ndof):
+                        gat = jnp.zeros((8, 128), jnp.float32)
+                        for s in range(nsupX):
+                            pos = jax.lax.rem(w + s, jnp.int32(nring)) * 8
+                            src = ring[pl.ds(pos, 8), comp, :]
+                            gg = jnp.take_along_axis(
+                                src, jnp.clip(sup - s * 8, 0, 7), axis=0
+                            )
+                            gat = jnp.where((sup >> 3) == s, gg, gat)
+                        acc[comp] = acc[comp] + gat * cf
+
+            side(ringL, wL, sL_all, cfL_ref, KL, nsupL, nringL)
+            side(ringR, wR, sR_all, cfR_ref, KR, nsupR, nringR)
+            for comp in range(ndof):
+                o_div[r8, comp, :] = acc[comp]
+
+
+def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
+                      nsupL, nsupR, ndof=3, upwind=False, interpret=False,
+                      hr=False, bs=None):
+    """Run the streaming fused edge-flux + divergence + Courant kernel.
+
+    Returns (div [Ct*8, ndof, 128], cmax [8, 128] f32, cidx [8, 128] i32)
+    where cidx holds linear L-slot indices (feed through pl_slot_edge)."""
+    nsteps, negrp, nringL, nringR = (
+        sched.nsteps, sched.negrp, sched.nringL, sched.nringR,
+    )
+    supL = arrays.pl_supL
+    ntiles = supL.shape[0] // 8
+    rrows = arrays.pl_supR.shape[0] // ntiles
+    KL = arrays.pl_cd_supL.shape[0]
+    KR = arrays.pl_cd_supR.shape[0]
+    Ct = arrays.pl_cd_supL.shape[1] // 8
+    C = q.shape[1]
+    Crows = -(-C // 128)
+    q32 = q[:ndof].astype(jnp.float32)
+    if C % 128:
+        q32 = jnp.pad(q32, ((0, 0), (0, Crows * 128 - C)))
+    q2d = jnp.pad(
+        q32.reshape(ndof, Crows, 128), ((0, 0), (0, wq * 8 + 8), (0, 0))
+    )
+
+    def em(i):  # edge-group tensor block, clamped tail
+        return pl.BlockSpec(
+            (GT * i, 128), lambda t, ws, gw, cl, cr, eg, cg, doc: (eg[t], 0)
+        )
+
+    def cm3(K):  # cell-plan [K, Ct*8, 128] block indexed by cell group
+        return pl.BlockSpec(
+            (K, GT * 8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc: (0, cg[t], 0),
+        )
+
+    in_specs = [
+        em(8),      # supL i8
+        em(rrows),  # supR i8
+        em(rrows),  # m i8
+        em(8),      # g i8
+        em(rrows),  # gi i8
+        em(rrows),  # mi i8
+        em(8),      # cn f32
+        em(8),      # sn f32
+        em(8),      # courant coef f32
+        cm3(KL),    # cell supL i8
+        cm3(KL),    # cell cfL f32
+        cm3(KR),    # cell supR i8
+        cm3(KR),    # cell cfR f32
+    ] + ([em(8), em(8)] if hr else []) + (
+        [em(8), em(8), em(8), em(8)] if bs is not None else []
+    ) + [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # q2d (group-window DMA)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (GT * 8, ndof, 128),
+                lambda t, ws, gw, cl, cr, eg, cg, doc: (cg[t], 0, 0),
+            ),
+            pl.BlockSpec(
+                (8, 128), lambda t, ws, gw, cl, cr, eg, cg, doc: (0, 0)
+            ),
+            pl.BlockSpec(
+                (8, 128), lambda t, ws, gw, cl, cr, eg, cg, doc: (0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ndof, wq * 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nringL * 8, ndof, 128), jnp.float32),
+            pltpu.VMEM((nringR * 8, ndof, 128), jnp.float32),
+        ],
+    )
+    f = pl.pallas_call(
+        functools.partial(
+            _fused_kernel, nsup=nsup, wq=wq, ndof=ndof, upwind=bool(upwind),
+            tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
+            nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR, negrp=negrp,
+            nringL=nringL, nringR=nringR, hr=bool(hr), bs=bs is not None,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Ct * 8, ndof, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    hr_args = (arrays.pl_hr_dzl, arrays.pl_hr_dzr) if hr else ()
+    bs_args = (
+        (bs[0], bs[1], arrays.pl_bs.zvb, arrays.pl_bs.zve)
+        if bs is not None else ()
+    )
+    div, cmax, cidx = f(
+        arrays.pl_ws, arrays.pl_gws,
+        arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_fs_eg, arrays.pl_fs_cg, arrays.pl_fs_doc,
+        supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
+        arrays.pl_gi, arrays.pl_mi,
+        arrays.pl_cn, arrays.pl_sn, arrays.pl_courant_coef,
+        arrays.pl_cd_supL, arrays.pl_cd_cfL,
+        arrays.pl_cd_supR, arrays.pl_cd_cfR,
+        *hr_args, *bs_args,
+        q2d,
+    )
+    return div, cmax, cidx
 
 
 # ---------------------------------------------------- MUSCL (second order)
@@ -1294,6 +1648,10 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         return None
     cell_plan, slot_coefs = cp_res
 
+    # streaming fused edge+cell schedule (first-order paths); None when a
+    # VMEM flux ring would be too large -> two-kernel fallback
+    fsched = build_fused_schedule(plan, cell_plan)
+
     # slotted per-edge static values in the L-layout
     R_l = plan.ntiles * 8
 
@@ -1361,6 +1719,11 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         pl_cd_gwsL=cell_plan.gwsL, pl_cd_gwsR=cell_plan.gwsR,
         pl_cd_supL=cell_plan.supL, pl_cd_cfL=cell_plan.cfL,
         pl_cd_supR=cell_plan.supR, pl_cd_cfR=cell_plan.cfR,
+        **(
+            dict(pl_fs_eg=fsched.eg, pl_fs_cg=fsched.cg,
+                 pl_fs_doc=fsched.doc)
+            if fsched is not None else {}
+        ),
         **hr_np,
         **muscl_np,
     )
@@ -1371,6 +1734,10 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         eposL=plan.eposL,  # sorted edge -> L-layout flat slot position
         ntiles=plan.ntiles,
         rrows=plan.rrows,
+        fused=(
+            (fsched.nsteps, fsched.negrp, fsched.nringL, fsched.nringR)
+            if fsched is not None else ()
+        ),
     )
     return plan_np, reordered, meta
 
@@ -1386,6 +1753,7 @@ _PLAN_DTYPES = {
     "pl_slot_edge": np.int32,
     "pl_cd_wsL": np.int32, "pl_cd_wsR": np.int32,
     "pl_cd_supL": np.int8, "pl_cd_supR": np.int8,
+    "pl_fs_eg": np.int32, "pl_fs_cg": np.int32, "pl_fs_doc": np.int32,
 }
 _PLAN_INT_FIELDS = frozenset(_PLAN_DTYPES)
 
@@ -1502,6 +1870,7 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         pallas_cd_nsup_r=meta["nsupR"],
         pallas_cd_wl=meta["wl"],
         pallas_cd_wr=meta["wr"],
+        pallas_fused_meta=meta["fused"],
         pallas_bs_meta=bs_meta,
         pallas_interpret=interpret,
     )

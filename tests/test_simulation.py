@@ -181,9 +181,30 @@ def test_binary_output_and_time_cadence(ex2b_dir):
     sim = Simulation(cfg)
     attach_output_monitors(sim)
     sim.run()
-    v = read_petsc_vec(str(ex2b_dir / "output" / "ex2b-0020.bin"))
+    # zero-padded to the digits of time.stop_n (GenerateIndexedFilename,
+    # rdyadvance.c:69-79)
+    v = read_petsc_vec(str(ex2b_dir / "output" / "ex2b-20.bin"))
     assert len(v) == 3 * sim.num_cells
     assert np.isfinite(v).all()
+
+
+def test_timestamped_output_filenames(ex2b_dir):
+    """time.date set -> '<prefix>.YYYY-MM-DD.hh.mm.ss.<suffix>' filenames
+    (GenerateTimestampedFilename, rdyadvance.c:82-89)."""
+    from rdycore_tpu.io.writers import attach_output_monitors
+
+    cfg = short_config(ex2b_dir / "ex2b.yaml", stop_n=10)
+    cfg.time.date = "2017-08-26-00:00:00"
+    cfg.output.format = "binary"
+    cfg.output.output_interval = 10
+    cfg.checkpoint.interval = 0
+    sim = Simulation(cfg)
+    attach_output_monitors(sim)
+    sim.run()
+    names = sorted(p.name for p in (ex2b_dir / "output").iterdir())
+    assert "ex2b.2017-08-26.00.00.00.bin" in names  # initial snapshot
+    bins = [n for n in names if n.endswith(".bin")]
+    assert bins and all(n.startswith("ex2b.2017-08-26.") for n in bins)
 
 
 def test_preload_and_step_timer(ex2b_dir):
