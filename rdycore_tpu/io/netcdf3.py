@@ -149,11 +149,28 @@ class NetCDF3File:
         shape = list(v.shape)
         if v.is_record:
             shape[0] = self.numrecs
-            # record variables are interleaved; handle the common single-
-            # record-var case only (adequate for Exodus meshes)
             rec_vars = [x for x in self.variables.values() if x.is_record]
             if len(rec_vars) > 1:
-                raise NotImplementedError("multiple record variables")
+                # records are interleaved: one record = the concatenation
+                # of every record variable's per-record slab, each padded
+                # to 4 bytes (the header vsize is that padded size); with
+                # a single record variable there is no padding and the
+                # fast contiguous path below applies
+                recsize = sum(x.vsize for x in rec_vars)
+                per_rec = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+                nbytes = per_rec * v.dtype.itemsize
+                chunks = [
+                    self._data[
+                        v.begin + r * recsize : v.begin + r * recsize + nbytes
+                    ]
+                    for r in range(self.numrecs)
+                ]
+                arr = np.frombuffer(b"".join(chunks), dtype=v.dtype).reshape(
+                    shape
+                )
+                if v.dtype.kind == "S":
+                    return arr
+                return arr.astype(arr.dtype.newbyteorder("="))
         count = int(np.prod(shape)) if shape else 1
         raw = self._data[v.begin : v.begin + count * v.dtype.itemsize]
         arr = np.frombuffer(raw, dtype=v.dtype).reshape(shape)

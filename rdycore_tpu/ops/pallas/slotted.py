@@ -58,6 +58,15 @@ import os as _os
 
 GT = int(_os.environ.get("RDYTPU_GT", 8))
 
+# Perf-attribution knob for the fused kernel (bench only -- results are
+# WRONG when set). Comma-set of: "roe" (trivial average flux), "shuffle"
+# (skip the R-align / R-route lane shuffles), "gather" (window gathers
+# read super 0 directly), "cell" (skip the divergence phase). Used to
+# measure where the per-tile time goes; see BASELINE.md ablations.
+_ABLATE = frozenset(
+    s for s in _os.environ.get("RDYTPU_FUSED_ABLATE", "").split(",") if s
+)
+
 
 class SlottedPlan(NamedTuple):
     """Host-built tiling/routing plan (all arrays numpy)."""
@@ -393,6 +402,8 @@ def build_cell_plan(
 def _fetch_gather(fetch, sup_idx, comp, nsup):
     """Sublane-gather one component over nsup window supers, reading each
     super via fetch(comp, s) (a VMEM-scratch slice)."""
+    if "gather" in _ABLATE:
+        return fetch(comp, 0)
     acc = jnp.zeros((8, 128), jnp.float32)
     for s in range(nsup):
         src = fetch(comp, s)
@@ -426,11 +437,17 @@ def _tile_edge_fluxes(fetch, supL, supR0, mm0, supR1, mm1, g, cn, sn,
     for comp in range(ndof):
         qL = _fetch_gather(fetch, supL, comp, nsup)
         z1a = _fetch_gather(fetch, supR0, comp, nsup)
-        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+        z2a = (
+            z1a if "shuffle" in _ABLATE
+            else jnp.take_along_axis(z1a, mm0, axis=1)
+        )
         ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
         if supR1 is not None:
             z1b = _fetch_gather(fetch, supR1, comp, nsup)
-            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+            z2b = (
+                z1b if "shuffle" in _ABLATE
+                else jnp.take_along_axis(z1b, mm1, axis=1)
+            )
             yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
             qR = jnp.where(g < 8, ya, yb)
         else:
@@ -448,7 +465,12 @@ def _tile_edge_fluxes(fetch, supL, supR0, mm0, supR1, mm1, g, cn, sn,
         hr_f = jnp.maximum(0.0, hr_ - hr_dz[1])
     else:
         hl_f, hr_f = hl, hr_
-    if ndof == 3:
+    if "roe" in _ABLATE and ndof == 3:
+        flux_list = [
+            0.5 * (hl_f + hr_f), 0.5 * (hul + hur), 0.5 * (hvl + hvr)
+        ]
+        amax = hl_f
+    elif ndof == 3:
         f_h, f_hu, f_hv, amax = roe_flux(
             hl_f, ul, vl, hr_f, ur, vr, sn, cn, fast=True
         )
@@ -982,8 +1004,9 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
             for comp in range(ndof):
                 fL = fluxes[comp]
                 u0 = jnp.take_along_axis(fL, gi0, axis=0)
-                ringR[pl.ds(posR, 8), comp, :] = jnp.take_along_axis(
-                    u0, mi0, axis=1
+                ringR[pl.ds(posR, 8), comp, :] = (
+                    u0 if "shuffle" in _ABLATE
+                    else jnp.take_along_axis(u0, mi0, axis=1)
                 )
             if rrows == 16:
                 gi1 = gi_all[rB, :]
@@ -994,13 +1017,20 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                 for comp in range(ndof):
                     fL = fluxes[comp]
                     u1 = jnp.take_along_axis(fL, gi1, axis=0)
-                    ringR[pl.ds(posR1, 8), comp, :] = jnp.take_along_axis(
-                        u1, mi1, axis=1
+                    ringR[pl.ds(posR1, 8), comp, :] = (
+                        u1 if "shuffle" in _ABLATE
+                        else jnp.take_along_axis(u1, mi1, axis=1)
                     )
 
     # ---------------- cell phase: divergence group cg[t] ------------------
     @pl.when(doc_ref[t] == 1)
     def _cell_phase():
+        if "cell" in _ABLATE:
+            for gt in range(GT):
+                r8 = slice(gt * 8, gt * 8 + 8)
+                for comp in range(ndof):
+                    o_div[r8, comp, :] = jnp.zeros((8, 128), jnp.float32)
+            return
         cgi = cg_ref[t]
         sL_all = csL_ref[:].astype(jnp.int32)
         sR_all = csR_ref[:].astype(jnp.int32)
