@@ -244,7 +244,13 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
     _ = peek(q)
     elapsed = time.time() - t0
 
-    assert finite(q), "bench produced non-finite state"
+    if os.environ.get("RDYTPU_FUSED_ABLATE"):
+        # ablated kernels compute intentionally-wrong physics that can
+        # blow up over the interval; the timing is still the measurement
+        if not finite(q):
+            print("# (ablated run non-finite, as expected)", file=sys.stderr)
+    else:
+        assert finite(q), "bench produced non-finite state"
 
     if mode == "fused":
         ty = int(os.environ.get("BENCH_TY", 64))

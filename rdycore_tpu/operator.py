@@ -117,6 +117,12 @@ class OperatorArrays(NamedTuple):
     pl_fs_eg: jnp.ndarray = None  # [nsteps] i32 edge-group block index
     pl_fs_cg: jnp.ndarray = None  # [nsteps] i32 cell-group output index
     pl_fs_doc: jnp.ndarray = None  # [nsteps] i32 1 = compute a cell group
+    # merged single-stream plan layouts for the fused kernel (the separate
+    # pl_* planes above still feed the two-kernel / MUSCL paths)
+    pl_fz_e8: jnp.ndarray = None  # [ntiles*(16+4*rrows), 128] i8
+    pl_fz_ef: jnp.ndarray = None  # [ntiles*(24|40), 128] f32
+    pl_fz_c8: jnp.ndarray = None  # [KL+KR, ctiles*8, 128] i8
+    pl_fz_cf: jnp.ndarray = None  # [KL+KR, ctiles*8, 128] f32
     # hydrostatic-reconstruction plan arrays (None unless well_balancing_hr)
     pl_hr_dzl: jnp.ndarray = None  # slotted zmax - zL per edge [R8, 128]
     pl_hr_dzr: jnp.ndarray = None
@@ -294,7 +300,7 @@ class SWEOperator:
                     self, q, interpret=self.pallas_interpret, bs=bs_args
                 )
             else:
-                if self.pallas_fused_meta and a.pl_fs_cg is not None:
+                if self.pallas_fused_meta and a.pl_fz_e8 is not None:
                     from .ops.pallas.slotted import (
                         FusedSchedule, fused_rhs_slotted,
                     )
@@ -624,7 +630,7 @@ class SWEOperator:
         )
         slotted_flux = None
         if use_pallas:
-            if self.pallas_fused_meta and a.pl_fs_cg is not None:
+            if self.pallas_fused_meta and a.pl_fz_e8 is not None:
                 from .ops.pallas.slotted import (
                     FusedSchedule, fused_rhs_slotted,
                 )

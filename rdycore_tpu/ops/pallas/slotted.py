@@ -903,25 +903,28 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
 
 
 def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
-                  doc_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
-                  mi_ref, cn_ref, sn_ref, cc_ref,
-                  csL_ref, cfL_ref, csR_ref, cfR_ref, *rest,
+                  doc_ref, e8_ref, ef_ref, c8_ref, cf_ref, *rest,
                   nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows,
                   nsupL, nsupR, KL, KR, negrp, nringL, nringR,
                   hr=False, bs=False):
     """Streaming fused RHS: per grid step, (a) compute one GT-tile group of
     edge fluxes into VMEM rings + fold the Courant max/argmax, (b) when the
     schedule says a cell group's flux windows are complete, gather its
-    divergence from the rings. Fluxes and Courant slots never touch HBM."""
-    if hr:
-        dzl_ref, dzr_ref = rest[0], rest[1]
-        rest = rest[2:]
+    divergence from the rings. Fluxes and Courant slots never touch HBM.
+
+    Plan inputs arrive as FOUR merged streams (e8 = the six i8 index
+    planes interleaved per tile; ef = cn/sn/courant-coef [+ HR drops] f32;
+    c8/cf = L+R cell plans concatenated on K) -- the round-2 floor
+    ablation measured 74% of the step in the DMA/pipeline skeleton with 13
+    separate small streams."""
     if bs:
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
         rest = rest[4:]
     q_hbm = rest[0]
     o_div, o_cmax, o_cidx = rest[1], rest[2], rest[3]
     qbuf, sem, ringL, ringR = rest[4], rest[5], rest[6], rest[7]
+    RE8 = 16 + 4 * rrows  # merged i8 rows per tile
+    REF = 24 + (16 if hr else 0)  # merged f32 rows per tile
 
     t = pl.program_id(0)
     rp = rrows // 8
@@ -949,12 +952,7 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
     @pl.when(t < negrp)
     def _edge_phase():
         _q_dma(slot, t).wait()
-        supL_all = supL_ref[:].astype(jnp.int32)
-        supR_all = supR_ref[:].astype(jnp.int32)
-        m_all = m_ref[:].astype(jnp.int32)
-        g_all_i = g_ref[:].astype(jnp.int32)
-        gi_all = gi_ref[:].astype(jnp.int32)
-        mi_all = mi_ref[:].astype(jnp.int32)
+        e8_all = e8_ref[:].astype(jnp.int32)
         rowlane = (
             jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
             + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -962,20 +960,36 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
 
         for gt in range(GT):
             r8 = slice(gt * 8, gt * 8 + 8)
-            rA = slice(gt * rrows, gt * rrows + 8)
-            rB = slice(gt * rrows + 8, gt * rrows + 16)
+            b = gt * RE8
+            supL = e8_all[b : b + 8, :]
+            g_pick = e8_all[b + 8 : b + 16, :]
+            sR = b + 16
+            supR0 = e8_all[sR : sR + 8, :]
+            supR1 = e8_all[sR + 8 : sR + 16, :] if rrows == 16 else None
+            sM = b + 16 + rrows
+            mm0 = e8_all[sM : sM + 8, :]
+            mm1 = e8_all[sM + 8 : sM + 16, :] if rrows == 16 else None
+            sGi = b + 16 + 2 * rrows
+            gi0 = e8_all[sGi : sGi + 8, :]
+            sMi = b + 16 + 3 * rrows
+            mi0 = e8_all[sMi : sMi + 8, :]
+            fb = gt * REF
+            cn_t = ef_ref[fb : fb + 8, :]
+            sn_t = ef_ref[fb + 8 : fb + 16, :]
+            cc_t = ef_ref[fb + 16 : fb + 24, :]
             off = (ws_ref[t * GT + gt] - gws_ref[t]) * 8
 
             def fetch(comp, sup_s):
                 return qbuf[slot, comp, pl.ds(off + sup_s * 8, 8), :]
 
-            mm1 = m_all[rB, :] if rrows == 16 else None
             fluxes, amax = _tile_edge_fluxes(
-                fetch, supL_all[r8, :], supR_all[rA, :], m_all[rA, :],
-                supR_all[rB, :] if rrows == 16 else None, mm1,
-                g_all_i[r8, :], cn_ref[r8, :], sn_ref[r8, :],
+                fetch, supL, supR0, mm0, supR1, mm1,
+                g_pick, cn_t, sn_t,
                 nsup, ndof, upwind, tiny_h, h_anuga,
-                hr_dz=(dzl_ref[r8, :], dzr_ref[r8, :]) if hr else None,
+                hr_dz=(
+                    (ef_ref[fb + 24 : fb + 32, :],
+                     ef_ref[fb + 32 : fb + 40, :]) if hr else None
+                ),
                 bs_vals=(
                     (etab_ref[r8, :], etae_ref[r8, :],
                      zvb_ref[r8, :], zve_ref[r8, :]) if bs else None
@@ -983,7 +997,7 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
             )
 
             # Courant fold: value + linear slot index (no amax HBM write)
-            ci = amax * cc_ref[r8, :]
+            ci = amax * cc_t
             cur = o_cmax[:]
             upd = ci > cur
             base = (t * GT + gt) * TE
@@ -996,8 +1010,6 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                 ringL[pl.ds(posL, 8), comp, :] = fluxes[comp]
 
             # route into the R-layout ring
-            gi0 = gi_all[rA, :]
-            mi0 = mi_all[rA, :]
             posR = jax.lax.rem(
                 (t * GT + gt) * rp, jnp.int32(nringR)
             ) * 8
@@ -1009,8 +1021,8 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                     else jnp.take_along_axis(u0, mi0, axis=1)
                 )
             if rrows == 16:
-                gi1 = gi_all[rB, :]
-                mi1 = mi_all[rB, :]
+                gi1 = e8_all[sGi + 8 : sGi + 16, :]
+                mi1 = e8_all[sMi + 8 : sMi + 16, :]
                 posR1 = jax.lax.rem(
                     (t * GT + gt) * rp + 1, jnp.int32(nringR)
                 ) * 8
@@ -1032,18 +1044,19 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                     o_div[r8, comp, :] = jnp.zeros((8, 128), jnp.float32)
             return
         cgi = cg_ref[t]
-        sL_all = csL_ref[:].astype(jnp.int32)
-        sR_all = csR_ref[:].astype(jnp.int32)
+        c8_all = c8_ref[:].astype(jnp.int32)
+        sL_all = c8_all[:KL]
+        sR_all = c8_all[KL:]
         for gt in range(GT):
             r8 = slice(gt * 8, gt * 8 + 8)
             wL = cwsL_ref[cgi * GT + gt]  # absolute fluxL super
             wR = cwsR_ref[cgi * GT + gt]
             acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
 
-            def side(ring, w, s_all, c_ref, K, nsupX, nring):
+            def side(ring, w, s_all, c_ref, K, nsupX, nring, k0=0):
                 for k in range(K):
                     sup = s_all[k, r8]
-                    cf = c_ref[k, r8]
+                    cf = c_ref[k0 + k, r8]
                     for comp in range(ndof):
                         gat = jnp.zeros((8, 128), jnp.float32)
                         for s in range(nsupX):
@@ -1055,8 +1068,8 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                             gat = jnp.where((sup >> 3) == s, gg, gat)
                         acc[comp] = acc[comp] + gat * cf
 
-            side(ringL, wL, sL_all, cfL_ref, KL, nsupL, nringL)
-            side(ringR, wR, sR_all, cfR_ref, KR, nsupR, nringR)
+            side(ringL, wL, sL_all, cf_ref, KL, nsupL, nringL)
+            side(ringR, wR, sR_all, cf_ref, KR, nsupR, nringR, k0=KL)
             for comp in range(ndof):
                 o_div[r8, comp, :] = acc[comp]
 
@@ -1098,20 +1111,11 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         )
 
     in_specs = [
-        em(8),      # supL i8
-        em(rrows),  # supR i8
-        em(rrows),  # m i8
-        em(8),      # g i8
-        em(rrows),  # gi i8
-        em(rrows),  # mi i8
-        em(8),      # cn f32
-        em(8),      # sn f32
-        em(8),      # courant coef f32
-        cm3(KL),    # cell supL i8
-        cm3(KL),    # cell cfL f32
-        cm3(KR),    # cell supR i8
-        cm3(KR),    # cell cfR f32
-    ] + ([em(8), em(8)] if hr else []) + (
+        em(16 + 4 * rrows),  # merged i8 plan (supL|g|supR|m|gi|mi per tile)
+        em(24 + (16 if hr else 0)),  # merged f32 geom (cn|sn|cc[|dzl|dzr])
+        cm3(KL + KR),  # merged cell sup i8 (L then R on K)
+        cm3(KL + KR),  # merged cell coef f32
+    ] + (
         [em(8), em(8), em(8), em(8)] if bs is not None else []
     ) + [
         pl.BlockSpec(memory_space=pltpu.ANY),  # q2d (group-window DMA)
@@ -1157,7 +1161,6 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         ),
         interpret=interpret,
     )
-    hr_args = (arrays.pl_hr_dzl, arrays.pl_hr_dzr) if hr else ()
     bs_args = (
         (bs[0], bs[1], arrays.pl_bs.zvb, arrays.pl_bs.zve)
         if bs is not None else ()
@@ -1166,12 +1169,9 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         arrays.pl_ws, arrays.pl_gws,
         arrays.pl_cd_wsL, arrays.pl_cd_wsR,
         arrays.pl_fs_eg, arrays.pl_fs_cg, arrays.pl_fs_doc,
-        supL, arrays.pl_supR, arrays.pl_m, arrays.pl_g,
-        arrays.pl_gi, arrays.pl_mi,
-        arrays.pl_cn, arrays.pl_sn, arrays.pl_courant_coef,
-        arrays.pl_cd_supL, arrays.pl_cd_cfL,
-        arrays.pl_cd_supR, arrays.pl_cd_cfR,
-        *hr_args, *bs_args,
+        arrays.pl_fz_e8, arrays.pl_fz_ef,
+        arrays.pl_fz_c8, arrays.pl_fz_cf,
+        *bs_args,
         q2d,
     )
     return div, cmax, cidx
@@ -1682,6 +1682,25 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     # VMEM flux ring would be too large -> two-kernel fallback
     fsched = build_fused_schedule(plan, cell_plan)
 
+    # merged single-stream layouts for the fused kernel: the round-2 floor
+    # ablation (all compute removed) measured 74% of the fused step in the
+    # DMA/pipeline skeleton -- 13 small per-step streams moving 248 MB at
+    # an effective 129 GB/s. Interleaving the six i8 plan arrays into ONE
+    # per-tile block, the f32 geometry (+ HR drops) into another, and the
+    # cell plans pairwise cuts the per-step DMA issues from ~13 to ~4.
+    fz_np = {}
+    if fsched is not None:
+        rr = plan.rrows
+        ntl = plan.ntiles
+        r3 = lambda a, per: a.reshape(ntl, per, 128)
+        fz_e8 = np.concatenate(
+            [
+                r3(plan.supL, 8), r3(plan.g, 8), r3(plan.supR, rr),
+                r3(plan.m, rr), r3(plan.gi, rr), r3(plan.mi, rr),
+            ],
+            axis=1,
+        ).reshape(-1, 128)
+
     # slotted per-edge static values in the L-layout
     R_l = plan.ntiles * 8
 
@@ -1726,6 +1745,21 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
             pl_cd_cxR=g_cxR, pl_cd_cyR=g_cyR,
         )
 
+    if fsched is not None:
+        ef_parts = [
+            r3(plan.cn, 8), r3(plan.sn, 8), r3(plan.courant_coef, 8),
+        ]
+        if hr_np:
+            ef_parts += [
+                r3(hr_np["pl_hr_dzl"], 8), r3(hr_np["pl_hr_dzr"], 8),
+            ]
+        fz_np = dict(
+            pl_fz_e8=fz_e8,
+            pl_fz_ef=np.concatenate(ef_parts, axis=1).reshape(-1, 128),
+            pl_fz_c8=np.concatenate([cell_plan.supL, cell_plan.supR], 0),
+            pl_fz_cf=np.concatenate([cell_plan.cfL, cell_plan.cfR], 0),
+        )
+
     # remap operator interior-edge order to plan (sorted) order
     inv = np.empty(Ei, dtype=np.int64)
     inv[order] = np.arange(Ei)
@@ -1754,6 +1788,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
                  pl_fs_doc=fsched.doc)
             if fsched is not None else {}
         ),
+        **fz_np,
         **hr_np,
         **muscl_np,
     )
@@ -1784,6 +1819,7 @@ _PLAN_DTYPES = {
     "pl_cd_wsL": np.int32, "pl_cd_wsR": np.int32,
     "pl_cd_supL": np.int8, "pl_cd_supR": np.int8,
     "pl_fs_eg": np.int32, "pl_fs_cg": np.int32, "pl_fs_doc": np.int32,
+    "pl_fz_e8": np.int8, "pl_fz_c8": np.int8,
 }
 _PLAN_INT_FIELDS = frozenset(_PLAN_DTYPES)
 
