@@ -498,8 +498,9 @@ class SWEOperator:
         # ---- cell gather of edge fluxes --------------------------------
         if fused is not None or slotted_flux is not None:
             if fused is not None:
-                # streaming fused kernel already produced the divergence
-                div = fused[0]
+                # streaming fused kernel already produced the divergence,
+                # component-major: reshape below is a free view
+                div = fused[0]  # [3, Ct*8, 128]
             else:
                 # Pallas divergence kernel over the two slotted flux
                 # layouts; boundary contributions land via a small
@@ -512,11 +513,9 @@ class SWEOperator:
                     self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
                     self.pallas_cd_wl, self.pallas_cd_wr,
                     interpret=self.pallas_interpret,
-                )  # [Ct*8, 3, 128]
+                ).transpose(1, 0, 2)  # [Ct*8, 3, 128] -> component-major
             flux_div = (
-                div.transpose(1, 0, 2)
-                .reshape(3, -1)[:, : self.num_cells]
-                .astype(dtype)
+                div.reshape(3, -1)[:, : self.num_cells].astype(dtype)
             )
             if self.num_boundary_edges:
                 coefb = -a.bnd_len / a.area[a.bnd_left]
@@ -792,7 +791,7 @@ class SWEOperator:
         # ---- cell gather ---------------------------------------------------
         if fused is not None or slotted_flux is not None:
             if fused is not None:
-                div = fused[0]
+                div = fused[0]  # [ndof, Ct*8, 128] component-major
             else:
                 from .ops.pallas.slotted import cell_div_slotted
 
@@ -801,11 +800,9 @@ class SWEOperator:
                     self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
                     self.pallas_cd_wl, self.pallas_cd_wr, ncomp=ndof,
                     interpret=self.pallas_interpret,
-                )
+                ).transpose(1, 0, 2)
             flux_div = (
-                div.transpose(1, 0, 2)
-                .reshape(ndof, -1)[:, : self.num_cells]
-                .astype(dtype)
+                div.reshape(ndof, -1)[:, : self.num_cells].astype(dtype)
             )
             if self.num_boundary_edges:
                 coefb = -a.bnd_len / a.area[a.bnd_left]

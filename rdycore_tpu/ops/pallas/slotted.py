@@ -245,7 +245,11 @@ def build_slotted_plan(
     grp = ws_sup.reshape(-1, GT)
     gws = grp.min(axis=1).astype(np.int32)
     wq = int((grp.max(axis=1) - gws).max()) + need_sup
-    if wq > 64:  # scratch budget: 2 * ndof * 64 supers ~ 1.5 MB VMEM
+    # scratch budget: 2 slots * ndof * wq supers of f32; 64 supers ~ 1.5 MB
+    # VMEM at ndof=3. Larger GT makes the shared group window proportionally
+    # wider, so the budget scales with GT (VMEM is ~128 MB; even GT=64 ->
+    # 512 supers ~ 12 MB stays comfortable).
+    if wq > 64 * max(1, GT // 8):
         return None
 
     # all index planes fit int8: window rows < max_sup*8 <= 32, lanes < 128,
@@ -355,7 +359,9 @@ def build_cell_plan(
     gwsR = grpR.min(axis=1).astype(np.int32)
     wl = int((grpL.max(axis=1) - gwsL).max()) + nsupL
     wr = int((grpR.max(axis=1) - gwsR).max()) + nsupR
-    if wl > 64 or wr > 64:
+    # group-window scratch budget scales with GT (same reasoning as the
+    # edge-plan wq cap: wider groups -> proportionally wider shared windows)
+    if wl > 64 * max(1, GT // 8) or wr > 64 * max(1, GT // 8):
         return None
 
     supLc = np.zeros((KL, Ct * 8, 128), np.int8)
@@ -854,11 +860,15 @@ class FusedSchedule(NamedTuple):
 
 
 def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
-                         max_ring: int = 128) -> Optional[FusedSchedule]:
+                         max_ring: int = 0) -> Optional[FusedSchedule]:
     """Schedule cell group ct at the earliest step s(ct) whose edge
     progress covers ct's flux windows (strictly increasing s). Ring sizes
     = the max distance between the edge write frontier and the oldest
-    super still needed; None when a ring exceeds `max_ring` supers."""
+    super still needed; None when a ring exceeds `max_ring` supers
+    (default scales with GT: the edge frontier advances GT tiles per grid
+    step, so the lag scales with it; 128 supers * ndof * 4 KB ~ 1.5 MB)."""
+    if not max_ring:
+        max_ring = 128 * max(1, GT // 8)
     GTn = GT
     rp = plan.rrows // 8
     ntiles = plan.ntiles
@@ -1041,7 +1051,7 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
             for gt in range(GT):
                 r8 = slice(gt * 8, gt * 8 + 8)
                 for comp in range(ndof):
-                    o_div[r8, comp, :] = jnp.zeros((8, 128), jnp.float32)
+                    o_div[comp, r8, :] = jnp.zeros((8, 128), jnp.float32)
             return
         cgi = cg_ref[t]
         c8_all = c8_ref[:].astype(jnp.int32)
@@ -1070,8 +1080,11 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
 
             side(ringL, wL, sL_all, cf_ref, KL, nsupL, nringL)
             side(ringR, wR, sR_all, cf_ref, KR, nsupR, nringR, k0=KL)
+            # component-major output: div.reshape(ndof, -1) is then a
+            # free view (the old [rows, ndof, 128] layout cost a
+            # materialized 70 MB/step XLA transpose at 2.88M cells)
             for comp in range(ndof):
-                o_div[r8, comp, :] = acc[comp]
+                o_div[comp, r8, :] = acc[comp]
 
 
 def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
@@ -1079,7 +1092,7 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
                       hr=False, bs=None):
     """Run the streaming fused edge-flux + divergence + Courant kernel.
 
-    Returns (div [Ct*8, ndof, 128], cmax [8, 128] f32, cidx [8, 128] i32)
+    Returns (div [ndof, Ct*8, 128], cmax [8, 128] f32, cidx [8, 128] i32)
     where cidx holds linear L-slot indices (feed through pl_slot_edge)."""
     nsteps, negrp, nringL, nringR = (
         sched.nsteps, sched.negrp, sched.nringL, sched.nringR,
@@ -1126,8 +1139,8 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
-                (GT * 8, ndof, 128),
-                lambda t, ws, gw, cl, cr, eg, cg, doc: (cg[t], 0, 0),
+                (ndof, GT * 8, 128),
+                lambda t, ws, gw, cl, cr, eg, cg, doc: (0, cg[t], 0),
             ),
             pl.BlockSpec(
                 (8, 128), lambda t, ws, gw, cl, cr, eg, cg, doc: (0, 0)
@@ -1152,7 +1165,7 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((Ct * 8, ndof, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ndof, Ct * 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, 128), jnp.int32),
         ],
