@@ -12,12 +12,18 @@ baseline (flux arrays + RK bookkeeping make ~200 B/cell realistic).
 Modes (env): BENCH_MODE=fused (flagship fused structured Pallas kernel) |
 structured (XLA raster path) | pallas (general unstructured slot-routed
 Pallas path — realistic .exo-mesh configurations run THIS path) | sharded
-(multi-device shard_map over BENCH_SHARDS devices);
+(multi-device shard_map over BENCH_SHARDS devices) | sharded_fused
+(row-strip-sharded fused kernel over BENCH_SHARDS devices);
 BENCH_NX/BENCH_NY/BENCH_STEPS; BENCH_CPU=1 to force CPU.
 
-Default (no BENCH_MODE): runs the flagship fused mode AND the general
-unstructured pallas mode, reporting the flagship as the headline value
-with the unstructured number alongside it in the same JSON line.
+Default (no BENCH_MODE): orchestrates subprocess runs of the flagship
+fused mode AND the general unstructured pallas mode, reporting the
+flagship as the headline value with the unstructured number alongside it
+in the same JSON line. Each mode runs in its own subprocess with its own
+timeout and one retry — the shared axon TPU worker intermittently crashes
+right after a big job (BASELINE.md), and a crash or hang in one mode must
+not take down the headline. The fused kernel is ALWAYS attempted first;
+structured is only the headline if fused fails twice.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"[,
 "unstructured_value", "unstructured_vs_baseline"]}.
@@ -252,15 +258,6 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
     else:
         assert finite(q), "bench produced non-finite state"
 
-    if mode == "fused":
-        ty = int(os.environ.get("BENCH_TY", 64))
-        marker = os.path.join(cache_dir, f"fused_ok_{nx}x{ny}_ty{ty}")
-        try:
-            os.makedirs(cache_dir, exist_ok=True)
-            open(marker, "w").close()
-        except OSError:
-            pass
-
     updates_per_s = n_steps * C / elapsed
     print(
         f"# mode={mode} mesh {nx}x{ny} = {C} cells, {n_steps} steps in "
@@ -271,44 +268,15 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
     return updates_per_s
 
 
-def main():
-    nx = int(os.environ.get("BENCH_NX", 2048))
-    ny = int(os.environ.get("BENCH_NY", 1408))
-    n_steps = int(os.environ.get("BENCH_STEPS", 500))
-    dt = 5e-5  # stable for dx = 2 mm, h <= 10 m (c ~ 10 m/s)
-
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    ty_default = int(os.environ.get("BENCH_TY", 64))
-    marker = os.path.join(cache_dir, f"fused_ok_{nx}x{ny}_ty{ty_default}")
-    # flagship mode: the fused Pallas kernel once its compile is known to be
-    # in the persistent cache (a cold pallas compile through a degraded
-    # remote-compile service can exceed the watchdog); structured otherwise.
-    # A successful fused run drops a marker, arming future runs.
-    mode_env = os.environ.get("BENCH_MODE")
-    if mode_env:
-        modes = [mode_env]
-    else:
-        modes = ["fused" if os.path.exists(marker) else "structured",
-                 "pallas"]
-    headline = modes[0]
-
+def run_single_mode(mode, nx, ny, n_steps, dt, cache_dir):
+    """Child / explicit-mode path: measure one mode in this process."""
     # watchdog: the axon TPU relay can wedge (remote-compile service
-    # outages); emit whatever was measured, or die loudly, instead of
-    # hanging the driver
+    # outages); die loudly instead of hanging the driver. The orchestrator
+    # applies its own subprocess timeout on top of this.
     import signal
 
     def _timeout(signum, frame):
-        if _emit(nx, ny, n_steps, headline):
-            print("# bench watchdog expired after headline mode; "
-                  "partial result emitted", file=sys.stderr)
-            os._exit(0)
-        print(
-            "# bench watchdog expired (TPU relay hung?); no result",
-            file=sys.stderr,
-        )
+        print("# bench watchdog expired (TPU relay hung?)", file=sys.stderr)
         os._exit(3)
 
     signal.signal(signal.SIGALRM, _timeout)
@@ -326,17 +294,102 @@ def main():
     except Exception:
         pass
 
-    for m in modes:
-        try:
-            _results[m] = measure(m, nx, ny, n_steps, dt, cache_dir)
-        except Exception as e:  # secondary-mode failures must not mask
-            print(f"# mode {m} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-            if m == headline:
-                raise
+    v = measure(mode, nx, ny, n_steps, dt, cache_dir)
+    if os.environ.get("BENCH_CHILD"):
+        # machine-readable line for the orchestrator (stderr keeps the
+        # human-readable diagnostics)
+        print(json.dumps({"mode": mode, "updates_per_s": v}))
+    else:
+        _results[mode] = v
+        _emit(nx, ny, n_steps, mode)
 
-    if not _emit(nx, ny, n_steps, headline):
-        sys.exit(3)
+
+def _run_child(mode, timeout_s):
+    """Run one bench mode in a subprocess; return updates/s or None.
+
+    Isolation matters: the shared axon TPU worker intermittently crashes
+    when a large interval executable runs right after another big job
+    (BASELINE.md) — the identical program then passes on the restarted
+    worker. A subprocess boundary per mode plus one retry turns that
+    flakiness into a non-event instead of a lost headline.
+    """
+    import subprocess
+
+    env = dict(os.environ, BENCH_MODE=mode, BENCH_CHILD="1",
+               BENCH_TIMEOUT=str(int(timeout_s)))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, timeout=timeout_s + 30,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# mode {mode}: subprocess timeout ({timeout_s:.0f}s)",
+              file=sys.stderr)
+        return None
+    for line in proc.stdout.decode(errors="replace").splitlines():
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("mode") == mode and "updates_per_s" in rec:
+            return float(rec["updates_per_s"])
+    print(f"# mode {mode}: subprocess exited rc={proc.returncode} "
+          "without a result", file=sys.stderr)
+    return None
+
+
+def orchestrate(nx, ny, n_steps):
+    """Default path: fused headline + pallas secondary, each isolated.
+
+    The fused flagship kernel is ALWAYS attempted first (round-2 lesson:
+    gating it on a .jax_cache marker file silently demoted the official
+    number to the slow mode). structured becomes the headline only if
+    fused fails twice.
+    """
+    deadline = time.time() + int(os.environ.get("BENCH_TIMEOUT", 1200))
+
+    def budget(cap):
+        return max(60.0, min(cap, deadline - time.time()))
+
+    headline = "fused"
+    v = _run_child("fused", budget(420))
+    if v is None and time.time() < deadline - 90:
+        print("# retrying fused once (worker crash / relay hiccup?)",
+              file=sys.stderr)
+        v = _run_child("fused", budget(300))
+    if v is None:
+        headline = "structured"
+        v = _run_child("structured", budget(300))
+        if v is None:
+            print("# no headline result", file=sys.stderr)
+            sys.exit(3)
+    _results[headline] = v
+
+    if time.time() < deadline - 90:
+        u = _run_child("pallas", budget(300))
+        if u is None and time.time() < deadline - 90:
+            u = _run_child("pallas", budget(240))
+        if u is not None:
+            _results["pallas"] = u
+
+    _emit(nx, ny, n_steps, headline)
+
+
+def main():
+    nx = int(os.environ.get("BENCH_NX", 2048))
+    ny = int(os.environ.get("BENCH_NY", 1408))
+    n_steps = int(os.environ.get("BENCH_STEPS", 500))
+    dt = 5e-5  # stable for dx = 2 mm, h <= 10 m (c ~ 10 m/s)
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    mode_env = os.environ.get("BENCH_MODE")
+    if mode_env:
+        run_single_mode(mode_env, nx, ny, n_steps, dt, cache_dir)
+    else:
+        orchestrate(nx, ny, n_steps)
 
 
 if __name__ == "__main__":
