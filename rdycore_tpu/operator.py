@@ -117,6 +117,10 @@ class OperatorArrays(NamedTuple):
     pl_fs_eg: jnp.ndarray = None  # [nsteps] i32 edge-group block index
     pl_fs_cg: jnp.ndarray = None  # [nsteps] i32 cell-group output index
     pl_fs_doc: jnp.ndarray = None  # [nsteps] i32 1 = compute a cell group
+    # unified plan (boundary edges folded in-kernel): boundary edge -> flat
+    # L-slot position (for routing runtime Dirichlet values); presence
+    # signals that the fused kernel's divergence is already complete
+    pl_bnd_pos: jnp.ndarray = None  # [Eb] i32
     # merged single-stream plan layouts for the fused kernel (the separate
     # pl_* planes above still feed the two-kernel / MUSCL paths)
     pl_fz_e8: jnp.ndarray = None  # [ntiles*(16+4*rrows), 128] i8
@@ -212,6 +216,9 @@ class SWEOperator:
     # tuple -> use the separate edge + divergence kernels
     pallas_fused_meta: tuple = ()
     pallas_bs_meta: tuple = ()  # BS2002 route/accumulate window supers
+    # static BC codes folded into a unified plan (+1-shifted; empty tuple =
+    # interior-only plan, boundary fluxes handled by the XLA glue)
+    pallas_bnd_kinds: tuple = ()
     pallas_interpret: bool = False
 
     # ---------------------------------------------------------------- helpers
@@ -303,17 +310,26 @@ class SWEOperator:
                 if self.pallas_fused_meta and a.pl_fz_e8 is not None:
                     from .ops.pallas.slotted import (
                         FusedSchedule, fused_rhs_slotted,
+                        slot_dirichlet_planes,
                     )
 
                     sched = FusedSchedule(
                         *self.pallas_fused_meta, None, None, None
                     )
+                    dir_planes = None
+                    if 1 in self.pallas_bnd_kinds:
+                        dir_planes = slot_dirichlet_planes(
+                            a.pl_bnd_pos, a.pl_supL.shape[0],
+                            boundary_values, self.tiny_h, self.h_anuga,
+                        )
                     div, cmax8, cidx8 = fused_rhs_slotted(
                         a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                         self.pallas_wq, sched,
                         self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
                         interpret=self.pallas_interpret,
                         hr=self.well_balancing_hr, bs=bs_args,
+                        bnd_kinds=self.pallas_bnd_kinds,
+                        dir_planes=dir_planes,
                     )
                     return self._finish_apply(
                         q, dt, boundary_values, ext_src,
@@ -517,7 +533,11 @@ class SWEOperator:
             flux_div = (
                 div.reshape(3, -1)[:, : self.num_cells].astype(dtype)
             )
-            if self.num_boundary_edges:
+            # unified plans fold the boundary fluxes into the kernel's
+            # divergence; only interior-only plans need the scatter-add
+            if self.num_boundary_edges and not (
+                fused is not None and self.pallas_bnd_kinds
+            ):
                 coefb = -a.bnd_len / a.area[a.bnd_left]
                 flux_div = flux_div.at[:, a.bnd_left].add(fb * coefb)
         else:
@@ -544,7 +564,12 @@ class SWEOperator:
                 ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
                 mi = ci.max()
                 ei = a.pl_slot_edge[jnp.argmax(ci)]
-            if self.num_boundary_edges:
+            if fused is not None and self.pallas_bnd_kinds:
+                # unified plan: boundary slots already fold into the
+                # kernel's Courant max/argmax
+                max_courant_per_dt = mi.astype(dtype)
+                courant_edge = ei
+            elif self.num_boundary_edges:
                 cb = amax_b.astype(jnp.float32) * jnp.asarray(
                     a.edge_courant_coef[Ei:], jnp.float32
                 )
@@ -1136,6 +1161,9 @@ def build_operator(
         int_right=np.asarray(right[:Ei]),
         int_cn=np.asarray(mesh.edge_cn[edge_perm][:Ei]),
         int_sn=np.asarray(mesh.edge_sn[edge_perm][:Ei]),
+        bnd_left=np.asarray(left[Ei:]),
+        bnd_cn=np.asarray(mesh.edge_cn[edge_perm][Ei:]),
+        bnd_sn=np.asarray(mesh.edge_sn[edge_perm][Ei:]),
         cell_edges=np.asarray(cell_edges),
         cell_edge_coef=np.asarray(coef),
         edge_courant_coef=np.asarray(ccoef),

@@ -69,9 +69,17 @@ _ABLATE = frozenset(
 
 
 class SlottedPlan(NamedTuple):
-    """Host-built tiling/routing plan (all arrays numpy)."""
+    """Host-built tiling/routing plan (all arrays numpy).
 
-    order: np.ndarray  # [Ei] original -> sorted interior edge permutation
+    When boundary edges are folded into the plan (unified mode, used by the
+    streaming fused kernel so the divergence it emits is COMPLETE — the
+    reference's per-boundary CeedOperators, src/operator_fluxes_ceed.c:289+,
+    become in-kernel ghost-state selects), `order`/`eposL`/`eposR` index the
+    unified edge list [interior | boundary] and supL carries the per-slot BC
+    type in bits 5-6 (0 = interior, 1 = Dirichlet, 2 = reflecting,
+    3 = critical outflow; window rows then fit 5 bits since nsup <= 4)."""
+
+    order: np.ndarray  # [E] original -> sorted edge permutation
     ntiles: int
     rrows: int  # R-layout rows per tile (8 when <= 8 colors suffice)
     nsup: int  # per-tile q window size in 8-row supers
@@ -87,9 +95,10 @@ class SlottedPlan(NamedTuple):
     cn: np.ndarray  # [ntiles*8, 128] f32 slotted edge normals
     sn: np.ndarray
     courant_coef: np.ndarray  # [ntiles*8, 128] f32 slotted len/min(area)
-    slot_edge: np.ndarray  # [ntiles*8*128] i32 slot -> interior edge (-1 pad)
-    eposL: np.ndarray  # [Ei] edge -> L-layout flat position
-    eposR: np.ndarray  # [Ei] edge -> R-layout flat position
+    slot_edge: np.ndarray  # [ntiles*8*128] i32 slot -> operator edge (-1 pad)
+    eposL: np.ndarray  # [E] edge -> L-layout flat position
+    eposR: np.ndarray  # [E] edge -> R-layout flat position
+    bnd_pos: Optional[np.ndarray] = None  # [Eb] boundary edge -> L position
 
 
 class CellPlan(NamedTuple):
@@ -106,6 +115,21 @@ class CellPlan(NamedTuple):
     cfL: np.ndarray  # [KL, ntiles*8, 128] f32 signed len/area (0 = none)
     supR: np.ndarray  # [KR, ntiles*8, 128] i32
     cfR: np.ndarray
+
+
+def _vmem_budget() -> int:
+    """VMEM scratch byte budget for plan admission (ADVICE r2: the GT-scaled
+    super caps alone can admit plans whose double-buffered q window + flux
+    rings exceed VMEM on older TPU generations or at ndof > 3)."""
+    return int(_os.environ.get("RDYTPU_VMEM_BUDGET", 96 * 1024 * 1024))
+
+
+def _qbuf_bytes(wq: int, ndof: int) -> int:
+    return 2 * ndof * wq * 8 * 128 * 4
+
+
+def _ring_bytes(nringL: int, nringR: int, ndof: int) -> int:
+    return (nringL + nringR) * 8 * ndof * 128 * 4
 
 
 def _cumcount(x: np.ndarray) -> np.ndarray:
@@ -188,6 +212,8 @@ def build_slotted_plan(
     num_cells: int,
     max_sup: int = 4,
     rcap="auto",
+    bnd=None,
+    ndof: int = 3,
 ) -> Optional[SlottedPlan]:
     """Pack sorted interior edges into slot tiles. Returns None when any
     tile's cell window would exceed max_sup supers (mesh bandwidth too
@@ -197,13 +223,37 @@ def build_slotted_plan(
     8-color packing halves the right-state gather/route work in the edge
     kernel and the fluxR traffic, at the cost of closing tiles earlier
     when colors run out. "auto" packs with 8 and falls back to 16 when
-    that inflates the tile count by > 15%."""
-    E = len(int_left)
+    that inflates the tile count by > 15%.
+
+    bnd (unified mode): dict(left [Eb], cn, sn, ccoef, btype) folds the
+    boundary edges into the same tiling as pseudo-edges with
+    il == ir == the owning cell; the kernel replaces their gathered right
+    state with the BC ghost state selected by the per-slot type code packed
+    into supL bits 5-6. Requires nsup <= 4 (5-bit window rows) — returns
+    None otherwise so the caller can rebuild interior-only."""
+    Ei = len(int_left)
+    if bnd is not None:
+        bl = np.asarray(bnd["left"], np.int64)
+        il_all = np.concatenate([int_left.astype(np.int64), bl])
+        ir_all = np.concatenate([int_right.astype(np.int64), bl])
+        cn_all = np.concatenate([int_cn, bnd["cn"]])
+        sn_all = np.concatenate([int_sn, bnd["sn"]])
+        cc_all = np.concatenate([courant_coef, bnd["ccoef"]])
+        # slot BC code: 0 interior; boundary types shifted by +1
+        bt_all = np.concatenate(
+            [np.zeros(Ei, np.int64), np.asarray(bnd["btype"], np.int64) + 1]
+        )
+    else:
+        il_all = int_left.astype(np.int64)
+        ir_all = int_right.astype(np.int64)
+        cn_all, sn_all, cc_all = int_cn, int_sn, courant_coef
+        bt_all = None
+    E = len(il_all)
     if E == 0:
         return None
-    order = np.argsort(np.minimum(int_left, int_right), kind="stable")
-    il = int_left[order].astype(np.int64)
-    ir = int_right[order].astype(np.int64)
+    order = np.argsort(np.minimum(il_all, ir_all), kind="stable")
+    il = il_all[order]
+    ir = ir_all[order]
     laneL = il & 127
     laneR = ir & 127
 
@@ -231,6 +281,9 @@ def build_slotted_plan(
     except ValueError:
         return None
     slot_row, color, tile_of, ws_tile, need_sup = packed
+    if bt_all is not None and need_sup > 4:
+        # 5-bit window rows are needed to pack the BC code into supL
+        return None
     ws_rows = ws_tile[tile_of]  # [E] window start of each edge's tile
     # pad the tile count to a GT multiple; inert tiles inherit the LAST
     # window start so the shared group window stays tight (a 0 would blow
@@ -247,9 +300,13 @@ def build_slotted_plan(
     wq = int((grp.max(axis=1) - gws).max()) + need_sup
     # scratch budget: 2 slots * ndof * wq supers of f32; 64 supers ~ 1.5 MB
     # VMEM at ndof=3. Larger GT makes the shared group window proportionally
-    # wider, so the budget scales with GT (VMEM is ~128 MB; even GT=64 ->
-    # 512 supers ~ 12 MB stays comfortable).
+    # wider, so the budget scales with GT. An absolute byte cap (ndof-aware,
+    # RDYTPU_VMEM_BUDGET-configurable, default 96 MB of the ~128 MB VMEM)
+    # backstops the per-GT heuristic so large-GT/ndof plans fall back to the
+    # two-kernel path instead of failing pallas compilation.
     if wq > 64 * max(1, GT // 8):
+        return None
+    if _qbuf_bytes(wq, ndof) > _vmem_budget():
         return None
 
     # all index planes fit int8: window rows < max_sup*8 <= 32, lanes < 128,
@@ -270,21 +327,39 @@ def build_slotted_plan(
     rr = ir // 128 - ws_rows
     rowsL = tile_of * 8 + slot_row
     rowsR = tile_of * rrows + color
-    supL[rowsL, laneL] = rl
+    if bt_all is not None:
+        supL[rowsL, laneL] = rl | (bt_all[order] << 5)
+    else:
+        supL[rowsL, laneL] = rl
     supR[rowsR, laneR] = rr
     m_al[rowsR, laneL] = laneR
     g_al[rowsL, laneL] = color
     gi[rowsR, laneL] = slot_row
     mi[rowsR, laneR] = laneL
-    cn_c = int_cn[order].astype(np.float32)
-    sn_c = int_sn[order].astype(np.float32)
-    cc = courant_coef[order].astype(np.float32)
+    cn_c = cn_all[order].astype(np.float32)
+    sn_c = sn_all[order].astype(np.float32)
+    cc = cc_all[order].astype(np.float32)
     cn_s[rowsL, laneL] = cn_c
     sn_s[rowsL, laneL] = sn_c
     cc_s[rowsL, laneL] = cc
     eposL = rowsL * 128 + laneL
     eposR = rowsR * 128 + laneR
-    slot_edge[eposL] = np.arange(E, dtype=np.int32)
+    bnd_pos = None
+    if bt_all is not None:
+        # slot -> operator edge id: interior slots get their rank among the
+        # sorted interior edges (the operator's reordered interior index);
+        # boundary slots get Ei + original boundary position (the boundary
+        # block is never reordered)
+        is_int = order < Ei
+        opid = np.where(
+            is_int, np.cumsum(is_int) - 1, Ei + (order - Ei)
+        ).astype(np.int32)
+        slot_edge[eposL] = opid
+        inv_u = np.empty(E, np.int64)
+        inv_u[order] = np.arange(E)
+        bnd_pos = eposL[inv_u[Ei:]].astype(np.int32)
+    else:
+        slot_edge[eposL] = np.arange(E, dtype=np.int32)
 
     return SlottedPlan(
         order=order, ntiles=ntiles, rrows=rrows, nsup=need_sup,
@@ -293,19 +368,21 @@ def build_slotted_plan(
         supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
         cn=cn_s, sn=sn_s,
         courant_coef=cc_s, slot_edge=slot_edge,
-        eposL=eposL, eposR=eposR,
+        eposL=eposL, eposR=eposR, bnd_pos=bnd_pos,
     )
 
 
 def build_cell_plan(
     plan: SlottedPlan,
-    il_sorted: np.ndarray,  # sorted interior left cells [Ei]
+    il_sorted: np.ndarray,  # sorted left cells [E]
     ir_sorted: np.ndarray,
-    coefL: np.ndarray,  # [Ei] signed len/area wrt the left cell
+    coefL: np.ndarray,  # [E] signed len/area wrt the left cell
     coefR: np.ndarray,
     num_cells: int,
     max_supL: int = 4,
     max_supR: int = 8,
+    btype_sorted: Optional[np.ndarray] = None,
+    ndof: int = 3,
 ) -> Optional[CellPlan]:
     C = num_cells
     E = len(il_sorted)
@@ -314,21 +391,32 @@ def build_cell_plan(
     Ct = -(-C // TE)
     Ct = -(-Ct // GT) * GT  # cell tiles, padded to a GT multiple
 
+    # unified mode: boundary pseudo-edges (il == ir) contribute only on the
+    # L side (coefR == 0 by construction); excluding them from the R-side
+    # plan keeps KR and the fluxR windows tight
+    if btype_sorted is not None:
+        rmask = btype_sorted == 0
+        ir_r = ir_sorted[rmask]
+        rowR_r = rowR[rmask]
+        coefR_r = coefR[rmask]
+    else:
+        ir_r, rowR_r, coefR_r = ir_sorted, rowR, coefR
+
     KL = int(np.bincount(il_sorted, minlength=C).max()) if E else 0
-    KR = int(np.bincount(ir_sorted, minlength=C).max()) if E else 0
+    KR = int(np.bincount(ir_r, minlength=C).max()) if len(ir_r) else 0
     if KL == 0 or KR == 0:
         return None
 
     ctile_l = il_sorted // TE
-    ctile_r = ir_sorted // TE
+    ctile_r = ir_r // TE
     tL_lo = np.full(Ct, np.iinfo(np.int64).max)
     tL_hi = np.zeros(Ct, np.int64)
     tR_lo = np.full(Ct, np.iinfo(np.int64).max)
     tR_hi = np.zeros(Ct, np.int64)
     np.minimum.at(tL_lo, ctile_l, rowL)
     np.maximum.at(tL_hi, ctile_l, rowL)
-    np.minimum.at(tR_lo, ctile_r, rowR)
-    np.maximum.at(tR_hi, ctile_r, rowR)
+    np.minimum.at(tR_lo, ctile_r, rowR_r)
+    np.maximum.at(tR_hi, ctile_r, rowR_r)
     tL_lo = np.minimum(tL_lo, tL_hi)
     tR_lo = np.minimum(tR_lo, tR_hi)
     wsL = (tL_lo >> 3) << 3
@@ -360,8 +448,12 @@ def build_cell_plan(
     wl = int((grpL.max(axis=1) - gwsL).max()) + nsupL
     wr = int((grpR.max(axis=1) - gwsR).max()) + nsupR
     # group-window scratch budget scales with GT (same reasoning as the
-    # edge-plan wq cap: wider groups -> proportionally wider shared windows)
+    # edge-plan wq cap: wider groups -> proportionally wider shared windows);
+    # the byte cap folds in ndof (ADVICE r2: tracer runs scale scratch
+    # linearly with ndof but previously passed the super-count caps)
     if wl > 64 * max(1, GT // 8) or wr > 64 * max(1, GT // 8):
+        return None
+    if 2 * (wl + wr) * 8 * ndof * 128 * 4 > _vmem_budget():
         return None
 
     supLc = np.zeros((KL, Ct * 8, 128), np.int8)
@@ -370,15 +462,15 @@ def build_cell_plan(
     cfR = np.zeros((KR, Ct * 8, 128), np.float32)
 
     kL = _cumcount(il_sorted)
-    kR = _cumcount(ir_sorted)
+    kR = _cumcount(ir_r)
     crowL = il_sorted // 128
     claneL = il_sorted & 127
-    crowR = ir_sorted // 128
-    claneR = ir_sorted & 127
+    crowR = ir_r // 128
+    claneR = ir_r & 127
     supLc[kL, crowL, claneL] = (rowL - wsL[ctile_l]).astype(np.int8)
     cfL[kL, crowL, claneL] = coefL.astype(np.float32)
-    supRc[kR, crowR, claneR] = (rowR - wsR[ctile_r]).astype(np.int8)
-    cfR[kR, crowR, claneR] = coefR.astype(np.float32)
+    supRc[kR, crowR, claneR] = (rowR_r - wsR[ctile_r]).astype(np.int8)
+    cfR[kR, crowR, claneR] = coefR_r.astype(np.float32)
 
     def slot_coefs(valsL, valsR):
         """Fill extra per-edge-side coefficient sets with the same
@@ -434,11 +526,21 @@ def _window_gather(q_refs, sup_idx, comp, nsup):
 
 def _tile_edge_fluxes(fetch, supL, supR0, mm0, supR1, mm1, g, cn, sn,
                       nsup, ndof, upwind, tiny_h, h_anuga,
-                      hr_dz=None, bs_vals=None):
+                      hr_dz=None, bs_vals=None, btype=None, bnd_kinds=(),
+                      dir_vals=None):
     """Shared per-tile slot math: gather L/R states through the window
     `fetch`, align R->L, solve Roe (flow or coupled tracer), apply the
     HR/BS2002 variants, and dry-mask. Returns (fluxes[ndof], amax) as
-    (8, 128) vregs in the L-layout."""
+    (8, 128) vregs in the L-layout.
+
+    btype (unified plans): per-slot BC code (0 interior, 1 Dirichlet,
+    2 reflecting, 3 critical outflow). Boundary slots gather the owning
+    cell as BOTH states (il == ir in the plan); their right state is then
+    replaced with the ghost state of the slot's BC — the in-kernel
+    equivalent of the reference's per-boundary flux sub-operators
+    (swe_fluxes_ceed.h:104-271). bnd_kinds is the static set of codes
+    present (absent kinds compile to nothing); dir_vals = (h, u, v) ghost
+    planes for Dirichlet slots, slotted from the runtime boundary values."""
     qs = []
     for comp in range(ndof):
         qL = _fetch_gather(fetch, supL, comp, nsup)
@@ -466,6 +568,37 @@ def _tile_edge_fluxes(fetch, supL, supR0, mm0, supR1, mm1, g, cn, sn,
     # (swe_fluxes_hydro_recon_ceed.h: eta - max(z))
     ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
     ur, vr = regularized_velocity(hr_, hur, hvr, tiny_h, h_anuga)
+    if btype is not None:
+        assert ndof == 3, "unified boundary plans are pure-SWE only"
+        from ...constants import GRAVITY
+
+        if 2 in bnd_kinds:  # reflecting wall (swe_fluxes_ceed.h:158-212)
+            is_b = btype == 2
+            dum1 = sn * sn - cn * cn
+            dum2 = 2.0 * sn * cn
+            hr_ = jnp.where(is_b, hl, hr_)
+            ur = jnp.where(is_b, ul * dum1 - vl * dum2, ur)
+            vr = jnp.where(is_b, -ul * dum2 - vl * dum1, vr)
+        if 3 in bnd_kinds:  # critical outflow (swe_fluxes_ceed.h:214-271)
+            is_b = btype == 3
+            g_c = jnp.float32(GRAVITY)
+            uperp = ul * cn + vl * sn
+            outgoing = uperp >= 0.0
+            qcr = hl * jnp.abs(uperp)
+            h_crit = jnp.cbrt(qcr * qcr / g_c)
+            vel = jnp.sqrt(g_c * h_crit)
+            hr_ = jnp.where(is_b, jnp.where(outgoing, h_crit, 0.0), hr_)
+            ur = jnp.where(is_b, jnp.where(outgoing, vel * cn, 0.0), ur)
+            vr = jnp.where(is_b, jnp.where(outgoing, vel * sn, 0.0), vr)
+            blocked = is_b & ~outgoing  # inflow: both sides dry, no flux
+            hl = jnp.where(blocked, 0.0, hl)
+            ul = jnp.where(blocked, 0.0, ul)
+            vl = jnp.where(blocked, 0.0, vl)
+        if 1 in bnd_kinds:  # Dirichlet (swe_fluxes_ceed.h:104-156)
+            is_b = btype == 1
+            hr_ = jnp.where(is_b, dir_vals[0], hr_)
+            ur = jnp.where(is_b, dir_vals[1], ur)
+            vr = jnp.where(is_b, dir_vals[2], vr)
     if hr_dz is not None:
         hl_f = jnp.maximum(0.0, hl - hr_dz[0])
         hr_f = jnp.maximum(0.0, hr_ - hr_dz[1])
@@ -860,7 +993,8 @@ class FusedSchedule(NamedTuple):
 
 
 def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
-                         max_ring: int = 0) -> Optional[FusedSchedule]:
+                         max_ring: int = 0,
+                         ndof: int = 3) -> Optional[FusedSchedule]:
     """Schedule cell group ct at the earliest step s(ct) whose edge
     progress covers ct's flux windows (strictly increasing s). Ring sizes
     = the max distance between the edge write frontier and the oldest
@@ -899,6 +1033,12 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
     nringR = max(int((frontR - gR_lo).max()), GTn * rp)
     if nringL > max_ring or nringR > max_ring:
         return None
+    # combined scratch (double-buffered q window + both flux rings) must fit
+    # the VMEM budget (ADVICE r2)
+    if _qbuf_bytes(plan.wq, ndof) + _ring_bytes(nringL, nringR, ndof) > (
+        _vmem_budget()
+    ):
+        return None
 
     eg = np.minimum(np.arange(nsteps), negrp - 1).astype(np.int32)
     cg = np.zeros(nsteps, np.int32)
@@ -916,7 +1056,7 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                   doc_ref, e8_ref, ef_ref, c8_ref, cf_ref, *rest,
                   nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows,
                   nsupL, nsupR, KL, KR, negrp, nringL, nringR,
-                  hr=False, bs=False):
+                  hr=False, bs=False, bnd_kinds=()):
     """Streaming fused RHS: per grid step, (a) compute one GT-tile group of
     edge fluxes into VMEM rings + fold the Courant max/argmax, (b) when the
     schedule says a cell group's flux windows are complete, gather its
@@ -930,6 +1070,10 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
     if bs:
         etab_ref, etae_ref, zvb_ref, zve_ref = rest[:4]
         rest = rest[4:]
+    has_dir = 1 in bnd_kinds
+    if has_dir:
+        dirp_ref = rest[0]  # [GT*8-block, 3, 128] Dirichlet ghost planes
+        rest = rest[1:]
     q_hbm = rest[0]
     o_div, o_cmax, o_cidx = rest[1], rest[2], rest[3]
     qbuf, sem, ringL, ringR = rest[4], rest[5], rest[6], rest[7]
@@ -972,6 +1116,11 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
             r8 = slice(gt * 8, gt * 8 + 8)
             b = gt * RE8
             supL = e8_all[b : b + 8, :]
+            btype = None
+            if bnd_kinds:
+                # unified plan: BC code packed into supL bits 5-6
+                btype = supL >> 5
+                supL = supL & 31
             g_pick = e8_all[b + 8 : b + 16, :]
             sR = b + 16
             supR0 = e8_all[sR : sR + 8, :]
@@ -1003,6 +1152,11 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                 bs_vals=(
                     (etab_ref[r8, :], etae_ref[r8, :],
                      zvb_ref[r8, :], zve_ref[r8, :]) if bs else None
+                ),
+                btype=btype, bnd_kinds=bnd_kinds,
+                dir_vals=(
+                    (dirp_ref[0, r8, :], dirp_ref[1, r8, :],
+                     dirp_ref[2, r8, :]) if has_dir else None
                 ),
             )
 
@@ -1089,8 +1243,13 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
 
 def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
                       nsupL, nsupR, ndof=3, upwind=False, interpret=False,
-                      hr=False, bs=None):
+                      hr=False, bs=None, bnd_kinds=(), dir_planes=None):
     """Run the streaming fused edge-flux + divergence + Courant kernel.
+
+    bnd_kinds (unified plans): static tuple of BC codes folded into the
+    plan; the emitted divergence then already includes the boundary-edge
+    fluxes. dir_planes: [3, ntiles*8, 128] Dirichlet ghost (h, u, v)
+    planes (see slot_dirichlet_planes), required when 1 in bnd_kinds.
 
     Returns (div [ndof, Ct*8, 128], cmax [8, 128] f32, cidx [8, 128] i32)
     where cidx holds linear L-slot indices (feed through pl_slot_edge)."""
@@ -1130,6 +1289,11 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         cm3(KL + KR),  # merged cell coef f32
     ] + (
         [em(8), em(8), em(8), em(8)] if bs is not None else []
+    ) + (
+        [pl.BlockSpec(  # Dirichlet ghost planes (h, u, v) in the L-layout
+            (3, GT * 8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc: (0, eg[t], 0),
+        )] if 1 in bnd_kinds else []
     ) + [
         pl.BlockSpec(memory_space=pltpu.ANY),  # q2d (group-window DMA)
     ]
@@ -1162,6 +1326,7 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
             tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
             nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR, negrp=negrp,
             nringL=nringL, nringR=nringR, hr=bool(hr), bs=bs is not None,
+            bnd_kinds=tuple(bnd_kinds),
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1178,16 +1343,40 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         (bs[0], bs[1], arrays.pl_bs.zvb, arrays.pl_bs.zve)
         if bs is not None else ()
     )
+    dir_args = (dir_planes,) if 1 in bnd_kinds else ()
     div, cmax, cidx = f(
         arrays.pl_ws, arrays.pl_gws,
         arrays.pl_cd_wsL, arrays.pl_cd_wsR,
         arrays.pl_fs_eg, arrays.pl_fs_cg, arrays.pl_fs_doc,
         arrays.pl_fz_e8, arrays.pl_fz_ef,
         arrays.pl_fz_c8, arrays.pl_fz_cf,
-        *bs_args,
+        *bs_args, *dir_args,
         q2d,
     )
     return div, cmax, cidx
+
+
+def slot_dirichlet_planes(bnd_pos, ntiles8, boundary_values, tiny_h,
+                          h_anuga):
+    """Scatter runtime Dirichlet boundary values into L-layout ghost
+    planes for the unified fused kernel.
+
+    bnd_pos: [Eb] i32 flat L-slot position per boundary edge;
+    boundary_values: [>=3, Eb]. Returns [3, ntiles8, 128] f32 of the ghost
+    (h, u, v) — the same regularized velocities the XLA twin computes for
+    Dirichlet ghost states (ops/swe/boundary.py ghost_states). Non-Dirichlet
+    slots receive values too; the kernel only reads Dirichlet slots."""
+    from ..swe.riemann import regularized_velocity as _rv
+
+    hb = boundary_values[0].astype(jnp.float32)
+    ub, vb = _rv(
+        hb, boundary_values[1].astype(jnp.float32),
+        boundary_values[2].astype(jnp.float32),
+        jnp.float32(tiny_h), jnp.float32(h_anuga),
+    )
+    flat = jnp.zeros((3, ntiles8 * 128), jnp.float32)
+    flat = flat.at[:, bnd_pos].set(jnp.stack([hb, ub, vb]))
+    return flat.reshape(3, ntiles8, 128)
 
 
 # ---------------------------------------------------- MUSCL (second order)
@@ -1638,7 +1827,7 @@ def edge_flux_muscl_slotted(op, q, interpret=False, bs=None):
 
 def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
                       max_sup: int = 4, max_sup_cd: int = 16, muscl=None,
-                      cell_z=None, rcap="auto"):
+                      cell_z=None, rcap="auto", bnd=None, ndof: int = 3):
     """Host-level plan build over one edge set (all numpy in/out).
 
     il/ir: [Ei] cell ids; cn_h/sn_h: [Ei]; ccoef: [E] (interior first);
@@ -1650,50 +1839,97 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     pl_hr_dzl/pl_hr_dzr (swe_fluxes_hydro_recon_ceed.h: depths from
     eta - max(z), velocities from the raw states).
 
+    bnd (unified mode): dict(left [Eb], cn, sn, btype) — fold boundary
+    edges into the plan so the fused kernel's divergence is complete (the
+    reference's per-boundary flux sub-operators become in-kernel ghost
+    selects). Falls back to an interior-only plan when the unified packing
+    fails or the fused schedule is infeasible — the non-fused kernels only
+    handle interior slots.
+
     Returns None when the mesh exceeds the static window budgets, else
     (plan_np, reordered, meta):
       plan_np: {pl_*: numpy array} kernel plan fields
       reordered: host arrays rewritten to the plan's sorted edge order
       meta: {nsup, nsupL, nsupR}
     """
-    plan = build_slotted_plan(
-        il, ir, cn_h, sn_h, ccoef[:Ei], num_cells, max_sup=max_sup,
-        rcap=rcap,
-    )
+    assert bnd is None or muscl is None, "unified plans are first-order only"
+    E_lim = Ei + (len(bnd["left"]) if bnd is not None else 0)
+    plan = None
+    if bnd is not None:
+        plan = build_slotted_plan(
+            il, ir, cn_h, sn_h, ccoef[:Ei], num_cells, max_sup=max_sup,
+            rcap=rcap, bnd=dict(bnd, ccoef=ccoef[Ei:E_lim]), ndof=ndof,
+        )
+        if plan is None:
+            bnd = None
+            E_lim = Ei
+    if plan is None:
+        plan = build_slotted_plan(
+            il, ir, cn_h, sn_h, ccoef[:Ei], num_cells, max_sup=max_sup,
+            rcap=rcap, ndof=ndof,
+        )
     if plan is None:
         return None
 
     order = plan.order
-    il_s = il[order]
-    ir_s = ir[order]
+    if bnd is not None:
+        il_all = np.concatenate([np.asarray(il), np.asarray(bnd["left"])])
+        ir_all = np.concatenate([np.asarray(ir), np.asarray(bnd["left"])])
+        bt_all = np.concatenate(
+            [np.zeros(Ei, np.int64), np.asarray(bnd["btype"], np.int64) + 1]
+        )
+        btype_sorted = bt_all[order]
+        order_int = order[order < Ei]
+    else:
+        il_all, ir_all = il, ir
+        btype_sorted = None
+        order_int = order
+    il_s = il_all[order]
+    ir_s = ir_all[order]
 
     # per-edge signed len/area coefficients wrt the left and right cells,
     # extracted from the operator's gather maps (robust to conventions)
     C, K = ce.shape
-    coefL = np.zeros(Ei)
-    coefR = np.zeros(Ei)
+    coefL = np.zeros(E_lim)
+    coefR = np.zeros(E_lim)
     cells = np.repeat(np.arange(C), K)
     edges = ce.reshape(-1)
     cfs = cec.reshape(-1)
-    interior = edges < Ei
+    interior = edges < E_lim
     e_i = edges[interior]
     c_i = cells[interior]
     f_i = cfs[interior]
-    is_left = il[e_i] == c_i
+    is_left = il_all[e_i] == c_i
     coefL[e_i[is_left]] = f_i[is_left]
     coefR[e_i[~is_left]] = f_i[~is_left]
 
     cp_res = build_cell_plan(
         plan, il_s, ir_s, coefL[order], coefR[order], num_cells,
         max_supL=max_sup_cd, max_supR=max_sup_cd,
+        btype_sorted=btype_sorted, ndof=ndof,
     )
     if cp_res is None:
+        if bnd is not None:
+            # retry interior-only (the unified KL can exceed the budget)
+            return build_plan_arrays(
+                il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
+                max_sup=max_sup, max_sup_cd=max_sup_cd, muscl=muscl,
+                cell_z=cell_z, rcap=rcap, bnd=None, ndof=ndof,
+            )
         return None
     cell_plan, slot_coefs = cp_res
 
     # streaming fused edge+cell schedule (first-order paths); None when a
     # VMEM flux ring would be too large -> two-kernel fallback
-    fsched = build_fused_schedule(plan, cell_plan)
+    fsched = build_fused_schedule(plan, cell_plan, ndof=ndof)
+    if fsched is None and bnd is not None:
+        # the non-fused kernels only handle interior slots; rebuild without
+        # the boundary fold so the two-kernel fallback stays correct
+        return build_plan_arrays(
+            il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
+            max_sup=max_sup, max_sup_cd=max_sup_cd, muscl=muscl,
+            cell_z=cell_z, rcap=rcap, bnd=None, ndof=ndof,
+        )
 
     # merged single-stream layouts for the fused kernel: the round-2 floor
     # ablation (all compute removed) measured 74% of the fused step in the
@@ -1724,8 +1960,11 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
 
     hr_np = {}
     if cell_z is not None:
-        zl = np.asarray(cell_z)[il]
-        zr = np.asarray(cell_z)[ir]
+        # boundary pseudo-edges (unified mode) see the same cell on both
+        # sides -> dz == 0 -> reconstruction is the identity there, matching
+        # the twin (boundary edges are never HR-reconstructed)
+        zl = np.asarray(cell_z)[il_all]
+        zr = np.asarray(cell_z)[ir_all]
         zmax = np.maximum(zl, zr)
         hr_np = dict(
             pl_hr_dzl=slot_edge_vals(zmax - zl),
@@ -1773,16 +2012,20 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
             pl_fz_cf=np.concatenate([cell_plan.cfL, cell_plan.cfR], 0),
         )
 
-    # remap operator interior-edge order to plan (sorted) order
+    # remap operator interior-edge order to plan (sorted) order; in unified
+    # mode the stable min-cell sort preserves the interior edges' relative
+    # order, so order_int is exactly the interior permutation
     inv = np.empty(Ei, dtype=np.int64)
-    inv[order] = np.arange(Ei)
+    inv[order_int] = np.arange(Ei)
     ce_new = np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
 
     reordered = dict(
-        int_left=il_s, int_right=ir_s,
-        int_cn=cn_h[order], int_sn=sn_h[order],
+        int_left=il[order_int], int_right=ir[order_int],
+        int_cn=cn_h[order_int], int_sn=sn_h[order_int],
         cell_edges=ce_new,
-        edge_courant_coef=np.concatenate([ccoef[:Ei][order], ccoef[Ei:]]),
+        edge_courant_coef=np.concatenate(
+            [ccoef[:Ei][order_int], ccoef[Ei:]]
+        ),
     )
     plan_np = dict(
         pl_ws=plan.ws,
@@ -1801,6 +2044,10 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
                  pl_fs_doc=fsched.doc)
             if fsched is not None else {}
         ),
+        **(
+            dict(pl_bnd_pos=plan.bnd_pos) if plan.bnd_pos is not None
+            else {}
+        ),
         **fz_np,
         **hr_np,
         **muscl_np,
@@ -1808,10 +2055,11 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     meta = dict(
         nsup=plan.nsup, nsupL=cell_plan.nsupL, nsupR=cell_plan.nsupR,
         wq=plan.wq, wl=cell_plan.wl, wr=cell_plan.wr,
-        order=order,  # original -> sorted interior edge permutation
+        order=order_int,  # original -> sorted interior edge permutation
         eposL=plan.eposL,  # sorted edge -> L-layout flat slot position
         ntiles=plan.ntiles,
         rrows=plan.rrows,
+        unified=plan.bnd_pos is not None,  # boundary edges folded in-plan
         fused=(
             (fsched.nsteps, fsched.negrp, fsched.nringL, fsched.nringR)
             if fsched is not None else ()
@@ -1833,6 +2081,7 @@ _PLAN_DTYPES = {
     "pl_cd_supL": np.int8, "pl_cd_supR": np.int8,
     "pl_fs_eg": np.int32, "pl_fs_cg": np.int32, "pl_fs_doc": np.int32,
     "pl_fz_e8": np.int8, "pl_fz_c8": np.int8,
+    "pl_bnd_pos": np.int32,
 }
 _PLAN_INT_FIELDS = frozenset(_PLAN_DTYPES)
 
@@ -1881,6 +2130,27 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
             int_dyr=asnp("int_dyr", a.int_dyr),
         )
 
+    # unified mode: fold the boundary edges into the plan so the fused
+    # kernel's divergence is complete and the XLA boundary scatter-add
+    # leaves the hot path (pure first-order SWE only; MUSCL/BS2002/tracer
+    # kernels handle interior slots exclusively)
+    bnd = None
+    if (
+        op.num_boundary_edges > 0
+        and op.num_tracers == 0
+        and not op.second_order
+        and not op.well_balancing_bs2002
+    ):
+        btype = np.empty(op.num_boundary_edges, np.int64)
+        for seg in op.segments:
+            btype[seg.start : seg.start + seg.count] = seg.bc_type
+        bnd = dict(
+            left=asnp("bnd_left", a.bnd_left),
+            cn=asnp("bnd_cn", a.bnd_cn),
+            sn=asnp("bnd_sn", a.bnd_sn),
+            btype=btype,
+        )
+
     res = build_plan_arrays(
         il, ir, cn_h, sn_h, ccoef_h,
         asnp("cell_edges", a.cell_edges),
@@ -1890,11 +2160,15 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         cell_z=(
             asnp("cell_z", a.cell_z) if op.well_balancing_hr else None
         ),
-        rcap=rcap,
+        rcap=rcap, bnd=bnd, ndof=op.ndof,
     )
     if res is None:
         return op
     plan_np, reordered, meta = res
+    bnd_kinds = ()
+    if meta.get("unified"):
+        # static set of folded BC codes (shifted by +1; 0 = interior)
+        bnd_kinds = tuple(sorted(set(int(b) + 1 for b in bnd["btype"])))
 
     bs_fields = {}
     bs_meta = ()
@@ -1951,5 +2225,6 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         pallas_cd_wr=meta["wr"],
         pallas_fused_meta=meta["fused"],
         pallas_bs_meta=bs_meta,
+        pallas_bnd_kinds=bnd_kinds,
         pallas_interpret=interpret,
     )

@@ -475,3 +475,49 @@ def test_pallas_on_reference_meshes(path, reader):
         1.0 + np.abs(np.asarray(r_x.rhs))
     )
     assert rel.max() < 1e-4, path
+
+
+def test_pallas_unified_boundary_plan_matches_xla():
+    """Unified plans fold the boundary edges into the kernel (ghost states
+    computed per slot; reference per-boundary sub-operators
+    swe_fluxes_ceed.h:104-271); the divergence must still match the XLA
+    twin with mixed Dirichlet + reflecting + critical-outflow BCs."""
+    import dataclasses
+
+    from rdycore_tpu.ops.swe.boundary import (
+        BC_CRITICAL_OUTFLOW, BC_DIRICHLET,
+    )
+
+    mesh = structured_quad(40, 24)
+    C = mesh.num_cells
+    op = build_operator(
+        mesh,
+        bc_types={"left": BC_DIRICHLET, "right": BC_CRITICAL_OUTFLOW},
+        mannings_n=np.full(C, 0.02), dtype=jnp.float32,
+    )
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    # all three BC kinds folded (+1-shifted codes), positions present
+    assert op_p.pallas_bnd_kinds == (1, 2, 3)
+    assert op_p.arrays.pl_bnd_pos is not None
+
+    rng = np.random.default_rng(3)
+    q = _random_state(mesh, seed=3)
+    bv = jnp.asarray(
+        rng.uniform(0.1, 2.0, size=(3, op.num_boundary_edges)), jnp.float32
+    )
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 0.01, bv, src)
+    r_p = op_p.apply(q, 0.01, bv, src)
+    np.testing.assert_allclose(
+        np.asarray(r_p.rhs), np.asarray(r_x.rhs), atol=1e-3
+    )
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+    # Courant (value + location) folds the boundary slots in-kernel
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
+    assert int(r_p.courant_edge) == int(r_x.courant_edge)
