@@ -172,7 +172,9 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
         bv = jnp.zeros((3, op.num_boundary_edges), jnp.float32)
         src = jnp.zeros((3, C), jnp.float32)
         adv = jax.jit(
-            make_interval_advancer(op, "euler", accumulate=False),
+            make_interval_advancer(
+                op, "euler", accumulate=False, ext_sources=False
+            ),
             donate_argnums=(1,),
         )
 

@@ -121,6 +121,12 @@ class OperatorArrays(NamedTuple):
     # L-slot position (for routing runtime Dirichlet values); presence
     # signals that the fused kernel's divergence is already complete
     pl_bnd_pos: jnp.ndarray = None  # [Eb] i32
+    # full-step schedule (fused STEP kernel: sources + RK stage update in
+    # the cell phase, state carried in tile-row layout)
+    pl_st_eg: jnp.ndarray = None  # [ns] i32 edge-group block index
+    pl_st_cg: jnp.ndarray = None  # [ns] i32 plan-input cell group (clamped)
+    pl_st_co: jnp.ndarray = None  # [ns] i32 output block (incl. pad blocks)
+    pl_st_doc: jnp.ndarray = None  # [ns] i32 1 = cell phase this step
     # merged single-stream plan layouts for the fused kernel (the separate
     # pl_* planes above still feed the two-kernel / MUSCL paths)
     pl_fz_e8: jnp.ndarray = None  # [ntiles*(16+4*rrows), 128] i8
@@ -215,10 +221,19 @@ class SWEOperator:
     # streaming fused kernel meta (nsteps, negrp, nringL, nringR); empty
     # tuple -> use the separate edge + divergence kernels
     pallas_fused_meta: tuple = ()
+    # full-step kernel meta (ns, negrp, nringL, nringR, NB, ncgrp); empty
+    # tuple -> the interval advancer uses the per-RHS fused kernel + XLA
+    # source/integrator glue
+    pallas_step_meta: tuple = ()
     pallas_bs_meta: tuple = ()  # BS2002 route/accumulate window supers
     # static BC codes folded into a unified plan (+1-shifted; empty tuple =
     # interior-only plan, boundary fluxes handled by the XLA glue)
     pallas_bnd_kinds: tuple = ()
+    # True when dz_dx/dz_dy/mannings_n are each spatially uniform: the
+    # fused-step kernel then reads them as scalars instead of streaming
+    # three cell planes per step (structure-static; VALUES stay runtime,
+    # so set_manning_n with a new uniform value needs no retrace)
+    uniform_geom: bool = False
     pallas_interpret: bool = False
 
     # ---------------------------------------------------------------- helpers
@@ -442,57 +457,8 @@ class SWEOperator:
         dtype = q.dtype
         tiny_h = jnp.asarray(self.tiny_h, dtype)
         h_anuga = jnp.asarray(self.h_anuga, dtype)
-        h, hu, hv = q[0], q[1], q[2]
 
-        # ---- boundary edge states per segment --------------------------
-        hb = h[a.bnd_left]
-        hub = hu[a.bnd_left]
-        hvb = hv[a.bnd_left]
-        ub, vb = regularized_velocity(hb, hub, hvb, tiny_h, h_anuga)
-
-        fb_parts: List[jnp.ndarray] = []
-        amax_parts: List[jnp.ndarray] = []
-        mask_parts: List[jnp.ndarray] = []
-        for seg in self.segments:
-            sl = slice(seg.start, seg.start + seg.count)
-            sn_s, cn_s = a.bnd_sn[sl], a.bnd_cn[sl]
-            (hl_s, ul_s, vl_s), (hr_s, ur_s, vr_s) = bc_mod.ghost_states(
-                seg.bc_type,
-                hb[sl],
-                ub[sl],
-                vb[sl],
-                sn_s,
-                cn_s,
-                boundary_values[:, sl],
-                tiny_h,
-                h_anuga,
-            )
-            f_h, f_hu, f_hv, am = roe_flux(
-                hl_s, ul_s, vl_s, hr_s, ur_s, vr_s, sn_s, cn_s
-            )
-            if self.well_balancing_bs2002:
-                from .ops.swe.bs2002 import dhv_correction
-
-                dfu, dfv = dhv_correction(
-                    eta_v,
-                    a.bs2002.bnd_vbeg[sl], a.bs2002.bnd_vend[sl],
-                    a.bs2002.bnd_zvbeg[sl], a.bs2002.bnd_zvend[sl],
-                    cn_s, sn_s,
-                )
-                f_hu = f_hu + dfu
-                f_hv = f_hv + dfv
-            dry = (hl_s < tiny_h) & (hr_s < tiny_h)
-            mask = jnp.where(dry, 0.0, 1.0)
-            fb_parts.append(jnp.stack([f_h, f_hu, f_hv]) * mask)
-            amax_parts.append(am * mask)
-            mask_parts.append(mask)
-
-        if fb_parts:
-            fb = jnp.concatenate(fb_parts, axis=1)  # [3, Eb]
-            amax_b = jnp.concatenate(amax_parts)
-        else:
-            fb = jnp.zeros((3, 0), dtype)
-            amax_b = jnp.zeros((0,), dtype)
+        fb, amax_b = self.boundary_fluxes(q, boundary_values, eta_v=eta_v)
 
         # ---- positivity flux limiting (second order only) ---------------
         # MUSCL steepens the drain flux at wetting/drying fronts enough to
@@ -893,6 +859,67 @@ class SWEOperator:
             courant_edge=courant_edge,
         )
 
+    def boundary_fluxes(self, q, boundary_values, eta_v=None):
+        """Roe fluxes + masked max wave speeds on the boundary edges
+        (the reference's per-boundary flux sub-operators,
+        src/operator_fluxes_ceed.c:289+). Returns (fb [3, Eb], amax_b [Eb]).
+        Also used standalone by the fused-step interval path, where the
+        kernel owns the divergence but the time-series accounting still
+        needs the raw per-edge boundary fluxes."""
+        a = self.arrays
+        dtype = q.dtype
+        tiny_h = jnp.asarray(self.tiny_h, dtype)
+        h_anuga = jnp.asarray(self.h_anuga, dtype)
+        h, hu, hv = q[0], q[1], q[2]
+
+        hb = h[a.bnd_left]
+        hub = hu[a.bnd_left]
+        hvb = hv[a.bnd_left]
+        ub, vb = regularized_velocity(hb, hub, hvb, tiny_h, h_anuga)
+
+        fb_parts: List[jnp.ndarray] = []
+        amax_parts: List[jnp.ndarray] = []
+        for seg in self.segments:
+            sl = slice(seg.start, seg.start + seg.count)
+            sn_s, cn_s = a.bnd_sn[sl], a.bnd_cn[sl]
+            (hl_s, ul_s, vl_s), (hr_s, ur_s, vr_s) = bc_mod.ghost_states(
+                seg.bc_type,
+                hb[sl],
+                ub[sl],
+                vb[sl],
+                sn_s,
+                cn_s,
+                boundary_values[:, sl],
+                tiny_h,
+                h_anuga,
+            )
+            f_h, f_hu, f_hv, am = roe_flux(
+                hl_s, ul_s, vl_s, hr_s, ur_s, vr_s, sn_s, cn_s
+            )
+            if self.well_balancing_bs2002:
+                from .ops.swe.bs2002 import dhv_correction
+
+                dfu, dfv = dhv_correction(
+                    eta_v,
+                    a.bs2002.bnd_vbeg[sl], a.bs2002.bnd_vend[sl],
+                    a.bs2002.bnd_zvbeg[sl], a.bs2002.bnd_zvend[sl],
+                    cn_s, sn_s,
+                )
+                f_hu = f_hu + dfu
+                f_hv = f_hv + dfv
+            dry = (hl_s < tiny_h) & (hr_s < tiny_h)
+            mask = jnp.where(dry, 0.0, 1.0)
+            fb_parts.append(jnp.stack([f_h, f_hu, f_hv]) * mask)
+            amax_parts.append(am * mask)
+
+        if fb_parts:
+            fb = jnp.concatenate(fb_parts, axis=1)  # [3, Eb]
+            amax_b = jnp.concatenate(amax_parts)
+        else:
+            fb = jnp.zeros((3, 0), dtype)
+            amax_b = jnp.zeros((0,), dtype)
+        return fb, amax_b
+
     def _apply_positivity_limit(self, h, dt, fi, fb):
         """Scale edge fluxes by the donor cell's positivity factor
         s = min(1, h / (dt * drain)). Both cells of an edge see the same
@@ -1072,6 +1099,11 @@ def build_operator(
 
     if mannings_n is None:
         mannings_n = np.zeros(C)
+    uniform_geom = bool(
+        np.ptp(mesh.cell_dz_dx) == 0
+        and np.ptp(mesh.cell_dz_dy) == 0
+        and np.ptp(np.asarray(mannings_n)) == 0
+    )
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
     i = lambda x: jnp.asarray(x, dtype=jnp.int32)
@@ -1191,6 +1223,7 @@ def build_operator(
         num_tracers=num_tracers,
         num_sediment=num_sediment,
         riemann=riemann,
+        uniform_geom=uniform_geom,
     )
 
 

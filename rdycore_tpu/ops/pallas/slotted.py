@@ -1052,6 +1052,136 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
     )
 
 
+def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
+                      o_cmax, o_cidx, ringL, ringR, *, nsup, ndof, upwind,
+                      tiny_h, h_anuga, rrows, nringL, nringR, hr, bs_refs,
+                      dirp_ref, bnd_kinds):
+    """One grid step's edge phase, shared by the fused-RHS and fused-STEP
+    kernels: compute the GT-tile group's fluxes into the VMEM rings and
+    fold the Courant max/argmax."""
+    rp = rrows // 8
+    RE8 = 16 + 4 * rrows  # merged i8 rows per tile
+    REF = 24 + (16 if hr else 0)  # merged f32 rows per tile
+    e8_all = e8_ref[:].astype(jnp.int32)
+    rowlane = (
+        jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    )
+
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        b = gt * RE8
+        supL = e8_all[b : b + 8, :]
+        btype = None
+        if bnd_kinds:
+            # unified plan: BC code packed into supL bits 5-6
+            btype = supL >> 5
+            supL = supL & 31
+        g_pick = e8_all[b + 8 : b + 16, :]
+        sR = b + 16
+        supR0 = e8_all[sR : sR + 8, :]
+        supR1 = e8_all[sR + 8 : sR + 16, :] if rrows == 16 else None
+        sM = b + 16 + rrows
+        mm0 = e8_all[sM : sM + 8, :]
+        mm1 = e8_all[sM + 8 : sM + 16, :] if rrows == 16 else None
+        sGi = b + 16 + 2 * rrows
+        gi0 = e8_all[sGi : sGi + 8, :]
+        sMi = b + 16 + 3 * rrows
+        mi0 = e8_all[sMi : sMi + 8, :]
+        fb = gt * REF
+        cn_t = ef_ref[fb : fb + 8, :]
+        sn_t = ef_ref[fb + 8 : fb + 16, :]
+        cc_t = ef_ref[fb + 16 : fb + 24, :]
+        off = (ws_ref[t * GT + gt] - gws_ref[t]) * 8
+
+        def fetch(comp, sup_s):
+            return qbuf[slot, comp, pl.ds(off + sup_s * 8, 8), :]
+
+        fluxes, amax = _tile_edge_fluxes(
+            fetch, supL, supR0, mm0, supR1, mm1,
+            g_pick, cn_t, sn_t,
+            nsup, ndof, upwind, tiny_h, h_anuga,
+            hr_dz=(
+                (ef_ref[fb + 24 : fb + 32, :],
+                 ef_ref[fb + 32 : fb + 40, :]) if hr else None
+            ),
+            bs_vals=(
+                (bs_refs[0][r8, :], bs_refs[1][r8, :],
+                 bs_refs[2][r8, :], bs_refs[3][r8, :])
+                if bs_refs is not None else None
+            ),
+            btype=btype, bnd_kinds=bnd_kinds,
+            dir_vals=(
+                (dirp_ref[0, r8, :], dirp_ref[1, r8, :],
+                 dirp_ref[2, r8, :]) if dirp_ref is not None else None
+            ),
+        )
+
+        # Courant fold: value + linear slot index (no amax HBM write)
+        ci = amax * cc_t
+        cur = o_cmax[:]
+        upd = ci > cur
+        base = (t * GT + gt) * TE
+        o_cmax[:] = jnp.where(upd, ci, cur)
+        o_cidx[:] = jnp.where(upd, rowlane + base, o_cidx[:])
+
+        # fluxL ring store at super (t*GT + gt) mod nringL
+        posL = jax.lax.rem(t * GT + gt, jnp.int32(nringL)) * 8
+        for comp in range(ndof):
+            ringL[pl.ds(posL, 8), comp, :] = fluxes[comp]
+
+        # route into the R-layout ring
+        posR = jax.lax.rem(
+            (t * GT + gt) * rp, jnp.int32(nringR)
+        ) * 8
+        for comp in range(ndof):
+            fL = fluxes[comp]
+            u0 = jnp.take_along_axis(fL, gi0, axis=0)
+            ringR[pl.ds(posR, 8), comp, :] = (
+                u0 if "shuffle" in _ABLATE
+                else jnp.take_along_axis(u0, mi0, axis=1)
+            )
+        if rrows == 16:
+            gi1 = e8_all[sGi + 8 : sGi + 16, :]
+            mi1 = e8_all[sMi + 8 : sMi + 16, :]
+            posR1 = jax.lax.rem(
+                (t * GT + gt) * rp + 1, jnp.int32(nringR)
+            ) * 8
+            for comp in range(ndof):
+                fL = fluxes[comp]
+                u1 = jnp.take_along_axis(fL, gi1, axis=0)
+                ringR[pl.ds(posR1, 8), comp, :] = (
+                    u1 if "shuffle" in _ABLATE
+                    else jnp.take_along_axis(u1, mi1, axis=1)
+                )
+
+
+def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wL, wR, *,
+                 KL, KR, ndof, nsupL, nsupR, nringL, nringR, slot=None):
+    """One GT-tile's flux divergence gathered from the VMEM rings (shared
+    by the fused-RHS and fused-STEP cell phases)."""
+    acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
+
+    def side(ring, w, s_all, K, nsupX, nring, k0=0):
+        for k in range(K):
+            sup = s_all[k, r8]
+            cf = cf_ref[k0 + k, r8]
+            for comp in range(ndof):
+                gat = jnp.zeros((8, 128), jnp.float32)
+                for s in range(nsupX):
+                    pos = jax.lax.rem(w + s, jnp.int32(nring)) * 8
+                    src = ring[pl.ds(pos, 8), comp, :]
+                    gg = jnp.take_along_axis(
+                        src, jnp.clip(sup - s * 8, 0, 7), axis=0
+                    )
+                    gat = jnp.where((sup >> 3) == s, gg, gat)
+                acc[comp] = acc[comp] + gat * cf
+
+    side(ringL, wL, sL_all, KL, nsupL, nringL)
+    side(ringR, wR, sR_all, KR, nsupR, nringR, k0=KL)
+    return acc
+
+
 def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                   doc_ref, e8_ref, ef_ref, c8_ref, cf_ref, *rest,
                   nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows,
@@ -1106,97 +1236,17 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
     @pl.when(t < negrp)
     def _edge_phase():
         _q_dma(slot, t).wait()
-        e8_all = e8_ref[:].astype(jnp.int32)
-        rowlane = (
-            jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0) * 128
-            + jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        bs_refs = (
+            (etab_ref, etae_ref, zvb_ref, zve_ref) if bs else None
         )
-
-        for gt in range(GT):
-            r8 = slice(gt * 8, gt * 8 + 8)
-            b = gt * RE8
-            supL = e8_all[b : b + 8, :]
-            btype = None
-            if bnd_kinds:
-                # unified plan: BC code packed into supL bits 5-6
-                btype = supL >> 5
-                supL = supL & 31
-            g_pick = e8_all[b + 8 : b + 16, :]
-            sR = b + 16
-            supR0 = e8_all[sR : sR + 8, :]
-            supR1 = e8_all[sR + 8 : sR + 16, :] if rrows == 16 else None
-            sM = b + 16 + rrows
-            mm0 = e8_all[sM : sM + 8, :]
-            mm1 = e8_all[sM + 8 : sM + 16, :] if rrows == 16 else None
-            sGi = b + 16 + 2 * rrows
-            gi0 = e8_all[sGi : sGi + 8, :]
-            sMi = b + 16 + 3 * rrows
-            mi0 = e8_all[sMi : sMi + 8, :]
-            fb = gt * REF
-            cn_t = ef_ref[fb : fb + 8, :]
-            sn_t = ef_ref[fb + 8 : fb + 16, :]
-            cc_t = ef_ref[fb + 16 : fb + 24, :]
-            off = (ws_ref[t * GT + gt] - gws_ref[t]) * 8
-
-            def fetch(comp, sup_s):
-                return qbuf[slot, comp, pl.ds(off + sup_s * 8, 8), :]
-
-            fluxes, amax = _tile_edge_fluxes(
-                fetch, supL, supR0, mm0, supR1, mm1,
-                g_pick, cn_t, sn_t,
-                nsup, ndof, upwind, tiny_h, h_anuga,
-                hr_dz=(
-                    (ef_ref[fb + 24 : fb + 32, :],
-                     ef_ref[fb + 32 : fb + 40, :]) if hr else None
-                ),
-                bs_vals=(
-                    (etab_ref[r8, :], etae_ref[r8, :],
-                     zvb_ref[r8, :], zve_ref[r8, :]) if bs else None
-                ),
-                btype=btype, bnd_kinds=bnd_kinds,
-                dir_vals=(
-                    (dirp_ref[0, r8, :], dirp_ref[1, r8, :],
-                     dirp_ref[2, r8, :]) if has_dir else None
-                ),
-            )
-
-            # Courant fold: value + linear slot index (no amax HBM write)
-            ci = amax * cc_t
-            cur = o_cmax[:]
-            upd = ci > cur
-            base = (t * GT + gt) * TE
-            o_cmax[:] = jnp.where(upd, ci, cur)
-            o_cidx[:] = jnp.where(upd, rowlane + base, o_cidx[:])
-
-            # fluxL ring store at super (t*GT + gt) mod nringL
-            posL = jax.lax.rem(t * GT + gt, jnp.int32(nringL)) * 8
-            for comp in range(ndof):
-                ringL[pl.ds(posL, 8), comp, :] = fluxes[comp]
-
-            # route into the R-layout ring
-            posR = jax.lax.rem(
-                (t * GT + gt) * rp, jnp.int32(nringR)
-            ) * 8
-            for comp in range(ndof):
-                fL = fluxes[comp]
-                u0 = jnp.take_along_axis(fL, gi0, axis=0)
-                ringR[pl.ds(posR, 8), comp, :] = (
-                    u0 if "shuffle" in _ABLATE
-                    else jnp.take_along_axis(u0, mi0, axis=1)
-                )
-            if rrows == 16:
-                gi1 = e8_all[sGi + 8 : sGi + 16, :]
-                mi1 = e8_all[sMi + 8 : sMi + 16, :]
-                posR1 = jax.lax.rem(
-                    (t * GT + gt) * rp + 1, jnp.int32(nringR)
-                ) * 8
-                for comp in range(ndof):
-                    fL = fluxes[comp]
-                    u1 = jnp.take_along_axis(fL, gi1, axis=0)
-                    ringR[pl.ds(posR1, 8), comp, :] = (
-                        u1 if "shuffle" in _ABLATE
-                        else jnp.take_along_axis(u1, mi1, axis=1)
-                    )
+        _edge_phase_tiles(
+            t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
+            o_cmax, o_cidx, ringL, ringR,
+            nsup=nsup, ndof=ndof, upwind=upwind, tiny_h=tiny_h,
+            h_anuga=h_anuga, rrows=rrows, nringL=nringL, nringR=nringR,
+            hr=hr, bs_refs=bs_refs,
+            dirp_ref=dirp_ref if has_dir else None, bnd_kinds=bnd_kinds,
+        )
 
     # ---------------- cell phase: divergence group cg[t] ------------------
     @pl.when(doc_ref[t] == 1)
@@ -1213,27 +1263,12 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
         sR_all = c8_all[KL:]
         for gt in range(GT):
             r8 = slice(gt * 8, gt * 8 + 8)
-            wL = cwsL_ref[cgi * GT + gt]  # absolute fluxL super
-            wR = cwsR_ref[cgi * GT + gt]
-            acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
-
-            def side(ring, w, s_all, c_ref, K, nsupX, nring, k0=0):
-                for k in range(K):
-                    sup = s_all[k, r8]
-                    cf = c_ref[k0 + k, r8]
-                    for comp in range(ndof):
-                        gat = jnp.zeros((8, 128), jnp.float32)
-                        for s in range(nsupX):
-                            pos = jax.lax.rem(w + s, jnp.int32(nring)) * 8
-                            src = ring[pl.ds(pos, 8), comp, :]
-                            gg = jnp.take_along_axis(
-                                src, jnp.clip(sup - s * 8, 0, 7), axis=0
-                            )
-                            gat = jnp.where((sup >> 3) == s, gg, gat)
-                        acc[comp] = acc[comp] + gat * cf
-
-            side(ringL, wL, sL_all, cf_ref, KL, nsupL, nringL)
-            side(ringR, wR, sR_all, cf_ref, KR, nsupR, nringR, k0=KL)
+            acc = _gt_ring_div(
+                ringL, ringR, sL_all, sR_all, cf_ref, r8,
+                cwsL_ref[cgi * GT + gt], cwsR_ref[cgi * GT + gt],
+                KL=KL, KR=KR, ndof=ndof, nsupL=nsupL, nsupR=nsupR,
+                nringL=nringL, nringR=nringR,
+            )
             # component-major output: div.reshape(ndof, -1) is then a
             # free view (the old [rows, ndof, 128] layout cost a
             # materialized 70 MB/step XLA transpose at 2.88M cells)
@@ -1377,6 +1412,381 @@ def slot_dirichlet_planes(bnd_pos, ntiles8, boundary_values, tiny_h,
     flat = jnp.zeros((3, ntiles8 * 128), jnp.float32)
     flat = flat.at[:, bnd_pos].set(jnp.stack([hb, ub, vb]))
     return flat.reshape(3, ntiles8, 128)
+
+
+# ------------------------------------------ fused full-step kernel (tier B)
+
+def pack_rows(x, rows):
+    """[n, C] -> [n, rows, 128] f32 tile-row layout (zero padded)."""
+    n, C = x.shape
+    r = -(-C // 128)
+    x32 = x.astype(jnp.float32)
+    if C % 128:
+        x32 = jnp.pad(x32, ((0, 0), (0, r * 128 - C)))
+    x2 = x32.reshape(n, r, 128)
+    if rows > r:
+        x2 = jnp.pad(x2, ((0, 0), (0, rows - r), (0, 0)))
+    return x2
+
+
+def unpack_rows(x2, C, dtype):
+    """[n, rows, 128] -> [n, C] (free reshape + slice)."""
+    return x2.reshape(x2.shape[0], -1)[:, :C].astype(dtype)
+
+
+def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
+                       doc_ref, co_ref, scal_ref, e8_ref, ef_ref, c8_ref,
+                       cf_ref, *rest, nsup, wq, upwind, tiny_h, h_anuga,
+                       rrows, nsupL, nsupR, KL, KR, negrp, nringL, nringR,
+                       ncgrp, bnd_kinds, alpha, beta, gfac, source_method,
+                       emit_prim, xq_threshold, uniform_geom, has_ext):
+    """Streaming fused FULL-STEP kernel: the edge phase of _fused_kernel
+    plus a cell phase that consumes the ring divergence, applies the source
+    terms (ops/swe/sources.py twins; reference swe_sources_ceed.h:37-105),
+    and emits ONE RK stage update
+
+        q_out = alpha * qA + beta * qB + gfac * dt * (div + src(qB, div))
+
+    directly in the state's tile-row layout — the interval loop carries
+    [3, NB*GT*8, 128] and per-step XLA work drops to scalars. Pad grid
+    steps (co >= ncgrp) zero the q-window slack rows so window reads past
+    the last cell stay dry."""
+    ndof = 3
+    has_dir = 1 in bnd_kinds
+    dirp_ref = None
+    if has_dir:
+        dirp_ref = rest[0]
+        rest = rest[1:]
+    qc_ref = rest[0]  # stage-state rows of this step's cell group
+    rest = rest[1:]
+    qa_ref = None
+    if alpha != 0.0:
+        qa_ref = rest[0]  # step-start state rows (multi-stage combine)
+        rest = rest[1:]
+    geom_ref = ext_ref = None
+    if not uniform_geom:
+        geom_ref = rest[0]
+        rest = rest[1:]
+    if has_ext:
+        ext_ref = rest[0]
+        rest = rest[1:]
+    q_hbm = rest[0]
+    o_q, o_cmax, o_cidx = rest[1], rest[2], rest[3]
+    rest = rest[4:]
+    o_prim = None
+    if emit_prim:
+        o_prim = rest[0]
+        rest = rest[1:]
+    qbuf, sem, ringL, ringR = rest
+
+    t = pl.program_id(0)
+
+    def _q_dma(slot, tt):
+        rr = pl.multiple_of(gws_ref[tt] * 8, 8)
+        return pltpu.make_async_copy(
+            q_hbm.at[:, pl.ds(rr, wq * 8), :], qbuf.at[slot], sem.at[slot]
+        )
+
+    slot = jax.lax.rem(t, jnp.int32(2))
+    nslot = jax.lax.rem(t + jnp.int32(1), jnp.int32(2))
+
+    @pl.when(t == 0)
+    def _():
+        _q_dma(0, 0).start()
+        o_cmax[:] = jnp.zeros((8, 128), jnp.float32)
+        o_cidx[:] = jnp.zeros((8, 128), jnp.int32)
+
+    @pl.when(t + 1 < negrp)
+    def _():
+        _q_dma(nslot, t + 1).start()
+
+    @pl.when(t < negrp)
+    def _edge_phase():
+        _q_dma(slot, t).wait()
+        _edge_phase_tiles(
+            t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
+            o_cmax, o_cidx, ringL, ringR,
+            nsup=nsup, ndof=ndof, upwind=upwind, tiny_h=tiny_h,
+            h_anuga=h_anuga, rrows=rrows, nringL=nringL, nringR=nringR,
+            hr=False, bs_refs=None, dirp_ref=dirp_ref, bnd_kinds=bnd_kinds,
+        )
+
+    @pl.when(doc_ref[t] == 1)
+    def _cell_phase():
+        is_pad = co_ref[t] >= ncgrp
+
+        @pl.when(is_pad)
+        def _():
+            z = jnp.zeros((GT * 8, 128), jnp.float32)
+            for comp in range(3):
+                o_q[comp, :, :] = z
+                if emit_prim:
+                    o_prim[comp, :, :] = z
+
+        @pl.when(jnp.logical_not(is_pad))
+        def _():
+            from ...constants import GRAVITY
+
+            dt = scal_ref[0]
+            gdt = jnp.float32(gfac) * dt
+            g_c = jnp.float32(GRAVITY)
+            th = jnp.float32(tiny_h)
+            cgi = cg_ref[t]
+            c8_all = c8_ref[:].astype(jnp.int32)
+            sL_all = c8_all[:KL]
+            sR_all = c8_all[KL:]
+            for gt in range(GT):
+                r8 = slice(gt * 8, gt * 8 + 8)
+                acc = _gt_ring_div(
+                    ringL, ringR, sL_all, sR_all, cf_ref, r8,
+                    cwsL_ref[cgi * GT + gt], cwsR_ref[cgi * GT + gt],
+                    KL=KL, KR=KR, ndof=3, nsupL=nsupL, nsupR=nsupR,
+                    nringL=nringL, nringR=nringR,
+                )
+                if "cell" in _ABLATE:
+                    acc = [jnp.zeros((8, 128), jnp.float32)] * 3
+                h = qc_ref[0, r8, :]
+                hu = qc_ref[1, r8, :]
+                hv = qc_ref[2, r8, :]
+                if uniform_geom:
+                    # structure-static elision: the VALUES stay runtime
+                    # (scal_ref), so set_manning_n with a new uniform value
+                    # still flows without retracing
+                    dzx, dzy, mann = scal_ref[1], scal_ref[2], scal_ref[3]
+                else:
+                    dzx = geom_ref[0, r8, :]
+                    dzy = geom_ref[1, r8, :]
+                    mann = geom_ref[2, r8, :]
+                if has_ext:
+                    e0 = ext_ref[0, r8, :]
+                    e1 = ext_ref[1, r8, :]
+                    e2 = ext_ref[2, r8, :]
+                else:
+                    e0 = e1 = e2 = jnp.float32(0.0)
+
+                # sources: exact twins of ops/swe/sources.py in f32
+                bedx = dzx * g_c * h
+                bedy = dzy * g_c * h
+                wet = h >= th
+                h_safe = jnp.where(wet, h, 1.0)
+                if source_method == 2:  # SOURCE_NONE (ARK-IMEX explicit)
+                    s1 = -bedx + e1
+                    s2 = -bedy + e2
+                elif source_method == 1:  # implicit XQ2018 closed form
+                    ax = acc[1] - bedx
+                    ay = acc[2] - bedy
+                    mx = hu + ax * dt
+                    my = hv + ay * dt
+                    n2g = g_c * mann * mann
+                    lam = (
+                        n2g
+                        * jnp.power(h_safe, -4.0 / 3.0)
+                        * jnp.sqrt(
+                            (mx / h_safe) ** 2 + (my / h_safe) ** 2
+                        )
+                    )
+                    dtlam = dt * lam
+                    dtlam_safe = jnp.where(dtlam > 0.0, dtlam, 1.0)
+                    root = jnp.sqrt(1.0 + 4.0 * dtlam)
+                    qx1 = jnp.where(
+                        dtlam < jnp.float32(xq_threshold), mx,
+                        (mx - mx * root) / (-2.0 * dtlam_safe),
+                    )
+                    qy1 = jnp.where(
+                        dtlam < jnp.float32(xq_threshold), my,
+                        (my - my * root) / (-2.0 * dtlam_safe),
+                    )
+                    qmag = jnp.sqrt(qx1 * qx1 + qy1 * qy1)
+                    h73 = n2g * jnp.power(h_safe, -7.0 / 3.0)
+                    s1 = -bedx - jnp.where(wet, h73 * qx1 * qmag, 0.0) + e1
+                    s2 = -bedy - jnp.where(wet, h73 * qy1 * qmag, 0.0) + e2
+                else:  # semi-implicit tb/(1 + dt*tb)
+                    u = hu / h_safe
+                    v = hv / h_safe
+                    cd = g_c * mann * mann * jnp.power(
+                        h_safe, -1.0 / 3.0
+                    )
+                    speed = jnp.sqrt(u * u + v * v)
+                    tb = cd * speed / h_safe
+                    factor = tb / (1.0 + dt * tb)
+                    tbx = jnp.where(
+                        wet, (hu + dt * acc[1] - dt * bedx) * factor, 0.0
+                    )
+                    tby = jnp.where(
+                        wet, (hv + dt * acc[2] - dt * bedy) * factor, 0.0
+                    )
+                    s1 = -bedx - tbx + e1
+                    s2 = -bedy - tby + e2
+
+                up0 = beta * h + gdt * (acc[0] + e0)
+                up1 = beta * hu + gdt * (acc[1] + s1)
+                up2 = beta * hv + gdt * (acc[2] + s2)
+                if qa_ref is not None:
+                    up0 = up0 + alpha * qa_ref[0, r8, :]
+                    up1 = up1 + alpha * qa_ref[1, r8, :]
+                    up2 = up2 + alpha * qa_ref[2, r8, :]
+                o_q[0, r8, :] = up0
+                o_q[1, r8, :] = up1
+                o_q[2, r8, :] = up2
+
+                if emit_prim:
+                    # primitives of the STAGE INPUT (stage 1's input is the
+                    # step-start state, matching r1.prim in the twin)
+                    denom = h * h + jnp.float32(h_anuga) ** 2
+                    denom_safe = jnp.where(denom > 0.0, denom, 1.0)
+                    o_prim[0, r8, :] = h
+                    o_prim[1, r8, :] = jnp.where(
+                        wet, hu * h / denom_safe, 0.0
+                    )
+                    o_prim[2, r8, :] = jnp.where(
+                        wet, hv * h / denom_safe, 0.0
+                    )
+
+
+def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsupL,
+                       nsupR, tiny_h, h_anuga, xq_threshold, source_method,
+                       bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
+                       qA2d=None, dir_planes=None, emit_prim=False,
+                       uniform_scal=None, interpret=False):
+    """One RK stage of the full-step fused kernel.
+
+    q2d: [3, NB*GT*8, 128] stage state in tile-row layout (pack_rows);
+    dt_f32: traced f32 scalar (the step dt; sources use it, the update
+    uses gfac * dt); alpha/beta/gfac: static stage coefficients.
+    uniform_scal: (dz_dx0, dz_dy0, mann0) traced scalars replacing the
+    geometry stream on uniform meshes (pass geom2d=None); ext2d=None
+    elides the external-source stream (no sources configured).
+    Returns (q2d_new, cmax8, cidx8[, prim2d])."""
+    ns, negrp, nringL, nringR, NB, ncgrp = step_meta
+    supL = arrays.pl_supL
+    ntiles = supL.shape[0] // 8
+    rrows = arrays.pl_supR.shape[0] // ntiles
+    KL = arrays.pl_cd_supL.shape[0]
+    KR = arrays.pl_cd_supR.shape[0]
+    has_dir = 1 in bnd_kinds
+    uniform_geom = geom2d is None
+    has_ext = ext2d is not None
+    rows = NB * GT * 8
+
+    zero = jnp.float32(0.0)
+    scal = jnp.stack(
+        [jnp.asarray(dt_f32, jnp.float32)]
+        + (
+            [jnp.asarray(v, jnp.float32) for v in uniform_scal]
+            if uniform_geom else [zero, zero, zero]
+        )
+    )
+
+    def em(i):  # edge-group block (by eg)
+        return pl.BlockSpec(
+            (GT * i, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (eg[t], 0),
+        )
+
+    def cm3(K):  # cell-plan block (by clamped cell group)
+        return pl.BlockSpec(
+            (K, GT * 8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, cg[t], 0),
+        )
+
+    def cg3():  # [3, rows, 128] cell-row block (by clamped cell group)
+        return pl.BlockSpec(
+            (3, GT * 8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, cg[t], 0),
+        )
+
+    def co3():  # output block (by raw output index, incl. pad blocks)
+        return pl.BlockSpec(
+            (3, GT * 8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, co[t], 0),
+        )
+
+    in_specs = [
+        em(16 + 4 * rrows),  # merged i8 plan
+        em(24),              # merged f32 geom (cn|sn|cc)
+        cm3(KL + KR),        # merged cell sup i8
+        cm3(KL + KR),        # merged cell coef f32
+    ] + (
+        [pl.BlockSpec(
+            (3, GT * 8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, eg[t], 0),
+        )] if has_dir else []
+    ) + [
+        cg3(),  # qc: stage-state rows of the cell group
+    ] + (
+        [cg3()] if alpha != 0.0 else []  # qA: step-start state rows
+    ) + (
+        [] if uniform_geom else [cg3()]  # geom (dz_dx | dz_dy | mannings)
+    ) + (
+        [cg3()] if has_ext else []  # ext sources
+    ) + [
+        pl.BlockSpec(memory_space=pltpu.ANY),  # q2d (group-window DMA)
+    ]
+    out_specs = [
+        co3(),  # q_out
+        pl.BlockSpec(
+            (8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, 0),
+        ),
+        pl.BlockSpec(
+            (8, 128),
+            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, 0),
+        ),
+    ] + ([co3()] if emit_prim else [])
+    out_shape = [
+        jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        jax.ShapeDtypeStruct((8, 128), jnp.int32),
+    ] + (
+        [jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)]
+        if emit_prim else []
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=9,
+        grid=(ns,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, wq * 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nringL * 8, 3, 128), jnp.float32),
+            pltpu.VMEM((nringR * 8, 3, 128), jnp.float32),
+        ],
+    )
+    f = pl.pallas_call(
+        functools.partial(
+            _fused_step_kernel, nsup=nsup, wq=wq, upwind=False,
+            tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
+            nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR, negrp=negrp,
+            nringL=nringL, nringR=nringR, ncgrp=ncgrp,
+            bnd_kinds=tuple(bnd_kinds), alpha=float(alpha),
+            beta=float(beta), gfac=float(gfac),
+            source_method=int(source_method), emit_prim=bool(emit_prim),
+            xq_threshold=float(xq_threshold),
+            uniform_geom=uniform_geom, has_ext=has_ext,
+        ),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    dir_args = (dir_planes,) if has_dir else ()
+    qa_args = (qA2d,) if alpha != 0.0 else ()
+    geom_args = () if uniform_geom else (geom2d,)
+    ext_args = (ext2d,) if has_ext else ()
+    return f(
+        arrays.pl_ws, arrays.pl_gws,
+        arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_st_eg, arrays.pl_st_cg, arrays.pl_st_doc,
+        arrays.pl_st_co, scal,
+        arrays.pl_fz_e8, arrays.pl_fz_ef,
+        arrays.pl_fz_c8, arrays.pl_fz_cf,
+        *dir_args,
+        q2d, *qa_args, *geom_args, *ext_args,
+        q2d,
+    )
 
 
 # ---------------------------------------------------- MUSCL (second order)
@@ -2012,6 +2422,36 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
             pl_fz_cf=np.concatenate([cell_plan.cfL, cell_plan.cfR], 0),
         )
 
+    # full-step schedule (unified plans only): the fused STEP kernel carries
+    # the state in tile-row layout [ndof, NB*GT*8, 128] across the interval
+    # loop and emits the UPDATED state, so per-step XLA work drops to
+    # scalars. The q window may read wq supers past the cell rows, so the
+    # state rows include that slack; npad trailing grid steps write zeros
+    # there, keeping window reads into the slack dry (h == 0) forever.
+    st_np = {}
+    step_meta = ()
+    if fsched is not None and bnd is not None and cell_z is None:
+        Ct = cell_plan.ntiles
+        ncgrp = Ct // GT
+        NB = -(-(Ct * 8 + plan.wq * 8 + 8) // (GT * 8))
+        npad = NB - ncgrp
+        ns = fsched.nsteps + npad
+        cgo = np.concatenate(
+            [fsched.cg, ncgrp + np.arange(npad, dtype=np.int32)]
+        ).astype(np.int32)
+        st_np = dict(
+            pl_st_eg=np.minimum(np.arange(ns), fsched.negrp - 1).astype(
+                np.int32
+            ),
+            pl_st_cg=np.minimum(cgo, ncgrp - 1).astype(np.int32),
+            pl_st_co=cgo,
+            pl_st_doc=np.concatenate(
+                [fsched.doc, np.ones(npad, np.int32)]
+            ).astype(np.int32),
+        )
+        step_meta = (ns, fsched.negrp, fsched.nringL, fsched.nringR,
+                     NB, ncgrp)
+
     # remap operator interior-edge order to plan (sorted) order; in unified
     # mode the stable min-cell sort preserves the interior edges' relative
     # order, so order_int is exactly the interior permutation
@@ -2048,6 +2488,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
             dict(pl_bnd_pos=plan.bnd_pos) if plan.bnd_pos is not None
             else {}
         ),
+        **st_np,
         **fz_np,
         **hr_np,
         **muscl_np,
@@ -2064,6 +2505,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
             (fsched.nsteps, fsched.negrp, fsched.nringL, fsched.nringR)
             if fsched is not None else ()
         ),
+        step=step_meta,
     )
     return plan_np, reordered, meta
 
@@ -2080,6 +2522,8 @@ _PLAN_DTYPES = {
     "pl_cd_wsL": np.int32, "pl_cd_wsR": np.int32,
     "pl_cd_supL": np.int8, "pl_cd_supR": np.int8,
     "pl_fs_eg": np.int32, "pl_fs_cg": np.int32, "pl_fs_doc": np.int32,
+    "pl_st_eg": np.int32, "pl_st_cg": np.int32, "pl_st_co": np.int32,
+    "pl_st_doc": np.int32,
     "pl_fz_e8": np.int8, "pl_fz_c8": np.int8,
     "pl_bnd_pos": np.int32,
 }
@@ -2224,6 +2668,7 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         pallas_cd_wl=meta["wl"],
         pallas_cd_wr=meta["wr"],
         pallas_fused_meta=meta["fused"],
+        pallas_step_meta=meta["step"],
         pallas_bs_meta=bs_meta,
         pallas_bnd_kinds=bnd_kinds,
         pallas_interpret=interpret,

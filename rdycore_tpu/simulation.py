@@ -274,7 +274,13 @@ class Simulation:
         )
 
         # ---- external sources (InitSources) ----
-        self.ext_src = jnp.asarray(self._initial_sources(), dtype=self.dtype)
+        _src0 = self._initial_sources()
+        self.ext_src = jnp.asarray(_src0, dtype=self.dtype)
+        # whether any external source is active: when False AND no source
+        # setter has fired, the fused-step kernel elides its per-step
+        # external-source stream entirely (a setter re-arming sources
+        # invalidates the compiled advancer, see _update_ext_src)
+        self._ext_active = bool(np.any(_src0))
 
         # ---- time state ----
         tc = config.time
@@ -974,6 +980,7 @@ class Simulation:
                 make_interval_advancer(
                     self.operator, self._advance_scheme,
                     accumulate=needs_accum,
+                    ext_sources=self._ext_active,
                 ),
                 donate_argnums=(1,),
             )
@@ -1096,23 +1103,38 @@ class Simulation:
             mannings_n=jnp.asarray(n, dtype=self.dtype)
         )
         object.__setattr__(self.operator, "arrays", arrays)
+        # a non-uniform n invalidates the fused-step kernel's scalar-geom
+        # specialization (uniform VALUES flow without retrace; uniformity
+        # itself is compile-static)
+        if self.operator.uniform_geom and np.ptp(np.asarray(n)) != 0:
+            object.__setattr__(self.operator, "uniform_geom", False)
+            self._advance_fn = None
+
+    def _update_ext_src(self, src: np.ndarray):
+        """Install new external sources; if sources just became active on a
+        run compiled without the ext stream, drop the compiled advancer so
+        the next interval rebuilds with it."""
+        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+        if not self._ext_active and np.any(src):
+            self._ext_active = True
+            self._advance_fn = None
 
     def set_domain_water_source(self, rate: np.ndarray | float):
         """RDySetDomainWaterSource: water source for every cell [m/s]."""
         src = np.asarray(self.ext_src).copy()
         src[0, :] = rate
-        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+        self._update_ext_src(src)
 
     def set_regional_water_source(self, region: str, rate: np.ndarray | float):
         """RDySetRegionalWaterSource."""
         src = np.asarray(self.ext_src).copy()
         src[0, self.region_cells[region]] = rate
-        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+        self._update_ext_src(src)
 
     def set_momentum_source(self, comp: int, rate: np.ndarray | float):
         src = np.asarray(self.ext_src).copy()
         src[comp, :] = rate
-        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+        self._update_ext_src(src)
 
     def set_flow_dirichlet_boundary_values(
         self, boundary: str, values: np.ndarray
@@ -1307,17 +1329,17 @@ class Simulation:
         """comp: 0 = x momentum, 1 = y momentum."""
         src = np.asarray(self.ext_src).copy()
         src[1 + comp, self.region_cells[region]] = rate
-        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+        self._update_ext_src(src)
 
     def set_regional_sediment_source(self, region: str, class_idx: int, rate):
         src = np.asarray(self.ext_src).copy()
         src[N_FLOW_DOF + class_idx, self.region_cells[region]] = rate
-        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+        self._update_ext_src(src)
 
     def set_regional_tracer_source(self, region: str, row: int, rate):
         src = np.asarray(self.ext_src).copy()
         src[N_FLOW_DOF + row, self.region_cells[region]] = rate
-        self.ext_src = jnp.asarray(src, dtype=self.dtype)
+        self._update_ext_src(src)
 
     # ---- Manning n (RDySetRegional/DomainManningsN) ----
     def set_regional_manning_n(self, region: str, values):

@@ -33,6 +33,18 @@ TEMPORAL_BEULER = "beuler"
 ARS222_GAMMA = 1.0 - 0.5 * 2.0**0.5
 ARS222_DELTA = 1.0 - 1.0 / (2.0 * ARS222_GAMMA)
 
+# stage tables for the fused full-step kernel: each stage computes
+# q_out = alpha * q^n + beta * q_stage + gfac * dt * F(q_stage)
+# (euler / Shu-Osher SSP forms, matching _rk_step exactly up to f32
+# reassociation of the convex combinations)
+_FUSED_STEP_STAGES = {
+    TEMPORAL_EULER: ((0.0, 1.0, 1.0),),
+    TEMPORAL_SSPRK2: ((0.0, 1.0, 1.0), (0.5, 0.5, 0.5)),
+    TEMPORAL_SSPRK3: (
+        (0.0, 1.0, 1.0), (0.75, 0.25, 0.25), (1.0 / 3.0, 2.0 / 3.0, 2.0 / 3.0),
+    ),
+}
+
 
 class IntervalResult(NamedTuple):
     q: jnp.ndarray  # [ndof, C] final state
@@ -154,6 +166,7 @@ def make_interval_advancer(
     bc_fn: Optional[Callable] = None,
     src_fn: Optional[Callable] = None,
     accumulate: bool = True,
+    ext_sources: bool = True,
 ):
     """Build a jittable function advancing one coupling interval.
 
@@ -192,6 +205,22 @@ def make_interval_advancer(
         # explicit part excludes friction entirely; the DIRK stages own it
         base_op = dataclasses.replace(op, source_method=SOURCE_NONE)
 
+    # fused full-step path: whole RK stages run as one pallas call each
+    # with the state carried in tile-row layout (ops/pallas/slotted.py
+    # fused_step_slotted) — per-step XLA work drops to scalars. Only for
+    # f32 states; selected per-dtype at trace time inside advance().
+    fused_stages = _FUSED_STEP_STAGES.get(scheme)
+    fused_step_ok = (
+        fused_stages is not None
+        and base_op.edge_flux_backend == "pallas"
+        and bool(base_op.pallas_step_meta)
+        and base_op.ndof == 3
+        and (base_op.num_boundary_edges == 0 or base_op.pallas_bnd_kinds)
+        and not base_op.well_balancing_hr
+        and not base_op.well_balancing_bs2002
+        and not base_op.second_order
+    )
+
     def advance(
         arrays: OperatorArrays,
         q: jnp.ndarray,
@@ -204,6 +233,12 @@ def make_interval_advancer(
     ) -> IntervalResult:
         bound_op = with_arrays(base_op, arrays)
         dtype = q.dtype
+        if fused_step_ok and dtype == jnp.float32:
+            return _advance_fused_step(
+                bound_op, fused_stages, bc_fn, src_fn, accumulate,
+                q, t0, dt, n_steps, t_end, bnd_values, ext_src,
+                ext_sources=ext_sources,
+            )
 
         ndof = q.shape[0]
 
@@ -280,6 +315,156 @@ def make_interval_advancer(
         )
 
     return advance
+
+
+def _advance_fused_step(
+    op, stages, bc_fn, src_fn, accumulate,
+    q, t0, dt, n_steps, t_end, bnd_values, ext_src,
+    ext_sources=True,
+) -> IntervalResult:
+    """Interval loop over the fused full-step kernel (tier B).
+
+    The state lives in tile-row layout [3, NB*GT*8, 128] across the whole
+    interval; each RK stage is ONE pallas call computing fluxes (incl. the
+    in-kernel boundary ghost states), divergence, sources, and the stage
+    update. A dt_i == 0 tail step freezes the state algebraically
+    (gfac * 0 = 0 and the stage convex combinations are the identity), so
+    no per-step select over the state is needed."""
+    from .ops.pallas.slotted import (
+        GT, fused_step_slotted, pack_rows, slot_dirichlet_planes,
+        unpack_rows,
+    )
+
+    a = op.arrays
+    sm = op.pallas_step_meta
+    ns, negrp, nringL, nringR, NB, ncgrp = sm
+    rows = NB * GT * 8
+    crows = ncgrp * GT * 8
+    C = op.num_cells
+    dtype = q.dtype
+    has_dir = 1 in op.pallas_bnd_kinds
+
+    has_ext = ext_sources or src_fn is not None
+    q2d0 = pack_rows(q, rows)
+    if op.uniform_geom:
+        geom2d = None
+        uniform_scal = (a.dz_dx[0], a.dz_dy[0], a.mannings_n[0])
+    else:
+        geom2d = pack_rows(
+            jnp.stack([a.dz_dx, a.dz_dy, a.mannings_n]).astype(jnp.float32),
+            crows,
+        )
+        uniform_scal = None
+    # interval-constant streams hoisted out of the loop; per-step when a
+    # time-dependent override (MMS) is installed
+    ext2d_const = None if (src_fn is not None or not has_ext) else pack_rows(
+        ext_src[:3], crows
+    )
+    dirp_const = None
+    if has_dir and bc_fn is None:
+        dirp_const = slot_dirichlet_planes(
+            a.pl_bnd_pos, a.pl_supL.shape[0], bnd_values, op.tiny_h,
+            op.h_anuga,
+        )
+
+    def stage_call(q2d_s, qA2d, dt_i, coeffs, ext2d, dirp, emit_prim):
+        alpha, beta, gfac = coeffs
+        return fused_step_slotted(
+            a, q2d_s, dt_i, sm, op.pallas_nsup, op.pallas_wq,
+            op.pallas_cd_nsup_l, op.pallas_cd_nsup_r,
+            op.tiny_h, op.h_anuga, op.xq2018_threshold, op.source_method,
+            op.pallas_bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
+            qA2d=qA2d, dir_planes=dirp, emit_prim=emit_prim,
+            uniform_scal=uniform_scal, interpret=op.pallas_interpret,
+        )
+
+    Eb = op.num_boundary_edges
+
+    def body(i, carry):
+        if accumulate:
+            qq2d, tt, cmax, cedge, bfa, asol, aprim, atime = carry
+        else:
+            qq2d, tt, cmax, cedge = carry
+        dt_i = jnp.minimum(dt, t_end - tt)
+        dt_i = jnp.maximum(dt_i, 0.0).astype(jnp.float32)
+
+        t_half = tt + 0.5 * dt_i
+        bv = bc_fn(t_half) if bc_fn is not None else bnd_values
+        ext2d = (
+            pack_rows(src_fn(t_half)[:3], crows)
+            if src_fn is not None else ext2d_const
+        )
+        if has_dir:
+            dirp = dirp_const if bc_fn is None else slot_dirichlet_planes(
+                a.pl_bnd_pos, a.pl_supL.shape[0], bv, op.tiny_h, op.h_anuga,
+            )
+        else:
+            dirp = None
+
+        out1 = stage_call(qq2d, None, dt_i, stages[0], ext2d, dirp,
+                          emit_prim=accumulate)
+        qs2d, cmax8, cidx8 = out1[0], out1[1], out1[2]
+        for coeffs in stages[1:]:
+            out = stage_call(qs2d, qq2d, dt_i, coeffs, ext2d, dirp,
+                             emit_prim=False)
+            qs2d = out[0]
+
+        # step-level Courant from the stage-1 kernel fold (boundary slots
+        # included in-kernel for unified plans)
+        cm = cmax8.reshape(-1)
+        step_courant = (cm.max() * dt_i).astype(dtype)
+        sedge = a.pl_slot_edge[cidx8.reshape(-1)[jnp.argmax(cm)]]
+        bigger = step_courant > cmax
+        cmax = jnp.where(bigger, step_courant, cmax)
+        cedge = jnp.where(bigger, sedge, cedge)
+
+        if accumulate:
+            prim2d = out1[3]
+            qq_flat = qq2d.reshape(3, -1)[:, :C]
+            if Eb:
+                fb, _ = op.boundary_fluxes(qq_flat, bv)
+                bfa = bfa + dt_i * fb
+            asol = asol + dt_i * qq2d
+            aprim = aprim + dt_i * prim2d
+            atime = atime + dt_i
+            return (qs2d, tt + dt_i, cmax, cedge, bfa, asol, aprim, atime)
+        return (qs2d, tt + dt_i, cmax, cedge)
+
+    init_core = (
+        q2d0,
+        jnp.asarray(t0, dtype),
+        jnp.zeros((), dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    zero_bfa = jnp.zeros((3, max(Eb, 1)), dtype)
+    if accumulate:
+        init = init_core + (
+            zero_bfa, jnp.zeros_like(q2d0), jnp.zeros_like(q2d0),
+            jnp.zeros((), dtype),
+        )
+        q2d_f, t_f, cmax, cedge, bfa, asol2d, aprim2d, atime = (
+            jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, init)
+        )
+        asol = unpack_rows(asol2d, C, dtype)
+        aprim = unpack_rows(aprim2d, C, dtype)
+    else:
+        q2d_f, t_f, cmax, cedge = jax.lax.fori_loop(
+            0, jnp.asarray(n_steps, jnp.int32), body, init_core
+        )
+        bfa = zero_bfa
+        asol = jnp.zeros((3, C), dtype)
+        aprim = jnp.zeros((3, C), dtype)
+        atime = jnp.zeros((), dtype)
+    return IntervalResult(
+        q=unpack_rows(q2d_f, C, dtype),
+        t=t_f,
+        max_courant=cmax,
+        courant_edge=cedge,
+        bflux_accum=bfa,
+        accum_sol=asol,
+        accum_prim=aprim,
+        accum_time=atime,
+    )
 
 
 def adapt_timestep(

@@ -521,3 +521,91 @@ def test_pallas_unified_boundary_plan_matches_xla():
         float(r_x.max_courant_per_dt), rel=1e-5
     )
     assert int(r_p.courant_edge) == int(r_x.courant_edge)
+
+
+@pytest.mark.parametrize("scheme,accumulate", [
+    ("euler", False), ("euler", True), ("ssprk2", True), ("ssprk3", False),
+])
+def test_fused_step_matches_glue_path(scheme, accumulate):
+    """The fused FULL-STEP kernel (sources + RK stage update in the cell
+    phase, state carried in tile-row layout) must reproduce the
+    apply-based interval path at f32 rounding, including the Courant
+    location and the time-averaged/boundary-flux accumulators."""
+    import dataclasses
+
+    from rdycore_tpu.ops.swe.boundary import (
+        BC_CRITICAL_OUTFLOW, BC_DIRICHLET,
+    )
+    from rdycore_tpu.timestepping import make_interval_advancer
+
+    mesh = structured_quad(40, 24, 0.0, 4.0, 0.0, 2.4)
+    C = mesh.num_cells
+    op = build_operator(
+        mesh,
+        bc_types={"left": BC_DIRICHLET, "right": BC_CRITICAL_OUTFLOW},
+        mannings_n=np.full(C, 0.02), dtype=jnp.float32,
+    )
+    op_p = dataclasses.replace(
+        to_pallas_backend(op), pallas_interpret=True
+    )
+    assert op_p.pallas_step_meta, "full-step schedule missing"
+    op_glue = dataclasses.replace(op_p, pallas_step_meta=())
+
+    rng = np.random.default_rng(1)
+    q0 = np.zeros((3, C), np.float32)
+    q0[0] = 1.0 + rng.random(C)
+    q0[1] = 0.2 * rng.standard_normal(C)
+    q0[2] = 0.2 * rng.standard_normal(C)
+    q0[:, : C // 4] = 0.0  # physically-dry block (all components zero)
+    q0 = jnp.asarray(q0)
+    bv = jnp.asarray(
+        rng.uniform(0.1, 1.5, (3, op.num_boundary_edges)), jnp.float32
+    )
+    src = jnp.asarray(rng.uniform(0, 1e-3, (3, C)), jnp.float32)
+
+    advF = make_interval_advancer(op_p, scheme, accumulate=accumulate)
+    advN = make_interval_advancer(op_glue, scheme, accumulate=accumulate)
+    rF = advF(op_p.arrays, q0, 0.0, 0.004, 4, 1.0, bv, src)
+    rN = advN(op_glue.arrays, q0, 0.0, 0.004, 4, 1.0, bv, src)
+    assert np.abs(np.asarray(rF.q) - np.asarray(rN.q)).max() < 2e-4
+    assert float(rF.max_courant) == pytest.approx(
+        float(rN.max_courant), abs=1e-5
+    )
+    assert int(rF.courant_edge) == int(rN.courant_edge)
+    assert float(rF.t) == pytest.approx(float(rN.t))
+    if accumulate:
+        for fa, fn, tol in [
+            (rF.accum_sol, rN.accum_sol, 2e-4),
+            (rF.accum_prim, rN.accum_prim, 2e-4),
+            (rF.bflux_accum, rN.bflux_accum, 1e-3),
+        ]:
+            assert np.abs(np.asarray(fa) - np.asarray(fn)).max() < tol
+        assert float(rF.accum_time) == pytest.approx(float(rN.accum_time))
+
+
+def test_fused_step_exact_final_time():
+    """dt_i clamping to t_end works algebraically in the fused-step path
+    (gfac * 0 freezes the state; no per-step select)."""
+    import dataclasses
+
+    from rdycore_tpu.timestepping import make_interval_advancer
+
+    mesh = structured_quad(32, 16)
+    C = mesh.num_cells
+    op = build_operator(
+        mesh, mannings_n=np.full(C, 0.02), dtype=jnp.float32
+    )
+    op_p = dataclasses.replace(
+        to_pallas_backend(op), pallas_interpret=True
+    )
+    op_glue = dataclasses.replace(op_p, pallas_step_meta=())
+    q0 = _random_state(mesh, seed=5, dry_block=False)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros((3, C), jnp.float32)
+    advF = make_interval_advancer(op_p, "ssprk2", accumulate=True)
+    advN = make_interval_advancer(op_glue, "ssprk2", accumulate=True)
+    # 8 allotted steps but t_end stops the interval after 2.5 steps
+    rF = advF(op_p.arrays, q0, 0.0, 0.004, 8, 0.01, bv, src)
+    rN = advN(op_glue.arrays, q0, 0.0, 0.004, 8, 0.01, bv, src)
+    assert float(rF.t) == pytest.approx(0.01, abs=1e-7)
+    assert np.abs(np.asarray(rF.q) - np.asarray(rN.q)).max() < 2e-4
