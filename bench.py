@@ -181,6 +181,44 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
         def run(q, n):
             res = adv(op.arrays, q, 0.0, dt, n, 1e9, bv, src)
             return res.q, res.max_courant
+    elif mode == "sharded_fused":
+        from jax.sharding import Mesh as DeviceMesh, NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from rdycore_tpu.ops.pallas.structured_step import (
+            StructuredPlan,
+            make_sharded_fused_structured_stepper,
+            pad_plane_sharded,
+            unshard_plane,
+        )
+
+        C = nx * ny
+        ty = int(os.environ.get("BENCH_TY", 64))
+        n_shards = int(os.environ.get("BENCH_SHARDS", len(jax.devices())))
+        plan = StructuredPlan(
+            nx=nx, ny=ny, dx=0.002, dy=0.002, tiny_h=1e-7, h_anuga=0.0,
+            bc_left=1, bc_right=1, bc_bottom=1, bc_top=1, gr=ty,
+        )
+        dm = DeviceMesh(np.array(jax.devices()[:n_shards]), ("y",))
+        adv = make_sharded_fused_structured_stepper(plan, dm, scheme="euler")
+        sh = NamedSharding(dm, P("y", None, None))
+        h0 = np.zeros((ny, nx), np.float32)
+        h0[:, : nx // 2] = 10.0
+        h0[:, nx // 2 :] = 5.0
+        zero = np.zeros((ny, nx), np.float32)
+        mann2d = np.full((ny, nx), 0.015, np.float32)
+        pack = lambda x: jax.device_put(
+            jnp.asarray(pad_plane_sharded(x, n_shards, ty)), sh
+        )
+        dzx_a, dzy_a, mann_a = pack(zero), pack(zero), pack(mann2d)
+        q0 = (pack(h0), pack(zero), pack(zero))
+
+        def run(state, n):
+            h, hu, hv = state
+            h, hu, hv, t, cmax = adv(
+                h, hu, hv, 0.0, dt, n, 1e9, dzx_a, dzy_a, mann_a
+            )
+            return (h, hu, hv), cmax
     elif mode == "sharded":
         from jax.sharding import Mesh as DeviceMesh
 
@@ -239,6 +277,11 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
             from rdycore_tpu.ops.pallas.structured_step import GC, GR
 
             return np.isfinite(np.asarray(arr)[GR:-GR, GC:-GC]).all()
+        if mode == "sharded_fused":
+            from rdycore_tpu.ops.pallas.structured_step import unshard_plane
+
+            ty = int(os.environ.get("BENCH_TY", 64))
+            return np.isfinite(unshard_plane(np.asarray(arr), ty)).all()
         return np.isfinite(np.asarray(arr)).all()
 
     # warm-up/compile (the reference uses -preload similarly)

@@ -455,3 +455,216 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
         return jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, init)
 
     return advance
+
+
+# ----------------------------------------------- sharded (row-strip) variant
+
+def pad_plane_sharded(x: np.ndarray, n_shards: int, gr: int = GR):
+    """[ny, nx] -> [P, ny/P + 2*gr, nx + 2*GC] (per-strip padded planes)."""
+    x = np.asarray(x, np.float32)
+    ny = x.shape[0]
+    assert ny % n_shards == 0
+    nyl = ny // n_shards
+    strips = x.reshape(n_shards, nyl, x.shape[1])
+    return np.stack([pad_plane(s, gr) for s in strips])
+
+
+def unshard_plane(xp: np.ndarray, gr: int = GR) -> np.ndarray:
+    """Inverse of pad_plane_sharded: [P, nyl + 2*gr, nxp] -> [ny, nx]."""
+    xp = np.asarray(xp)
+    return xp[:, gr:-gr, GC:-GC].reshape(-1, xp.shape[2] - 2 * GC)
+
+
+def make_sharded_fused_structured_stepper(
+    plan: StructuredPlan, device_mesh, axis_name: str = "y",
+    scheme: str = "euler", with_src: bool = False, interpret: bool = False,
+):
+    """Row-strip-sharded fused structured stepper.
+
+    The reference runs its flagship dam-break case with the SAME device
+    kernels across many nodes (docs/user/example-cases/dam-break/
+    frontier.batch.base:44-59); here the fused structured kernel runs
+    unchanged per shard over a 1-D `jax.sharding.Mesh`: each shard owns
+    ny / P raster rows, the 1-row ghost frame fills from single-row
+    `ppermute`s of the strip-boundary rows (ICI traffic = 6 rows/step),
+    and the Courant max folds with `lax.pmax`. Shard boundaries land on
+    row-tile boundaries, so per-shard tiling — and therefore the f32
+    arithmetic — is IDENTICAL to the single-device kernel: results are
+    bitwise-equal to make_fused_structured_stepper.
+
+    State/geometry planes are [P, ny/P + 2*gr, nx + 2*GC] arrays sharded
+    on axis 0 (pad_plane_sharded). Dirichlet walls are not supported here
+    (use the unstructured ShardedSWE path); reflecting/critical walls
+    cover the flagship case.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_shards = device_mesh.shape[axis_name]
+    nx, ny = plan.nx, plan.ny
+    ty = plan.gr
+    if ny % (n_shards * ty):
+        raise ValueError(
+            f"sharded fused kernel needs ny % (n_shards * gr) == 0 "
+            f"(ny={ny}, n_shards={n_shards}, gr={ty})"
+        )
+    if scheme not in ("euler", "ssprk2", "ssprk3"):
+        raise ValueError(f"sharded fused: unsupported scheme '{scheme}'")
+    if bc_mod.BC_DIRICHLET in (
+        plan.bc_left, plan.bc_right, plan.bc_bottom, plan.bc_top
+    ):
+        raise ValueError("sharded fused kernel: Dirichlet walls unsupported")
+    nyl = ny // n_shards
+    local_plan = plan._replace(ny=nyl)
+    nxp = nx + 2 * GC
+    ntiles = nyl // ty
+
+    kernel = functools.partial(
+        _kernel, nxp=nxp, ty=ty, gr=ty,
+        tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
+        inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
+        with_src=with_src, emit_rhs=False,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ntiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
+        * (7 if with_src else 6),
+        out_specs=[
+            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda t, d: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
+            pltpu.VMEM((2, ty, nxp), jnp.float32),
+            pltpu.VMEM((2, ty, nxp), jnp.float32),
+            pltpu.VMEM((2, ty, nxp), jnp.float32),
+        ] + ([pltpu.VMEM((2, ty, nxp), jnp.float32)] if with_src else [])
+        + [
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    nylp = nyl + 2 * ty
+    out_shape = [
+        jax.ShapeDtypeStruct((nylp, nxp), jnp.float32),
+        jax.ShapeDtypeStruct((nylp, nxp), jnp.float32),
+        jax.ShapeDtypeStruct((nylp, nxp), jnp.float32),
+        jax.ShapeDtypeStruct((1, ntiles * 128), jnp.float32),
+    ]
+
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+    r0, r1 = ty, ty + nyl
+
+    def exchange_and_fill(h, hu, hv):
+        """Wall ghosts from the local strip + strip-boundary rows from the
+        neighbor shards (the DMGlobalToLocal halo exchange of the
+        reference's RHS evaluation, rdysetup.c:1133-1134, as two
+        single-row ppermutes over ICI)."""
+        up = down = None
+        if n_shards > 1:
+            top_int = jnp.stack([h[r1 - 1], hu[r1 - 1], hv[r1 - 1]])
+            bot_int = jnp.stack([h[r0], hu[r0], hv[r0]])
+            up = jax.lax.ppermute(top_int, axis_name, fwd)
+            down = jax.lax.ppermute(bot_int, axis_name, bwd)
+        h, hu, hv = fill_ghost_frame(local_plan, h, hu, hv)
+        if n_shards > 1:
+            idx = jax.lax.axis_index(axis_name)
+            not_first = idx > 0
+            not_last = idx < n_shards - 1
+            h = h.at[r0 - 1].set(jnp.where(not_first, up[0], h[r0 - 1]))
+            hu = hu.at[r0 - 1].set(jnp.where(not_first, up[1], hu[r0 - 1]))
+            hv = hv.at[r0 - 1].set(jnp.where(not_first, up[2], hv[r0 - 1]))
+            h = h.at[r1].set(jnp.where(not_last, down[0], h[r1]))
+            hu = hu.at[r1].set(jnp.where(not_last, down[1], hu[r1]))
+            hv = hv.at[r1].set(jnp.where(not_last, down[2], hv[r1]))
+        return h, hu, hv
+
+    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, src):
+        h, hu, hv = exchange_and_fill(h, hu, hv)
+        args = (dt_arr, h, hu, hv, dzx, dzy, mann)
+        if with_src:
+            args = args + (src,)
+        ho, huo, hvo, cm = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+        )(*args)
+        return ho, huo, hvo, cm.max()
+
+    def shard_body(h, hu, hv, dzx, dzy, mann, src, t0, dt, n_steps, t_end):
+        h, hu, hv = h[0], hu[0], hv[0]
+        dzx, dzy, mann = dzx[0], dzy[0], mann[0]
+        src = src[0] if with_src else None
+
+        def body(i, carry):
+            h, hu, hv, tt, cmax = carry
+            dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
+            dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
+            if scheme == "euler":
+                hn, hun, hvn, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
+                                            mann, src)
+            elif scheme == "ssprk2":
+                h1, hu1, hv1, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
+                                            mann, src)
+                h2, hu2, hv2, _ = one_step(h1, hu1, hv1, dt_arr, dzx, dzy,
+                                           mann, src)
+                hn = 0.5 * h + 0.5 * h2
+                hun = 0.5 * hu + 0.5 * hu2
+                hvn = 0.5 * hv + 0.5 * hv2
+            else:  # ssprk3
+                h1, hu1, hv1, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
+                                            mann, src)
+                h2, hu2, hv2, _ = one_step(h1, hu1, hv1, dt_arr, dzx, dzy,
+                                           mann, src)
+                h2 = 0.75 * h + 0.25 * h2
+                hu2 = 0.75 * hu + 0.25 * hu2
+                hv2 = 0.75 * hv + 0.25 * hv2
+                h3, hu3, hv3, _ = one_step(h2, hu2, hv2, dt_arr, dzx, dzy,
+                                           mann, src)
+                third = jnp.float32(1.0 / 3.0)
+                hn = third * h + (1.0 - third) * h3
+                hun = third * hu + (1.0 - third) * hu3
+                hvn = third * hv + (1.0 - third) * hv3
+            return (hn, hun, hvn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
+
+        init = (h, hu, hv, jnp.float32(t0), jnp.float32(0.0))
+        h, hu, hv, t, cmax = jax.lax.fori_loop(
+            0, jnp.asarray(n_steps, jnp.int32), body, init
+        )
+        if n_shards > 1:
+            cmax = jax.lax.pmax(cmax, axis_name)
+        return h[None], hu[None], hv[None], t, cmax
+
+    sharded = P(axis_name, None, None)
+    in_specs = (sharded,) * 7 + (P(), P(), P(), P())
+    out_specs = (sharded, sharded, sharded, P(), P())
+    mapped = jax.jit(
+        jax.shard_map(
+            shard_body, mesh=device_mesh,
+            in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2),
+    )
+
+    def advance(h, hu, hv, t0, dt, n_steps, t_end, dzx, dzy, mann,
+                src=None):
+        """h/hu/hv/dzx/dzy/mann: [P, ny/P + 2*gr, nxp] (pad_plane_sharded),
+        sharded over the mesh axis. Returns (h, hu, hv, t, max_courant)."""
+        if src is None:
+            src = jnp.zeros_like(h)
+        return mapped(h, hu, hv, dzx, dzy, mann, src, t0, dt, n_steps,
+                      t_end)
+
+    return advance
