@@ -36,6 +36,11 @@ import time
 
 import numpy as np
 
+# grid-step grouping default for the slotted kernels: GT=16 measures
+# consistently faster than the library default 8 at bench scale (BASELINE.md
+# GT study); must be set before rdycore_tpu.ops.pallas.slotted is imported
+os.environ.setdefault("RDYTPU_GT", "16")
+
 # vs_baseline denominator: the measured throughput of the plain XLA
 # structured path on this same chip (1.22e9 cell-updates/s at 2.88M cells,
 # BASELINE.md) -- i.e. what a straightforward non-kernel port achieves. The

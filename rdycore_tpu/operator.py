@@ -106,6 +106,10 @@ class OperatorArrays(NamedTuple):
     # divergence kernel plan (per-cell incident-edge slots)
     pl_cd_wsL: jnp.ndarray = None  # [ctiles] i32 fluxL row-window starts
     pl_cd_wsR: jnp.ndarray = None
+    # per-k sub-windows for the fused kernels ([(K+1)*ctiles] i32 flat;
+    # row 0 = per-tile base, rows 1..K = plane windows, in supers)
+    pl_cd_wkL: jnp.ndarray = None
+    pl_cd_wkR: jnp.ndarray = None
     pl_cd_gwsL: jnp.ndarray = None  # [ctiles//GT] i32 group window starts
     pl_cd_gwsR: jnp.ndarray = None
     pl_cd_supL: jnp.ndarray = None  # [KL, ctiles*8, 128] i32
@@ -216,6 +220,9 @@ class SWEOperator:
     pallas_wq: int = 0  # group q-window supers (shared DMA window)
     pallas_cd_nsup_l: int = 0  # fluxL window supers (divergence kernel)
     pallas_cd_nsup_r: int = 0
+    # per-k-plane window sizes for the fused kernels (static tuples)
+    pallas_cd_nsup_lk: tuple = ()
+    pallas_cd_nsup_rk: tuple = ()
     pallas_cd_wl: int = 0  # group fluxL window supers
     pallas_cd_wr: int = 0
     # streaming fused kernel meta (nsteps, negrp, nringL, nringR); empty
@@ -340,7 +347,7 @@ class SWEOperator:
                     div, cmax8, cidx8 = fused_rhs_slotted(
                         a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                         self.pallas_wq, sched,
-                        self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                        self.pallas_cd_nsup_lk, self.pallas_cd_nsup_rk,
                         interpret=self.pallas_interpret,
                         hr=self.well_balancing_hr, bs=bs_args,
                         bnd_kinds=self.pallas_bnd_kinds,
@@ -631,7 +638,7 @@ class SWEOperator:
                 fused = fused_rhs_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                     self.pallas_wq, sched,
-                    self.pallas_cd_nsup_l, self.pallas_cd_nsup_r,
+                    self.pallas_cd_nsup_lk, self.pallas_cd_nsup_rk,
                     ndof=ndof, upwind=upwind,
                     interpret=self.pallas_interpret,
                     hr=self.well_balancing_hr,

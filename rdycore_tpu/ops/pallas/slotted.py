@@ -115,6 +115,17 @@ class CellPlan(NamedTuple):
     cfL: np.ndarray  # [KL, ntiles*8, 128] f32 signed len/area (0 = none)
     supR: np.ndarray  # [KR, ntiles*8, 128] i32
     cfR: np.ndarray
+    # per-k sub-windows for the fused kernels: contributions are ranked by
+    # row within each cell, so plane k's rows cluster (e.g. on a quad the
+    # far south edges and the near west edges land in different planes) and
+    # each plane scans its own small window instead of the full per-tile
+    # span — the divergence gather-chain count is sum(nsup_ks), not
+    # K * nsup. wk*: [(K+1) * ntiles] i32 flat (row 0 = the per-tile window
+    # the sup planes are relative to; rows 1..K = plane windows), supers.
+    wkL: np.ndarray = None
+    wkR: np.ndarray = None
+    nsupL_ks: tuple = ()
+    nsupR_ks: tuple = ()
 
 
 def _vmem_budget() -> int:
@@ -142,6 +153,40 @@ def _cumcount(x: np.ndarray) -> np.ndarray:
     c = np.empty(n, np.int64)
     c[o] = np.arange(n) - starts
     return c
+
+
+def _rank_by_row(cells: np.ndarray, rows: np.ndarray) -> np.ndarray:
+    """k-plane assignment = rank of `rows` within each cell: plane k then
+    holds each cell's k-th-nearest contribution, so plane rows cluster."""
+    n = len(cells)
+    order = np.lexsort((rows, cells))
+    c_o = cells[order]
+    grp_start = np.r_[0, np.flatnonzero(np.diff(c_o)) + 1]
+    starts = np.repeat(grp_start, np.diff(np.r_[grp_start, n]))
+    k = np.empty(n, np.int64)
+    k[order] = np.arange(n) - starts
+    return k
+
+
+def _per_k_windows(k, cells, rows, K, Ct, base_sup):
+    """Per-(plane, tile) window starts (supers) + static per-plane window
+    sizes. Empty (plane, tile) combos inherit the per-tile base window
+    (their sup-plane entries are zero-coef padding)."""
+    tiles = cells // TE
+    lo = np.full((K, Ct), np.iinfo(np.int64).max)
+    hi = np.full((K, Ct), -1)
+    np.minimum.at(lo, (k, tiles), rows)
+    np.maximum.at(hi, (k, tiles), rows)
+    has = hi >= 0
+    ws = np.where(has, np.minimum(lo, hi + 1) // 8, base_sup[None, :])
+    nsup_ks = tuple(
+        int(np.max(np.where(has[kk], hi[kk] // 8 - ws[kk], 0))) + 1
+        for kk in range(K)
+    )
+    wk = np.concatenate(
+        [base_sup[None, :], ws], 0
+    ).astype(np.int32).ravel()
+    return wk, nsup_ks
 
 
 def _slot_pack_py(il, ir, max_sup, rcap=16):
@@ -391,30 +436,38 @@ def build_cell_plan(
     Ct = -(-C // TE)
     Ct = -(-Ct // GT) * GT  # cell tiles, padded to a GT multiple
 
-    # unified mode: boundary pseudo-edges (il == ir) contribute only on the
-    # L side (coefR == 0 by construction); excluding them from the R-side
-    # plan keeps KR and the fluxR windows tight
+    # unified mode: each edge contributes only to the sides where its
+    # signed coefficient is armed — interior edges both, boundary
+    # pseudo-edges exactly one (their flux lands in BOTH rings, so
+    # build_plan_arrays balances them onto the cell's emptier side to keep
+    # the K planes — and with them the divergence gather-chain count —
+    # minimal)
     if btype_sorted is not None:
-        rmask = btype_sorted == 0
+        lmask = (btype_sorted == 0) | (coefL != 0.0)
+        rmask = (btype_sorted == 0) | (coefR != 0.0)
+        il_l = il_sorted[lmask]
+        rowL_l = rowL[lmask]
+        coefL_l = coefL[lmask]
         ir_r = ir_sorted[rmask]
         rowR_r = rowR[rmask]
         coefR_r = coefR[rmask]
     else:
+        il_l, rowL_l, coefL_l = il_sorted, rowL, coefL
         ir_r, rowR_r, coefR_r = ir_sorted, rowR, coefR
 
-    KL = int(np.bincount(il_sorted, minlength=C).max()) if E else 0
+    KL = int(np.bincount(il_l, minlength=C).max()) if len(il_l) else 0
     KR = int(np.bincount(ir_r, minlength=C).max()) if len(ir_r) else 0
     if KL == 0 or KR == 0:
         return None
 
-    ctile_l = il_sorted // TE
+    ctile_l = il_l // TE
     ctile_r = ir_r // TE
     tL_lo = np.full(Ct, np.iinfo(np.int64).max)
     tL_hi = np.zeros(Ct, np.int64)
     tR_lo = np.full(Ct, np.iinfo(np.int64).max)
     tR_hi = np.zeros(Ct, np.int64)
-    np.minimum.at(tL_lo, ctile_l, rowL)
-    np.maximum.at(tL_hi, ctile_l, rowL)
+    np.minimum.at(tL_lo, ctile_l, rowL_l)
+    np.maximum.at(tL_hi, ctile_l, rowL_l)
     np.minimum.at(tR_lo, ctile_r, rowR_r)
     np.maximum.at(tR_hi, ctile_r, rowR_r)
     tL_lo = np.minimum(tL_lo, tL_hi)
@@ -461,16 +514,23 @@ def build_cell_plan(
     supRc = np.zeros((KR, Ct * 8, 128), np.int8)
     cfR = np.zeros((KR, Ct * 8, 128), np.float32)
 
-    kL = _cumcount(il_sorted)
-    kR = _cumcount(ir_r)
-    crowL = il_sorted // 128
-    claneL = il_sorted & 127
+    kL = _rank_by_row(il_l, rowL_l)
+    kR = _rank_by_row(ir_r, rowR_r)
+    crowL = il_l // 128
+    claneL = il_l & 127
     crowR = ir_r // 128
     claneR = ir_r & 127
-    supLc[kL, crowL, claneL] = (rowL - wsL[ctile_l]).astype(np.int8)
-    cfL[kL, crowL, claneL] = coefL.astype(np.float32)
+    supLc[kL, crowL, claneL] = (rowL_l - wsL[ctile_l]).astype(np.int8)
+    cfL[kL, crowL, claneL] = coefL_l.astype(np.float32)
     supRc[kR, crowR, claneR] = (rowR_r - wsR[ctile_r]).astype(np.int8)
     cfR[kR, crowR, claneR] = coefR_r.astype(np.float32)
+
+    wkL, nsupL_ks = _per_k_windows(
+        kL, il_l, rowL_l, KL, Ct, (wsL // 8).astype(np.int64)
+    )
+    wkR, nsupR_ks = _per_k_windows(
+        kR, ir_r, rowR_r, KR, Ct, (wsR // 8).astype(np.int64)
+    )
 
     def slot_coefs(valsL, valsR):
         """Fill extra per-edge-side coefficient sets with the same
@@ -491,6 +551,7 @@ def build_cell_plan(
         wsL=(wsL // 8).astype(np.int32), wsR=(wsR // 8).astype(np.int32),
         gwsL=gwsL, gwsR=gwsR,
         supL=supLc, cfL=cfL, supR=supRc, cfR=cfR,
+        wkL=wkL, wkR=wkR, nsupL_ks=nsupL_ks, nsupR_ks=nsupR_ks,
     )
     return cp, slot_coefs
 
@@ -901,7 +962,11 @@ def _cell_kernel(wsl_ref, wsr_ref, gwl_ref, gwr_ref,
                 for comp in range(ncomp):
                     gat = jnp.zeros((8, 128), jnp.float32)
                     for s in range(nsup):
-                        src = buf[slot, pl.ds(off + s * 8, 8), comp, :]
+                        src = buf[
+                            slot,
+                            pl.ds(pl.multiple_of(off + s * 8, 8), 8),
+                            comp, :,
+                        ]
                         gg = jnp.take_along_axis(
                             src, jnp.clip(sup - s * 8, 0, 7), axis=0
                         )
@@ -1095,7 +1160,9 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
         off = (ws_ref[t * GT + gt] - gws_ref[t]) * 8
 
         def fetch(comp, sup_s):
-            return qbuf[slot, comp, pl.ds(off + sup_s * 8, 8), :]
+            return qbuf[
+                slot, comp, pl.ds(pl.multiple_of(off + sup_s * 8, 8), 8), :
+            ]
 
         fluxes, amax = _tile_edge_fluxes(
             fetch, supL, supR0, mm0, supR1, mm1,
@@ -1126,14 +1193,16 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
         o_cidx[:] = jnp.where(upd, rowlane + base, o_cidx[:])
 
         # fluxL ring store at super (t*GT + gt) mod nringL
-        posL = jax.lax.rem(t * GT + gt, jnp.int32(nringL)) * 8
+        posL = pl.multiple_of(
+            jax.lax.rem(t * GT + gt, jnp.int32(nringL)) * 8, 8
+        )
         for comp in range(ndof):
             ringL[pl.ds(posL, 8), comp, :] = fluxes[comp]
 
         # route into the R-layout ring
-        posR = jax.lax.rem(
+        posR = pl.multiple_of(jax.lax.rem(
             (t * GT + gt) * rp, jnp.int32(nringR)
-        ) * 8
+        ) * 8, 8)
         for comp in range(ndof):
             fL = fluxes[comp]
             u0 = jnp.take_along_axis(fL, gi0, axis=0)
@@ -1144,9 +1213,9 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
         if rrows == 16:
             gi1 = e8_all[sGi + 8 : sGi + 16, :]
             mi1 = e8_all[sMi + 8 : sMi + 16, :]
-            posR1 = jax.lax.rem(
+            posR1 = pl.multiple_of(jax.lax.rem(
                 (t * GT + gt) * rp + 1, jnp.int32(nringR)
-            ) * 8
+            ) * 8, 8)
             for comp in range(ndof):
                 fL = fluxes[comp]
                 u1 = jnp.take_along_axis(fL, gi1, axis=0)
@@ -1156,20 +1225,34 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
                 )
 
 
-def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wL, wR, *,
-                 KL, KR, ndof, nsupL, nsupR, nringL, nringR, slot=None):
+def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
+                 tidx, *, KL, KR, ndof, nsupL_ks, nsupR_ks, nringL, nringR,
+                 Ct):
     """One GT-tile's flux divergence gathered from the VMEM rings (shared
-    by the fused-RHS and fused-STEP cell phases)."""
+    by the fused-RHS and fused-STEP cell phases).
+
+    Each k-plane scans only its own per-(plane, tile) window (wk arrays;
+    plane rows cluster because contributions are ranked by row per cell),
+    so the gather-chain count is sum(nsup_ks) per side instead of
+    K * per-tile-span — on a quad raster that cuts the R side ~3x (the far
+    south-edge plane and the near west-edge plane each span ~2-3 supers
+    while the combined per-tile span is ~10)."""
     acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
 
-    def side(ring, w, s_all, K, nsupX, nring, k0=0):
+    def side(ring, wk_ref, s_all, K, nsup_ks, nring, k0=0):
+        base = wk_ref[tidx]  # per-tile window the sup planes are relative to
         for k in range(K):
-            sup = s_all[k, r8]
+            w_k = wk_ref[(k + 1) * Ct + tidx]
+            # rebase the sup plane onto plane k's window; zero-coef padding
+            # entries go negative and never match a super mask
+            sup = s_all[k, r8] + (base - w_k) * 8
             cf = cf_ref[k0 + k, r8]
             for comp in range(ndof):
                 gat = jnp.zeros((8, 128), jnp.float32)
-                for s in range(nsupX):
-                    pos = jax.lax.rem(w + s, jnp.int32(nring)) * 8
+                for s in range(nsup_ks[k]):
+                    pos = pl.multiple_of(
+                        jax.lax.rem(w_k + s, jnp.int32(nring)) * 8, 8
+                    )
                     src = ring[pl.ds(pos, 8), comp, :]
                     gg = jnp.take_along_axis(
                         src, jnp.clip(sup - s * 8, 0, 7), axis=0
@@ -1177,15 +1260,15 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wL, wR, *,
                     gat = jnp.where((sup >> 3) == s, gg, gat)
                 acc[comp] = acc[comp] + gat * cf
 
-    side(ringL, wL, sL_all, KL, nsupL, nringL)
-    side(ringR, wR, sR_all, KR, nsupR, nringR, k0=KL)
+    side(ringL, wkL_ref, sL_all, KL, nsupL_ks, nringL)
+    side(ringR, wkR_ref, sR_all, KR, nsupR_ks, nringR, k0=KL)
     return acc
 
 
 def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                   doc_ref, e8_ref, ef_ref, c8_ref, cf_ref, *rest,
                   nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows,
-                  nsupL, nsupR, KL, KR, negrp, nringL, nringR,
+                  nsupL_ks, nsupR_ks, Ct, KL, KR, negrp, nringL, nringR,
                   hr=False, bs=False, bnd_kinds=()):
     """Streaming fused RHS: per grid step, (a) compute one GT-tile group of
     edge fluxes into VMEM rings + fold the Courant max/argmax, (b) when the
@@ -1265,9 +1348,9 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
             r8 = slice(gt * 8, gt * 8 + 8)
             acc = _gt_ring_div(
                 ringL, ringR, sL_all, sR_all, cf_ref, r8,
-                cwsL_ref[cgi * GT + gt], cwsR_ref[cgi * GT + gt],
-                KL=KL, KR=KR, ndof=ndof, nsupL=nsupL, nsupR=nsupR,
-                nringL=nringL, nringR=nringR,
+                cwsL_ref, cwsR_ref, cgi * GT + gt,
+                KL=KL, KR=KR, ndof=ndof, nsupL_ks=nsupL_ks,
+                nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR, Ct=Ct,
             )
             # component-major output: div.reshape(ndof, -1) is then a
             # free view (the old [rows, ndof, 128] layout cost a
@@ -1277,8 +1360,9 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
 
 
 def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
-                      nsupL, nsupR, ndof=3, upwind=False, interpret=False,
-                      hr=False, bs=None, bnd_kinds=(), dir_planes=None):
+                      nsup_lk, nsup_rk, ndof=3, upwind=False,
+                      interpret=False, hr=False, bs=None, bnd_kinds=(),
+                      dir_planes=None):
     """Run the streaming fused edge-flux + divergence + Courant kernel.
 
     bnd_kinds (unified plans): static tuple of BC codes folded into the
@@ -1359,7 +1443,8 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
         functools.partial(
             _fused_kernel, nsup=nsup, wq=wq, ndof=ndof, upwind=bool(upwind),
             tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
-            nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR, negrp=negrp,
+            nsupL_ks=tuple(nsup_lk), nsupR_ks=tuple(nsup_rk), Ct=Ct,
+            KL=KL, KR=KR, negrp=negrp,
             nringL=nringL, nringR=nringR, hr=bool(hr), bs=bs is not None,
             bnd_kinds=tuple(bnd_kinds),
         ),
@@ -1381,7 +1466,7 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
     dir_args = (dir_planes,) if 1 in bnd_kinds else ()
     div, cmax, cidx = f(
         arrays.pl_ws, arrays.pl_gws,
-        arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_cd_wkL, arrays.pl_cd_wkR,
         arrays.pl_fs_eg, arrays.pl_fs_cg, arrays.pl_fs_doc,
         arrays.pl_fz_e8, arrays.pl_fz_ef,
         arrays.pl_fz_c8, arrays.pl_fz_cf,
@@ -1437,7 +1522,8 @@ def unpack_rows(x2, C, dtype):
 def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                        doc_ref, co_ref, scal_ref, e8_ref, ef_ref, c8_ref,
                        cf_ref, *rest, nsup, wq, upwind, tiny_h, h_anuga,
-                       rrows, nsupL, nsupR, KL, KR, negrp, nringL, nringR,
+                       rrows, nsupL_ks, nsupR_ks, Ct, KL, KR, negrp,
+                       nringL, nringR,
                        ncgrp, bnd_kinds, alpha, beta, gfac, source_method,
                        emit_prim, xq_threshold, uniform_geom, has_ext):
     """Streaming fused FULL-STEP kernel: the edge phase of _fused_kernel
@@ -1539,9 +1625,9 @@ def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                 r8 = slice(gt * 8, gt * 8 + 8)
                 acc = _gt_ring_div(
                     ringL, ringR, sL_all, sR_all, cf_ref, r8,
-                    cwsL_ref[cgi * GT + gt], cwsR_ref[cgi * GT + gt],
-                    KL=KL, KR=KR, ndof=3, nsupL=nsupL, nsupR=nsupR,
-                    nringL=nringL, nringR=nringR,
+                    cwsL_ref, cwsR_ref, cgi * GT + gt,
+                    KL=KL, KR=KR, ndof=3, nsupL_ks=nsupL_ks,
+                    nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR, Ct=Ct,
                 )
                 if "cell" in _ABLATE:
                     acc = [jnp.zeros((8, 128), jnp.float32)] * 3
@@ -1643,8 +1729,8 @@ def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                     )
 
 
-def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsupL,
-                       nsupR, tiny_h, h_anuga, xq_threshold, source_method,
+def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
+                       nsup_rk, tiny_h, h_anuga, xq_threshold, source_method,
                        bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
                        qA2d=None, dir_planes=None, emit_prim=False,
                        uniform_scal=None, interpret=False):
@@ -1757,7 +1843,8 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsupL,
         functools.partial(
             _fused_step_kernel, nsup=nsup, wq=wq, upwind=False,
             tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
-            nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR, negrp=negrp,
+            nsupL_ks=tuple(nsup_lk), nsupR_ks=tuple(nsup_rk),
+            Ct=ncgrp * GT, KL=KL, KR=KR, negrp=negrp,
             nringL=nringL, nringR=nringR, ncgrp=ncgrp,
             bnd_kinds=tuple(bnd_kinds), alpha=float(alpha),
             beta=float(beta), gfac=float(gfac),
@@ -1778,7 +1865,7 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsupL,
     ext_args = (ext2d,) if has_ext else ()
     return f(
         arrays.pl_ws, arrays.pl_gws,
-        arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_cd_wkL, arrays.pl_cd_wkR,
         arrays.pl_st_eg, arrays.pl_st_cg, arrays.pl_st_doc,
         arrays.pl_st_co, scal,
         arrays.pl_fz_e8, arrays.pl_fz_ef,
@@ -2313,6 +2400,24 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     coefL[e_i[is_left]] = f_i[is_left]
     coefR[e_i[~is_left]] = f_i[~is_left]
 
+    if bnd is not None:
+        # boundary pseudo-edge fluxes land in BOTH rings (the edge kernel
+        # routes every L slot into the R layout), so each boundary edge can
+        # feed its cell's divergence from either side. Greedily assign it
+        # to the cell's emptier side: cells with several boundary edges
+        # otherwise push KL up (e.g. 2 -> 4 on quad corners), and the
+        # divergence gather-chain count scales with KL * nsupL.
+        nLc = np.bincount(il, minlength=num_cells)
+        nRc = np.bincount(ir[ir >= 0], minlength=num_cells)
+        for j in range(Ei, E_lim):
+            c = int(il_all[j])
+            if nLc[c] > nRc[c]:
+                coefR[j] = coefL[j]
+                coefL[j] = 0.0
+                nRc[c] += 1
+            else:
+                nLc[c] += 1
+
     cp_res = build_cell_plan(
         plan, il_s, ir_s, coefL[order], coefR[order], num_cells,
         max_supL=max_sup_cd, max_supR=max_sup_cd,
@@ -2476,6 +2581,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         pl_courant_coef=plan.courant_coef,
         pl_slot_edge=plan.slot_edge,
         pl_cd_wsL=cell_plan.wsL, pl_cd_wsR=cell_plan.wsR,
+        pl_cd_wkL=cell_plan.wkL, pl_cd_wkR=cell_plan.wkR,
         pl_cd_gwsL=cell_plan.gwsL, pl_cd_gwsR=cell_plan.gwsR,
         pl_cd_supL=cell_plan.supL, pl_cd_cfL=cell_plan.cfL,
         pl_cd_supR=cell_plan.supR, pl_cd_cfR=cell_plan.cfR,
@@ -2495,6 +2601,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     )
     meta = dict(
         nsup=plan.nsup, nsupL=cell_plan.nsupL, nsupR=cell_plan.nsupR,
+        nsupL_ks=cell_plan.nsupL_ks, nsupR_ks=cell_plan.nsupR_ks,
         wq=plan.wq, wl=cell_plan.wl, wr=cell_plan.wr,
         order=order_int,  # original -> sorted interior edge permutation
         eposL=plan.eposL,  # sorted edge -> L-layout flat slot position
@@ -2520,6 +2627,7 @@ _PLAN_DTYPES = {
     "pl_m": np.int8, "pl_g": np.int8, "pl_gi": np.int8, "pl_mi": np.int8,
     "pl_slot_edge": np.int32,
     "pl_cd_wsL": np.int32, "pl_cd_wsR": np.int32,
+    "pl_cd_wkL": np.int32, "pl_cd_wkR": np.int32,
     "pl_cd_supL": np.int8, "pl_cd_supR": np.int8,
     "pl_fs_eg": np.int32, "pl_fs_cg": np.int32, "pl_fs_doc": np.int32,
     "pl_st_eg": np.int32, "pl_st_cg": np.int32, "pl_st_co": np.int32,
@@ -2665,6 +2773,8 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
         pallas_wq=meta["wq"],
         pallas_cd_nsup_l=meta["nsupL"],
         pallas_cd_nsup_r=meta["nsupR"],
+        pallas_cd_nsup_lk=meta["nsupL_ks"],
+        pallas_cd_nsup_rk=meta["nsupR_ks"],
         pallas_cd_wl=meta["wl"],
         pallas_cd_wr=meta["wr"],
         pallas_fused_meta=meta["fused"],

@@ -102,7 +102,11 @@ def _stack_shard_plans(plans):
     leading shard axis (shard_map strips it back off per device)."""
     from ..ops.pallas.slotted import GT as GT_
 
-    keys = plans[0].keys()
+    # the sharded operators run the two-kernel pallas path (no fused
+    # schedule is installed per shard), so the fused/full-step-only plan
+    # fields are dropped rather than padded across shards
+    drop = ("pl_fs_", "pl_st_", "pl_fz_", "pl_cd_wk", "pl_bnd_pos")
+    keys = [k for k in plans[0].keys() if not k.startswith(drop)]
     T = max(p["pl_supL"].shape[0] // 8 for p in plans)
     Ks = {
         k: max(p[k].shape[0] for p in plans)

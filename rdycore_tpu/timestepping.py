@@ -371,7 +371,7 @@ def _advance_fused_step(
         alpha, beta, gfac = coeffs
         return fused_step_slotted(
             a, q2d_s, dt_i, sm, op.pallas_nsup, op.pallas_wq,
-            op.pallas_cd_nsup_l, op.pallas_cd_nsup_r,
+            op.pallas_cd_nsup_lk, op.pallas_cd_nsup_rk,
             op.tiny_h, op.h_anuga, op.xq2018_threshold, op.source_method,
             op.pallas_bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
             qA2d=qA2d, dir_planes=dirp, emit_prim=emit_prim,
