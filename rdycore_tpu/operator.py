@@ -483,6 +483,18 @@ class SWEOperator:
             fi_h, fi_hu, fi_hv, fb = self._apply_positivity_limit(
                 q[0], dt, (fi_h, fi_hu, fi_hv), fb
             )
+        elif (
+            self.second_order and self.positivity_limit
+            and slotted_flux is not None
+        ):
+            # slotted twin of the limiter (VERDICT r2 #3: both backends now
+            # run limited by default)
+            from .ops.pallas.slotted import positivity_scale_slotted
+
+            fL2, fR2, fb = positivity_scale_slotted(
+                self, q[0], dt, slotted_flux[0], slotted_flux[1], fb
+            )
+            slotted_flux = (fL2, fR2, slotted_flux[2])
 
         # ---- cell gather of edge fluxes --------------------------------
         if fused is not None or slotted_flux is not None:

@@ -274,8 +274,7 @@ def build_slotted_plan(
     boundary edges into the same tiling as pseudo-edges with
     il == ir == the owning cell; the kernel replaces their gathered right
     state with the BC ghost state selected by the per-slot type code packed
-    into supL bits 5-6. Requires nsup <= 4 (5-bit window rows) — returns
-    None otherwise so the caller can rebuild interior-only."""
+    into the g plane's bits 4-5 (row picks are 4-bit)."""
     Ei = len(int_left)
     if bnd is not None:
         bl = np.asarray(bnd["left"], np.int64)
@@ -326,9 +325,6 @@ def build_slotted_plan(
     except ValueError:
         return None
     slot_row, color, tile_of, ws_tile, need_sup = packed
-    if bt_all is not None and need_sup > 4:
-        # 5-bit window rows are needed to pack the BC code into supL
-        return None
     ws_rows = ws_tile[tile_of]  # [E] window start of each edge's tile
     # pad the tile count to a GT multiple; inert tiles inherit the LAST
     # window start so the shared group window stays tight (a 0 would blow
@@ -372,13 +368,15 @@ def build_slotted_plan(
     rr = ir // 128 - ws_rows
     rowsL = tile_of * 8 + slot_row
     rowsR = tile_of * rrows + color
-    if bt_all is not None:
-        supL[rowsL, laneL] = rl | (bt_all[order] << 5)
-    else:
-        supL[rowsL, laneL] = rl
+    supL[rowsL, laneL] = rl
     supR[rowsR, laneR] = rr
     m_al[rowsR, laneL] = laneR
-    g_al[rowsL, laneL] = color
+    if bt_all is not None:
+        # BC code packed into the align-row-pick plane's spare bits
+        # (g < 16 always, so btype << 4 still fits int8)
+        g_al[rowsL, laneL] = color | (bt_all[order] << 4)
+    else:
+        g_al[rowsL, laneL] = color
     gi[rowsR, laneL] = slot_row
     mi[rowsR, laneR] = laneL
     cn_c = cn_all[order].astype(np.float32)
@@ -910,16 +908,32 @@ def edge_flux_slotted(
 def _cell_kernel(wsl_ref, wsr_ref, gwl_ref, gwr_ref,
                  sL_ref, cL_ref, sR_ref, cR_ref, fL_hbm, fR_hbm,
                  o_ref, flbuf, frbuf, semL, semR, *,
-                 nsupL, nsupR, KL, KR, ncomp, wl, wr):
+                 nsupL, nsupR, KL, KR, ncomp, wl, wr, drain=False):
     """Group-window divergence: ONE fluxL + ONE fluxR DMA window per grid
     step (shared by GT cell tiles, double-buffered) — round-1 read each
-    fluxR byte ~3x through overlapping per-tile windows."""
+    fluxR byte ~3x through overlapping per-tile windows.
+
+    drain=True: positivity-limit pre-pass — the flux windows carry only
+    the mass component and the accumulation keeps the DRAINING part,
+    sum(min(f_h * coef, 0)), per cell (operator._apply_positivity_limit's
+    `contrib`/`drain` in slotted form)."""
     t = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
     def _dma(slot, tt):
         rl = pl.multiple_of(gwl_ref[tt] * 8, 8)
         rr = pl.multiple_of(gwr_ref[tt] * 8, 8)
+        if drain:  # mass component only
+            return (
+                pltpu.make_async_copy(
+                    fL_hbm.at[pl.ds(rl, wl * 8), 0], flbuf.at[slot],
+                    semL.at[slot],
+                ),
+                pltpu.make_async_copy(
+                    fR_hbm.at[pl.ds(rr, wr * 8), 0], frbuf.at[slot],
+                    semR.at[slot],
+                ),
+            )
         return (
             pltpu.make_async_copy(
                 fL_hbm.at[pl.ds(rl, wl * 8)], flbuf.at[slot], semL.at[slot]
@@ -962,16 +976,26 @@ def _cell_kernel(wsl_ref, wsr_ref, gwl_ref, gwr_ref,
                 for comp in range(ncomp):
                     gat = jnp.zeros((8, 128), jnp.float32)
                     for s in range(nsup):
-                        src = buf[
-                            slot,
-                            pl.ds(pl.multiple_of(off + s * 8, 8), 8),
-                            comp, :,
-                        ]
+                        if drain:
+                            src = buf[
+                                slot,
+                                pl.ds(pl.multiple_of(off + s * 8, 8), 8),
+                                :,
+                            ]
+                        else:
+                            src = buf[
+                                slot,
+                                pl.ds(pl.multiple_of(off + s * 8, 8), 8),
+                                comp, :,
+                            ]
                         gg = jnp.take_along_axis(
                             src, jnp.clip(sup - s * 8, 0, 7), axis=0
                         )
                         gat = jnp.where((sup >> 3) == s, gg, gat)
-                    acc[comp] = acc[comp] + gat * cf
+                    if drain:
+                        acc[comp] = acc[comp] + jnp.minimum(gat * cf, 0.0)
+                    else:
+                        acc[comp] = acc[comp] + gat * cf
 
         side(flbuf, offL, sL_all, cL_ref, KL, nsupL)
         side(frbuf, offR, sR_all, cR_ref, KR, nsupR)
@@ -983,7 +1007,8 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, wl, wr, ncomp=3,
                      interpret=False):
     """Flux divergence from the two slotted flux layouts.
 
-    Returns [Ct*8, ncomp, 128]; flatten with
+    Returns [Ct*8, ncomp, 128] (ROW-major — unlike fused_rhs_slotted,
+    which emits component-major [ncomp, Ct*8, 128]); flatten with
     `out.transpose(1, 0, 2).reshape(ncomp, -1)[:, :C]`."""
     supL = arrays.pl_cd_supL
     KL, RcL, _ = supL.shape
@@ -1035,6 +1060,213 @@ def cell_div_slotted(arrays, fluxL, fluxR, nsupL, nsupR, wl, wr, ncomp=3,
         fluxL, fluxR,
     )
 
+
+def cell_drain_slotted(arrays, fluxL, fluxR, nsupL, nsupR, wl, wr,
+                       interpret=False):
+    """Per-cell DRAINING mass rate sum(min(f_h * coef, 0)) from the two
+    slotted flux layouts (the positivity limiter's `drain` accumulation,
+    operator._apply_positivity_limit). Returns [Ct*8, 128] f32."""
+    supL = arrays.pl_cd_supL
+    KL, RcL, _ = supL.shape
+    KR = arrays.pl_cd_supR.shape[0]
+    Ct = RcL // 8
+    nsteps = Ct // GT
+    fluxL = jnp.pad(fluxL, ((0, wl * 8 + 8), (0, 0), (0, 0)))
+    fluxR = jnp.pad(fluxR, ((0, wr * 8 + RROWS), (0, 0), (0, 0)))
+
+    in_specs = [
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec((KL, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec((KR, GT * 8, 128), lambda t, a, b, c, d: (0, t, 0)),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # fluxL (mass comp DMA)
+        pl.BlockSpec(memory_space=pltpu.ANY),  # fluxR
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (GT * 8, 1, 128), lambda t, a, b, c, d: (t, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, wl * 8, 128), jnp.float32),
+            pltpu.VMEM((2, wr * 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    f = pl.pallas_call(
+        functools.partial(
+            _cell_kernel, nsupL=nsupL, nsupR=nsupR, KL=KL, KR=KR,
+            ncomp=1, wl=wl, wr=wr, drain=True,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Ct * 8, 1, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )
+    out = f(
+        arrays.pl_cd_wsL, arrays.pl_cd_wsR,
+        arrays.pl_cd_gwsL, arrays.pl_cd_gwsR,
+        arrays.pl_cd_supL, arrays.pl_cd_cfL,
+        arrays.pl_cd_supR, arrays.pl_cd_cfR,
+        fluxL, fluxR,
+    )
+    return out[:, 0, :]
+
+
+def _pos_scale_kernel(ws_ref, supL_ref, supR_ref, m_ref, g_ref, gi_ref,
+                      mi_ref, fL_ref, fR_ref, *rest, nsup, rrows):
+    """Scale every edge slot's flux by the donor cell's positivity factor
+    gathered through the q-window machinery (s plays the role of q)."""
+    s_all = rest[: GT * nsup]
+    oL_ref, oR_ref = rest[GT * nsup], rest[GT * nsup + 1]
+
+    supL_all = supL_ref[:].astype(jnp.int32)
+    supR_all = supR_ref[:].astype(jnp.int32)
+    m_all = m_ref[:].astype(jnp.int32)
+    g_all_i = g_ref[:].astype(jnp.int32)
+    gi_all = gi_ref[:].astype(jnp.int32)
+    mi_all = mi_ref[:].astype(jnp.int32)
+
+    for gt in range(GT):
+        r8 = slice(gt * 8, gt * 8 + 8)
+        rA = slice(gt * rrows, gt * rrows + 8)
+        rB = slice(gt * rrows + 8, gt * rrows + 16)
+        s_refs = s_all[gt * nsup : (gt + 1) * nsup]
+        supL = supL_all[r8, :]
+        supR0 = supR_all[rA, :]
+        mm0 = m_all[rA, :]
+        g = g_all_i[r8, :]
+
+        sL = _window_gather(s_refs, supL, 0, nsup)
+        z1a = _window_gather(s_refs, supR0, 0, nsup)
+        z2a = jnp.take_along_axis(z1a, mm0, axis=1)
+        ya = jnp.take_along_axis(z2a, jnp.clip(g, 0, 7), axis=0)
+        if rrows == 16:
+            supR1 = supR_all[rB, :]
+            mm1 = m_all[rB, :]
+            z1b = _window_gather(s_refs, supR1, 0, nsup)
+            z2b = jnp.take_along_axis(z1b, mm1, axis=1)
+            yb = jnp.take_along_axis(z2b, jnp.clip(g - 8, 0, 7), axis=0)
+            sR = jnp.where(g < 8, ya, yb)
+        else:
+            sR = ya
+
+        f_h = fL_ref[r8, 0, :]
+        fac = jnp.where(f_h > 0.0, sL, sR)
+        for comp in range(3):
+            oL_ref[r8, comp, :] = fL_ref[r8, comp, :] * fac
+
+        gi0 = gi_all[rA, :]
+        mi0 = mi_all[rA, :]
+        u0 = jnp.take_along_axis(fac, gi0, axis=0)
+        facR0 = jnp.take_along_axis(u0, mi0, axis=1)
+        for comp in range(3):
+            oR_ref[rA, comp, :] = fR_ref[rA, comp, :] * facR0
+        if rrows == 16:
+            gi1 = gi_all[rB, :]
+            mi1 = mi_all[rB, :]
+            u1 = jnp.take_along_axis(fac, gi1, axis=0)
+            facR1 = jnp.take_along_axis(u1, mi1, axis=1)
+            for comp in range(3):
+                oR_ref[rB, comp, :] = fR_ref[rB, comp, :] * facR1
+
+
+def positivity_scale_slotted(op, h, dt, fluxL, fluxR, fb):
+    """Audusse-style positivity limiting for the slotted MUSCL path: scale
+    every edge flux (interior AND boundary) by the donor cell's factor
+    s = min(1, h / (dt * drain)) — the exact twin of
+    operator._apply_positivity_limit, with the per-cell drain accumulated
+    by cell_drain_slotted and the donor's s gathered through the slot
+    windows. Wet cells have s == 1.0 exactly (fluxes bitwise unchanged).
+
+    Returns (fluxL', fluxR', fb')."""
+    a = op.arrays
+    C = op.num_cells
+    dtype = h.dtype
+    interp = op.pallas_interpret
+    drain_neg = cell_drain_slotted(
+        a, fluxL.astype(jnp.float32), fluxR.astype(jnp.float32),
+        op.pallas_cd_nsup_l, op.pallas_cd_nsup_r,
+        op.pallas_cd_wl, op.pallas_cd_wr, interpret=interp,
+    ).reshape(-1)[:C].astype(dtype)
+    drain = -drain_neg
+    if op.num_boundary_edges:
+        coefb = -a.bnd_len / a.area[a.bnd_left]
+        contrib_b = jnp.minimum(fb[0] * coefb, 0.0)
+        drain = drain - (
+            jnp.zeros_like(drain).at[a.bnd_left].add(contrib_b)
+        )
+    drain_safe = jnp.where(drain > 0.0, drain, 1.0)
+    s = jnp.where(
+        drain > 0.0, jnp.clip(h / (dt * drain_safe), 0.0, 1.0), 1.0
+    )
+
+    # interior edges: gather s through the slot windows and scale
+    supL = a.pl_supL
+    ntiles = supL.shape[0] // 8
+    rrows = a.pl_supR.shape[0] // ntiles
+    nsup = op.pallas_nsup
+    Crows = -(-C // 128)
+    s32 = s.astype(jnp.float32)
+    if C % 128:
+        s32 = jnp.pad(s32, (0, Crows * 128 - C))
+    s2d = jnp.pad(
+        s32.reshape(1, Crows, 128), ((0, 0), (0, nsup * 8 + 8), (0, 0))
+    )
+    nsteps = ntiles // GT
+    in_specs = [
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # supL i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # supR i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # m i8
+        pl.BlockSpec((GT * 8, 128), lambda t, ws: (t, 0)),      # g i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # gi i8
+        pl.BlockSpec((GT * rrows, 128), lambda t, ws: (t, 0)),  # mi i8
+        pl.BlockSpec((GT * 8, 3, 128), lambda t, ws: (t, 0, 0)),   # fluxL
+        pl.BlockSpec((GT * rrows, 3, 128), lambda t, ws: (t, 0, 0)),
+    ] + [
+        pl.BlockSpec(
+            (1, 8, 128),
+            lambda t, ws, g=g_, s_=s_: (0, ws[t * GT + g_] + s_, 0),
+        )
+        for g_ in range(GT)
+        for s_ in range(nsup)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((GT * 8, 3, 128), lambda t, ws: (t, 0, 0)),
+            pl.BlockSpec((GT * rrows, 3, 128), lambda t, ws: (t, 0, 0)),
+        ],
+    )
+    f = pl.pallas_call(
+        functools.partial(_pos_scale_kernel, nsup=nsup, rrows=rrows),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ntiles * 8, 3, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ntiles * rrows, 3, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interp,
+    )
+    fluxL2, fluxR2 = f(
+        a.pl_ws, supL, a.pl_supR, a.pl_m, a.pl_g, a.pl_gi, a.pl_mi,
+        fluxL.astype(jnp.float32), fluxR.astype(jnp.float32),
+        *([s2d] * (GT * nsup)),
+    )
+
+    if op.num_boundary_edges and fb.shape[1]:
+        s_b = jnp.where(fb[0] > 0.0, s[a.bnd_left], 1.0)
+        fb = fb * s_b
+    return fluxL2, fluxR2, fb
 
 
 # ------------------------------------------- fused streaming edge+cell RHS
@@ -1137,12 +1369,12 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
         r8 = slice(gt * 8, gt * 8 + 8)
         b = gt * RE8
         supL = e8_all[b : b + 8, :]
+        g_pick = e8_all[b + 8 : b + 16, :]
         btype = None
         if bnd_kinds:
-            # unified plan: BC code packed into supL bits 5-6
-            btype = supL >> 5
-            supL = supL & 31
-        g_pick = e8_all[b + 8 : b + 16, :]
+            # unified plan: BC code packed into g bits 4-5
+            btype = g_pick >> 4
+            g_pick = g_pick & 15
         sR = b + 16
         supR0 = e8_all[sR : sR + 8, :]
         supR1 = e8_all[sR + 8 : sR + 16, :] if rrows == 16 else None

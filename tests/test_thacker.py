@@ -124,3 +124,56 @@ def test_thacker_bowl_muscl_positivity():
         wet = (h0 > 1e-4) | (h1 > 1e-4)
         errs[so] = np.abs(h1 - h0)[wet].mean() / h0[wet].mean()
     assert errs[True] <= errs[False] * 1.05, errs
+
+
+def test_thacker_bowl_muscl_pallas_limited():
+    """The slotted (Pallas) MUSCL backend runs the positivity limiter by
+    default (VERDICT r2 #3): a drying-front segment of the Thacker bowl
+    stays finite/nonnegative and tracks the XLA limited twin."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rdycore_tpu.ops.pallas.slotted import to_pallas_backend
+
+    n = 40
+    L = 2.2
+    mesh = structured_quad(n, n, -L, L, -L, L, z_fn=_bowl)
+    cx = mesh.cell_centroid[:, 0]
+    cy = mesh.cell_centroid[:, 1]
+    r2 = cx * cx + cy * cy
+    z = mesh.cell_z
+    w = np.sqrt(8.0 * GRAVITY * H0) / A_R
+    A = ((H0 + ETA0) ** 2 - H0**2) / ((H0 + ETA0) ** 2 + H0**2)
+    h0 = np.maximum(_eta(r2, 0.0, w, A) - z, 0.0).astype(np.float32)
+    q0 = jnp.zeros((3, mesh.num_cells), jnp.float32).at[0].set(h0)
+    dt, n_steps = 4e-3, 60
+
+    op = build_operator(
+        mesh, mannings_n=np.zeros(mesh.num_cells), second_order=True,
+        dtype=jnp.float32,
+    )
+    assert op.positivity_limit
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+
+    outs = {}
+    for name, o in (("xla", op), ("pallas", op_p)):
+        adv = make_interval_advancer(o, "euler", accumulate=False)
+        res = adv(o.arrays, q0, 0.0, dt, n_steps, 1e9,
+                  o.zero_boundary_values(jnp.float32),
+                  jnp.zeros_like(q0))
+        h1 = np.asarray(res.q[0])
+        assert np.isfinite(h1).all(), f"{name} blew up"
+        # the limiter caps each step's drain at the cell volume; depths
+        # stay bounded by accumulated per-step f32 rounding at the drying
+        # front (measured ~1e-4 over 60 steps; the reference's kernels
+        # clamp h = fmax(0, .) for the same reason, swe_petsc.c:143-146),
+        # unlike the unlimited kernel which overdrains to O(1) negatives
+        # and explodes
+        assert (h1 >= -1e-3).all(), f"{name} overdrained: {h1.min()}"
+        outs[name] = h1
+    # drying fronts amplify f32 rounding chaotically over 60 steps; this
+    # test pins STABILITY (bounded, no blowup) while exact twin agreement
+    # is pinned single-step in test_pallas_muscl_positivity_drying_front
+    np.testing.assert_allclose(outs["pallas"], outs["xla"], atol=3e-2)
