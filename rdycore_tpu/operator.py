@@ -866,6 +866,7 @@ class SWEOperator:
             q, flux_div, ext_src, a.mannings_n, a.dz_dx, a.dz_dy, dt,
             tiny_h, h_anuga, self.num_sediment, SedimentParams(),
             include_bed_slope=not self.well_balancing_hr,
+            include_friction=self.source_method != SOURCE_NONE,
         )
 
         rhs = flux_div + rhs_src

@@ -126,6 +126,22 @@ class CellPlan(NamedTuple):
     wkR: np.ndarray = None
     nsupL_ks: tuple = ()
     nsupR_ks: tuple = ()
+    # per-k-RELATIVE i8 sup planes for the fused kernels (values
+    # < nsup_k * 8, so they stay int8-representable at any mesh bandwidth;
+    # the per-TILE-relative supL/supR planes above serve the two-kernel
+    # path and overflow int8 when the combined span exceeds 16 supers)
+    supLk: np.ndarray = None
+    supRk: np.ndarray = None
+    # False when the per-tile windows exceed the two-kernel path's budget
+    # (sup planes above are then invalid); the fused kernels still work
+    two_kernel_ok: bool = True
+
+
+def _plan_debug(msg):
+    if _os.environ.get("RDYTPU_PLAN_DEBUG"):
+        import sys
+
+        print(f"# plan: {msg}", file=sys.stderr)
 
 
 def _vmem_budget() -> int:
@@ -426,6 +442,7 @@ def build_cell_plan(
     max_supR: int = 8,
     btype_sorted: Optional[np.ndarray] = None,
     ndof: int = 3,
+    allow_fused_only: bool = False,
 ) -> Optional[CellPlan]:
     C = num_cells
     E = len(il_sorted)
@@ -474,8 +491,19 @@ def build_cell_plan(
     wsR = (tR_lo >> 3) << 3
     nsupL = int((tL_hi - wsL).max()) // 8 + 1
     nsupR = int((tR_hi - wsR).max()) // 8 + 1
-    if nsupL > max_supL or nsupR > max_supR:
-        return None
+    two_kernel_ok = nsupL <= max_supL and nsupR <= max_supR
+    if not two_kernel_ok:
+        _plan_debug(
+            f"cell plan per-tile windows exceed the two-kernel budget: "
+            f"nsupL={nsupL}/{max_supL} nsupR={nsupR}/{max_supR}"
+            + (" (fused-only)" if allow_fused_only else "")
+        )
+        if not allow_fused_only:
+            return None
+        # keep the scan caps sane for budget arithmetic below; the per-tile
+        # sup planes are invalid (flagged) but the per-k planes are exact
+        nsupL = min(nsupL, max_supL)
+        nsupR = min(nsupR, max_supR)
 
     # cell tiles with no incident edges on a side (padding tiles) inherit
     # the previous tile's window start so group windows stay tight
@@ -502,9 +530,14 @@ def build_cell_plan(
     # edge-plan wq cap: wider groups -> proportionally wider shared windows);
     # the byte cap folds in ndof (ADVICE r2: tracer runs scale scratch
     # linearly with ndof but previously passed the super-count caps)
+    if not two_kernel_ok:
+        wl = min(wl, nsupL + GT)
+        wr = min(wr, nsupR + GT)
     if wl > 64 * max(1, GT // 8) or wr > 64 * max(1, GT // 8):
+        _plan_debug(f"cell group windows exceed cap: wl={wl} wr={wr}")
         return None
     if 2 * (wl + wr) * 8 * ndof * 128 * 4 > _vmem_budget():
+        _plan_debug(f"cell group windows exceed VMEM: wl={wl} wr={wr}")
         return None
 
     supLc = np.zeros((KL, Ct * 8, 128), np.int8)
@@ -529,6 +562,25 @@ def build_cell_plan(
     wkR, nsupR_ks = _per_k_windows(
         kR, ir_r, rowR_r, KR, Ct, (wsR // 8).astype(np.int64)
     )
+    if max(nsupL_ks) > 15 or max(nsupR_ks) > 15:
+        # per-k windows must stay int8-representable (nsup_k * 8 <= 120)
+        _plan_debug(
+            f"per-k windows exceed int8: {nsupL_ks} / {nsupR_ks}"
+        )
+        return None
+
+    # per-k-RELATIVE sup planes for the fused kernels (int8-safe at any
+    # bandwidth; padding entries are 0 with coef 0)
+    supLk = np.zeros((KL, Ct * 8, 128), np.int8)
+    supRk = np.zeros((KR, Ct * 8, 128), np.int8)
+    wkL2 = wkL.reshape(KL + 1, Ct)[1:]
+    wkR2 = wkR.reshape(KR + 1, Ct)[1:]
+    supLk[kL, crowL, claneL] = (
+        rowL_l - wkL2[kL, il_l // TE] * 8
+    ).astype(np.int8)
+    supRk[kR, crowR, claneR] = (
+        rowR_r - wkR2[kR, ir_r // TE] * 8
+    ).astype(np.int8)
 
     def slot_coefs(valsL, valsR):
         """Fill extra per-edge-side coefficient sets with the same
@@ -550,6 +602,7 @@ def build_cell_plan(
         gwsL=gwsL, gwsR=gwsR,
         supL=supLc, cfL=cfL, supR=supRc, cfR=cfR,
         wkL=wkL, wkR=wkR, nsupL_ks=nsupL_ks, nsupR_ks=nsupR_ks,
+        supLk=supLk, supRk=supRk, two_kernel_ok=two_kernel_ok,
     )
     return cp, slot_coefs
 
@@ -1312,8 +1365,21 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
     grpR = cp.wsR.reshape(-1, GTn)
     gL_lo = grpL.min(axis=1).astype(np.int64)
     gR_lo = grpR.min(axis=1).astype(np.int64)
-    needL = np.minimum(grpL.max(axis=1) + cp.nsupL, totL)
-    needR = np.minimum(grpR.max(axis=1) + cp.nsupR, totR)
+    # per-tile max super actually read = max over k planes of the plane
+    # window end (exact even when the combined per-tile span exceeds the
+    # two-kernel budget and cp.nsupL/R are clamped)
+    KLp = len(cp.nsupL_ks)
+    KRp = len(cp.nsupR_ks)
+    wkL2 = cp.wkL.reshape(KLp + 1, -1)[1:].astype(np.int64)
+    wkR2 = cp.wkR.reshape(KRp + 1, -1)[1:].astype(np.int64)
+    endL = np.max(
+        wkL2 + np.asarray(cp.nsupL_ks, np.int64)[:, None], axis=0
+    )
+    endR = np.max(
+        wkR2 + np.asarray(cp.nsupR_ks, np.int64)[:, None], axis=0
+    )
+    needL = np.minimum(endL.reshape(-1, GTn).max(axis=1), totL)
+    needR = np.minimum(endR.reshape(-1, GTn).max(axis=1), totR)
     g_need = np.maximum(
         -(-needL // GTn), -(-needR // (GTn * rp))
     ).astype(np.int64) - 1
@@ -1329,6 +1395,9 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
     nringL = max(int((frontL - gL_lo).max()), GTn)
     nringR = max(int((frontR - gR_lo).max()), GTn * rp)
     if nringL > max_ring or nringR > max_ring:
+        _plan_debug(
+            f"fused rings exceed cap: {nringL}/{nringR} > {max_ring}"
+        )
         return None
     # combined scratch (double-buffered q window + both flux rings) must fit
     # the VMEM budget (ADVICE r2)
@@ -1472,12 +1541,12 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
     acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
 
     def side(ring, wk_ref, s_all, K, nsup_ks, nring, k0=0):
-        base = wk_ref[tidx]  # per-tile window the sup planes are relative to
         for k in range(K):
             w_k = wk_ref[(k + 1) * Ct + tidx]
-            # rebase the sup plane onto plane k's window; zero-coef padding
-            # entries go negative and never match a super mask
-            sup = s_all[k, r8] + (base - w_k) * 8
+            # sup planes are per-k-window-relative (int8-safe at any mesh
+            # bandwidth); zero-coef padding entries read window row 0
+            # harmlessly
+            sup = s_all[k, r8]
             cf = cf_ref[k0 + k, r8]
             for comp in range(ndof):
                 gat = jnp.zeros((8, 128), jnp.float32)
@@ -2654,6 +2723,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         plan, il_s, ir_s, coefL[order], coefR[order], num_cells,
         max_supL=max_sup_cd, max_supR=max_sup_cd,
         btype_sorted=btype_sorted, ndof=ndof,
+        allow_fused_only=bnd is not None,
     )
     if cp_res is None:
         if bnd is not None:
@@ -2755,7 +2825,9 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         fz_np = dict(
             pl_fz_e8=fz_e8,
             pl_fz_ef=np.concatenate(ef_parts, axis=1).reshape(-1, 128),
-            pl_fz_c8=np.concatenate([cell_plan.supL, cell_plan.supR], 0),
+            pl_fz_c8=np.concatenate(
+                [cell_plan.supLk, cell_plan.supRk], 0
+            ),
             pl_fz_cf=np.concatenate([cell_plan.cfL, cell_plan.cfR], 0),
         )
 

@@ -115,8 +115,11 @@ def friction_implicit_stage_solve(m, mannings_n, dt_imp, tiny_h):
     scalar quadratic: with K = dt_imp n^2 g h^{-7/3} and M = |m|,
     s + K s^2 = M gives s = (-1 + sqrt(1 + 4KM)) / (2K) — the same closed
     form as the XQ2018 treatment (swe_petsc.c:816-932), here applied per
-    stage. Returns (q_stage [3, C], F_I(q_stage) [3, C]) where
-    F_I = (q_stage - m) / dt_imp is recovered algebraically (exact)."""
+    stage. Returns (q_stage [ndof, C], F_I(q_stage) [ndof, C]) where
+    F_I = (q_stage - m) / dt_imp is recovered algebraically (exact).
+    Tracer rows (3+) carry no friction: they pass through unchanged with
+    F_I = 0 (tracer advection is not stiff — the additive splitting keeps
+    it fully explicit)."""
     dtype = m.dtype
     g = jnp.asarray(GRAVITY, dtype)
     h, mx, my = m[0], m[1], m[2]
@@ -132,10 +135,12 @@ def friction_implicit_stage_solve(m, mannings_n, dt_imp, tiny_h):
     qx = mx * ratio
     qy = my * ratio
     dt_safe = jnp.where(dt_imp > 0.0, dt_imp, 1.0)
-    fi = jnp.stack(
-        [jnp.zeros_like(h), (qx - mx) / dt_safe, (qy - my) / dt_safe]
+    fi = (
+        jnp.zeros_like(m)
+        .at[1].set((qx - mx) / dt_safe)
+        .at[2].set((qy - my) / dt_safe)
     )
-    q_stage = jnp.stack([h, qx, qy])
+    q_stage = m.at[1].set(qx).at[2].set(qy)
     return q_stage, fi
 
 

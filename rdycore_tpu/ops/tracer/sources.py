@@ -47,9 +47,14 @@ def tracer_source_terms(
     num_sediment: int,
     params: SedimentParams,
     include_bed_slope=True,
+    include_friction=True,
 ):
     """Returns (rhs_src [3+nt, C], prim [3+nt, C]); rhs_src excludes the flux
-    divergence (added by the caller), matching the SWE source convention."""
+    divergence (added by the caller), matching the SWE source convention.
+
+    include_friction=False drops the semi-implicit Manning term from the
+    flow rows (the ARK-IMEX explicit part; its DIRK stages own friction,
+    exactly like the pure-SWE SOURCE_NONE split)."""
     dtype = q.dtype
     g = jnp.asarray(GRAVITY, dtype)
     h, hu, hv = q[0], q[1], q[2]
@@ -73,8 +78,12 @@ def tracer_source_terms(
     speed = safe_sqrt(u * u + v * v)
     tb = cd * speed / h_safe
     factor = tb / (1.0 + dt * tb)
-    tbx = jnp.where(wet, (hu + dt * (flux_div[1] - bedx)) * factor, 0.0)
-    tby = jnp.where(wet, (hv + dt * (flux_div[2] - bedy)) * factor, 0.0)
+    if include_friction:
+        tbx = jnp.where(wet, (hu + dt * (flux_div[1] - bedx)) * factor, 0.0)
+        tby = jnp.where(wet, (hv + dt * (flux_div[2] - bedy)) * factor, 0.0)
+    else:
+        tbx = jnp.zeros_like(h)
+        tby = jnp.zeros_like(h)
 
     # erosion/deposition for sediment classes only (salinity/heat advect
     # passively with zero e/d)

@@ -925,18 +925,12 @@ class ShardedSWE:
         """
         axis = self.axis_name
         op = self.op
-        if scheme == "beuler":
-            raise NotImplementedError(
-                "beuler is single-device only: the Newton-Krylov inner "
-                "products are not yet psum-aware across shards"
-            )
         if scheme == "ark_imex":
             from ..ops.swe.sources import SOURCE_NONE
 
-            if op.ndof != 3:
-                raise ValueError("ark_imex supports pure SWE only")
             # explicit part excludes friction; DIRK stages solve it
-            # per-cell (cell-local, so no extra halo traffic)
+            # per-cell (cell-local, so no extra halo traffic). Tracer rows
+            # pass through the stage solve (not stiff).
             op = dataclasses.replace(op, source_method=SOURCE_NONE)
         S_max = self.S_max
         Pn = self.P
@@ -1010,7 +1004,10 @@ class ShardedSWE:
                     if scheme == "ark_imex"
                     else None
                 )
-                q_new, r1 = _rk_step(scheme, full_rhs, qq, tt, dt_i, imex_ctx)
+                q_new, r1 = _rk_step(
+                    scheme, full_rhs, qq, tt, dt_i, imex_ctx,
+                    axis_name=axis,
+                )
                 step_c = r1.max_courant_per_dt * dt_i
                 cedge = jnp.where(
                     step_c > cmax, r1.courant_edge.astype(jnp.int32), cedge

@@ -303,22 +303,14 @@ class Simulation:
             # per-cell in closed form at each DIRK stage (timestepping.
             # _ark_imex_step; the reference routes this through PETSc
             # TSARKIMEX, rdysetup.c:1183-1196)
-            if self.ndof != 3:
-                raise ConfigError(
-                    "temporal: ark_imex supports pure SWE only (no tracers)"
-                )
             self.log.info(
                 "ark_imex: ARS(2,2,2) — explicit fluxes + per-cell "
                 "closed-form implicit Manning friction per stage"
+                + ("; tracers advance explicitly" if self.ndof > 3 else "")
             )
         if self._advance_scheme == "beuler":
             # backward Euler via matrix-free Newton-Krylov with exact JVPs
             # (timestepping._beuler_step; the reference's TSBEULER + SNES)
-            if config.parallel.n_devices > 1:
-                raise ConfigError(
-                    "temporal: beuler is single-device only (Newton-Krylov "
-                    "inner products are not yet psum-aware)"
-                )
             if config.numerics.edge_flux_backend not in ("xla", "auto"):
                 raise ConfigError(
                     "temporal: beuler requires edge_flux_backend: xla "

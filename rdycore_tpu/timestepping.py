@@ -80,7 +80,8 @@ def _ark_imex_step(rhs_fn, q, t, dt, mannings_n, tiny_h):
     return q_new, r1
 
 
-def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16):
+def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
+                 axis_name=None):
     """One backward-Euler step via matrix-free Newton-Krylov: the residual
     R(u) = u - u^n - dt*F(u, t+dt) is driven to zero with a fixed number of
     Newton iterations, each solving (I - dt*J) du = -R by GMRES with EXACT
@@ -88,16 +89,56 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16):
     the TPU-native analogue of the reference's TSBEULER + SNES + KSP stack
     (rdysetup.c:1183-1196): XLA fuses the JVP with the RHS, and the whole
     Newton loop stays on-device inside the interval fori_loop.
-    Unconditionally stable in the linear sense — runs at Courant > 1."""
+    Unconditionally stable in the linear sense — runs at Courant > 1.
+
+    axis_name (sharded): every inner product psums over the device-mesh
+    axis, so the Arnoldi basis, Hessenberg, and Newton steps are the
+    GLOBAL-problem ones — each shard runs the identical small dense solve
+    on the replicated Hessenberg while the matvecs stay shard-local RHS
+    evaluations with their usual halo exchanges (the analogue of PETSc
+    KSP's MPI-reduced dot products)."""
     r1: RHSResult = rhs_fn(q, t, dt)
     t1 = t + dt
+
+    def gsum(x):
+        s = jnp.sum(x)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+        return s
+
+    def gdot(a, b):
+        return gsum(a * b)
 
     def F(qq):
         return rhs_fn(qq, t1, dt).rhs
 
     def res_norm(qq):
         R = qq - q - dt * F(qq)
-        return R, jnp.sqrt(jnp.sum(R * R))
+        return R, jnp.sqrt(gdot(R, R))
+
+    def gmres(Av, b):
+        """One GMRES(m) cycle (modified Gram-Schmidt Arnoldi) with global
+        inner products; the least-squares solve on the (m+1, m) Hessenberg
+        is tiny and replicated."""
+        beta = jnp.sqrt(gdot(b, b))
+        beta_safe = jnp.where(beta > 0.0, beta, 1.0)
+        V = [b / beta_safe]
+        H = jnp.zeros((krylov_m + 1, krylov_m), q.dtype)
+        for j in range(krylov_m):
+            w = Av(V[j])
+            for i in range(j + 1):
+                hij = gdot(w, V[i])
+                H = H.at[i, j].set(hij)
+                w = w - hij * V[i]
+            hn = jnp.sqrt(gdot(w, w))
+            H = H.at[j + 1, j].set(hn)
+            V.append(w / jnp.where(hn > 0.0, hn, 1.0))
+        e1 = jnp.zeros(krylov_m + 1, q.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        dq = V[0] * y[0]
+        for j in range(1, krylov_m):
+            dq = dq + y[j] * V[j]
+        return dq
 
     def newton_body(i, qk):
         R, rn = res_norm(qk)
@@ -105,10 +146,7 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16):
         def Av(v):
             return v - dt * jax.jvp(F, (qk,), (v,))[1]
 
-        dq, _ = jax.scipy.sparse.linalg.gmres(
-            Av, -R, x0=jnp.zeros_like(R), tol=1e-10, atol=0.0,
-            restart=krylov_m, maxiter=1, solve_method="batched",
-        )
+        dq = gmres(Av, -R)
         # Backtracking globalization: full Newton steps overshoot on
         # wetting/drying kinks (the reference's SNES line search plays the
         # same role). Keep the best-residual candidate; NaN norms compare
@@ -127,16 +165,18 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16):
     return q_new, r1
 
 
-def _rk_step(scheme: str, rhs_fn, q, t, dt, imex_ctx=None):
+def _rk_step(scheme: str, rhs_fn, q, t, dt, imex_ctx=None,
+             axis_name=None):
     """One step; rhs_fn(q, t, dt) -> RHSResult. Returns the new q and
     the first-stage RHSResult (used for diagnostics, matching the reference's
     per-apply accumulation under forward euler). For ark_imex, rhs_fn must be
-    the friction-free explicit RHS and imex_ctx = (mannings_n, tiny_h)."""
+    the friction-free explicit RHS and imex_ctx = (mannings_n, tiny_h).
+    axis_name: device-mesh axis for beuler's global inner products."""
     if scheme == TEMPORAL_ARK_IMEX:
         mannings_n, tiny_h = imex_ctx
         return _ark_imex_step(rhs_fn, q, t, dt, mannings_n, tiny_h)
     if scheme == TEMPORAL_BEULER:
-        return _beuler_step(rhs_fn, q, t, dt)
+        return _beuler_step(rhs_fn, q, t, dt, axis_name=axis_name)
     r1: RHSResult = rhs_fn(q, t, dt)
     if scheme == TEMPORAL_EULER:
         q_new = q + dt * r1.rhs
@@ -197,12 +237,10 @@ def make_interval_advancer(
     if scheme == TEMPORAL_ARK_IMEX:
         from .ops.swe.sources import SOURCE_NONE
 
-        if op.ndof != 3:
-            raise ValueError(
-                "ark_imex supports pure SWE only (no tracers): the friction "
-                "stage solve acts on the flow momentum"
-            )
-        # explicit part excludes friction entirely; the DIRK stages own it
+        # explicit part excludes friction entirely; the DIRK stages own it.
+        # Tracer rows are not stiff: they advance fully explicitly through
+        # the additive splitting (friction_implicit_stage_solve passes
+        # them through), so flow + tracers is supported.
         base_op = dataclasses.replace(op, source_method=SOURCE_NONE)
 
     # fused full-step path: whole RK stages run as one pallas call each

@@ -131,3 +131,43 @@ def test_beuler_stable_above_courant_one():
     q_eu = np.asarray(res.q)
     eu_blown = (~np.isfinite(q_eu).all()) or q_eu[0].max() > 10 * (H0 + ETA0)
     assert eu_blown  # the same dt is unstable explicitly
+
+
+def test_ark_imex_with_tracers_second_order():
+    """ark_imex now accepts tracers (VERDICT r2 #4): the friction DIRK
+    stages act on the flow momentum and tracer rows advance explicitly.
+    The difference to ssprk2 (also 2nd order) must shrink ~4x per dt
+    halving — both methods converge to the same solution at order 2."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.mesh import structured_quad
+    from rdycore_tpu.operator import build_operator
+    from rdycore_tpu.timestepping import make_interval_advancer
+
+    mesh = structured_quad(24, 16)
+    C = mesh.num_cells
+    op = build_operator(
+        mesh, mannings_n=np.full(C, 0.03), num_tracers=2, num_sediment=1
+    )
+    rng = np.random.default_rng(0)
+    q0 = np.zeros((5, C))
+    q0[0] = 1.0 + rng.random(C)
+    q0[1] = 0.3 * rng.standard_normal(C)
+    q0[2] = 0.3 * rng.standard_normal(C)
+    q0[3] = 0.01 * q0[0]
+    q0[4] = 0.005 * q0[0]
+    q0 = jnp.asarray(q0)
+    bv = op.zero_boundary_values()
+    src = jnp.zeros((5, C))
+    advA = make_interval_advancer(op, "ark_imex", accumulate=False)
+    advE = make_interval_advancer(op, "ssprk2", accumulate=False)
+    T = 0.02
+    diffs = []
+    for n in (10, 20, 40):
+        dt = T / n
+        rA = advA(op.arrays, q0, 0.0, dt, n, T, bv, src)
+        rE = advE(op.arrays, q0, 0.0, dt, n, T, bv, src)
+        assert np.isfinite(np.asarray(rA.q)).all()
+        diffs.append(np.abs(np.asarray(rA.q) - np.asarray(rE.q)).max())
+    assert diffs[0] / diffs[1] > 3.0, diffs
+    assert diffs[1] / diffs[2] > 3.0, diffs
