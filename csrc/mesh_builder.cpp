@@ -264,3 +264,111 @@ int64_t rdy_slot_pack(int64_t E, const int64_t* il, const int64_t* ir,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Cell geometry: areas, centroids, bed slopes, vertex-averaged elevation.
+// Bitwise twin of mesh/core.py _polygon_areas_centroids + _cell_slopes +
+// the cell_z average (same per-cell accumulation order, f64, no fp
+// contraction — the Makefile compiles with -ffp-contract=off so a*b - c*d
+// stays two roundings like NumPy).
+extern "C" void rdy_cell_geometry(
+    int64_t num_cells, const double* pts /* [N,3] */,
+    const int32_t* cv /* [C,4] */, const int32_t* nvs /* [C] */,
+    double* area_o, double* cx_o, double* cy_o, double* cz_o,
+    double* dzdx_o, double* dzdy_o, double* cellz_o) {
+  const int MAXV = 4;
+  for (int64_t c = 0; c < num_cells; ++c) {
+    const int32_t nv = nvs[c];
+    int32_t vids[4];
+    for (int k = 0; k < MAXV; ++k) {
+      const int32_t v = cv[4 * c + k];
+      vids[k] = v >= 0 ? v : cv[4 * c + 0];
+    }
+    auto X = [&](int32_t v) { return pts[3 * v + 0]; };
+    auto Y = [&](int32_t v) { return pts[3 * v + 1]; };
+    auto Z = [&](int32_t v) { return pts[3 * v + 2]; };
+
+    double area = 0.0, cx = 0.0, cy = 0.0;
+    for (int k = 0; k < MAXV; ++k) {
+      const int k2 = (k + 1) % MAXV;
+      const int32_t a = vids[k];
+      int32_t b = (k2 < nv) ? vids[k2] : vids[0];
+      if (!(k < nv)) b = a;  // padded slot: degenerate
+      const double cross = X(a) * Y(b) - X(b) * Y(a);
+      area += cross;
+      cx += (X(a) + X(b)) * cross;
+      cy += (Y(a) + Y(b)) * cross;
+    }
+    area *= 0.5;
+    cx /= 6.0 * area;
+    cy /= 6.0 * area;
+
+    double zw = 0.0, wsum = 0.0;
+    for (int k = 0; k < MAXV; ++k) {
+      const int k2 = (k + 1) % MAXV;
+      const int32_t a = vids[k];
+      int32_t b = (k2 < nv) ? vids[k2] : vids[0];
+      if (!(k < nv)) b = a;
+      const double tri =
+          0.5 * std::abs((X(a) - cx) * (Y(b) - cy) -
+                         (X(b) - cx) * (Y(a) - cy));
+      zw += tri * ((Z(a) + Z(b)) / 3.0);
+      wsum += tri;
+    }
+    double zmean = 0.0;
+    for (int k = 0; k < MAXV; ++k)
+      zmean += (k < nv) ? Z(vids[k]) : 0.0;
+    zmean /= (double)nv;
+    const double cz =
+        zw / std::max(wsum, 1e-300) + zmean / 3.0;
+
+    area_o[c] = std::abs(area);
+    cx_o[c] = cx;
+    cy_o[c] = cy;
+    cz_o[c] = cz;
+
+    // slopes (rdymesh.c:747-860 via the plane-fit form)
+    auto tri_slopes = [&](double x0, double y0, double z0, double x1,
+                          double y1, double z1, double x2, double y2,
+                          double z2, double* sx, double* sy) {
+      const double nx = (y1 - y0) * (z2 - z0) - (z1 - z0) * (y2 - y0);
+      const double ny = (z1 - z0) * (x2 - x0) - (x1 - x0) * (z2 - z0);
+      const double nz = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0);
+      *sx = (nz != 0.0) ? -nx / nz : 0.0;
+      *sy = (nz != 0.0) ? -ny / nz : 0.0;
+    };
+    if (nv == 3) {
+      double sx, sy;
+      tri_slopes(X(vids[0]), Y(vids[0]), Z(vids[0]), X(vids[1]),
+                 Y(vids[1]), Z(vids[1]), X(vids[2]), Y(vids[2]),
+                 Z(vids[2]), &sx, &sy);
+      dzdx_o[c] = sx;
+      dzdy_o[c] = sy;
+    } else {
+      double ax_ = 0.0, ay_ = 0.0, aa_ = 0.0;
+      for (int k = 0; k < 4; ++k) {
+        const int32_t a = vids[k];
+        const int32_t b = vids[(k + 1) % 4];
+        const double ak =
+            0.5 * std::abs((X(b) - X(a)) * (cy - Y(a)) -
+                           (cx - X(a)) * (Y(b) - Y(a)));
+        double sx, sy;
+        tri_slopes(X(a), Y(a), Z(a), X(b), Y(b), Z(b), cx, cy, cz, &sx,
+                   &sy);
+        ax_ += ak * sx;
+        ay_ += ak * sy;
+        aa_ += ak;
+      }
+      dzdx_o[c] = ax_ / aa_;
+      dzdy_o[c] = ay_ / aa_;
+    }
+
+    // vertex-averaged bed elevation (masked mean over real vertices)
+    double zsum = 0.0;
+    for (int k = 0; k < MAXV; ++k) {
+      const int32_t v = cv[4 * c + k];
+      zsum += (v >= 0) ? Z(v >= 0 ? v : 0) : 0.0;
+    }
+    cellz_o[c] = zsum / (double)nv;
+  }
+}

@@ -430,41 +430,25 @@ def build_mesh(
     C = cell_vertices.shape[0]
     cell_vertices = _orient_ccw(points, cell_vertices, cell_num_vertices)
 
-    areas, centroids = _polygon_areas_centroids(points, cell_vertices, cell_num_vertices)
-    dz_dx, dz_dy = _cell_slopes(points, cell_vertices, cell_num_vertices, centroids)
-
-    # vertex-averaged bed elevation (HR well-balancing, swe_petsc.c:1212-1224)
-    nv = cell_num_vertices.astype(np.float64)
-    vids = np.where(cell_vertices >= 0, cell_vertices, 0)
-    zmask = (cell_vertices >= 0).astype(np.float64)
-    cell_z = (points[vids, 2] * zmask).sum(axis=1) / nv
-
-    # --- edge extraction ---------------------------------------------------
-    # every cell contributes (v_k, v_{k+1}) directed edges; CCW order means
-    # the cell lies to the LEFT of the directed edge
-    e_from = []
-    e_to = []
-    e_cell = []
-    e_slot = []
-    for k in range(MAX_CELL_EDGES):
-        mask = k < cell_num_vertices
-        idx = np.nonzero(mask)[0]
-        a = cell_vertices[idx, k]
-        nxt = (k + 1) % MAX_CELL_EDGES
-        b = np.where(
-            (k + 1) < cell_num_vertices[idx], cell_vertices[idx, nxt], cell_vertices[idx, 0]
-        )
-        e_from.append(a)
-        e_to.append(b)
-        e_cell.append(idx)
-        e_slot.append(np.full(len(idx), k, dtype=np.int32))
-    e_from = np.concatenate(e_from)
-    e_to = np.concatenate(e_to)
-    e_cell = np.concatenate(e_cell).astype(np.int32)
-    e_slot = np.concatenate(e_slot)
-
     from . import native
 
+    geo = native.cell_geometry(points, cell_vertices, cell_num_vertices)
+    if geo is not None:
+        areas, centroids, dz_dx, dz_dy, cell_z = geo
+    else:
+        areas, centroids = _polygon_areas_centroids(
+            points, cell_vertices, cell_num_vertices
+        )
+        dz_dx, dz_dy = _cell_slopes(
+            points, cell_vertices, cell_num_vertices, centroids
+        )
+        # vertex-averaged bed elevation (HR, swe_petsc.c:1212-1224)
+        nv = cell_num_vertices.astype(np.float64)
+        vids = np.where(cell_vertices >= 0, cell_vertices, 0)
+        zmask = (cell_vertices >= 0).astype(np.float64)
+        cell_z = (points[vids, 2] * zmask).sum(axis=1) / nv
+
+    # --- edge extraction ---------------------------------------------------
     native_result = native.extract_edges(
         points.shape[0], cell_vertices, cell_num_vertices
     )
@@ -472,6 +456,29 @@ def build_mesh(
         left, right, lslot, rslot = native_result
         n_unique = len(left)
     else:
+        # every cell contributes (v_k, v_{k+1}) directed edges; CCW order
+        # means the cell lies to the LEFT of the directed edge
+        e_from = []
+        e_to = []
+        e_cell = []
+        e_slot = []
+        for k in range(MAX_CELL_EDGES):
+            mask = k < cell_num_vertices
+            idx = np.nonzero(mask)[0]
+            a = cell_vertices[idx, k]
+            nxt = (k + 1) % MAX_CELL_EDGES
+            b = np.where(
+                (k + 1) < cell_num_vertices[idx],
+                cell_vertices[idx, nxt], cell_vertices[idx, 0],
+            )
+            e_from.append(a)
+            e_to.append(b)
+            e_cell.append(idx)
+            e_slot.append(np.full(len(idx), k, dtype=np.int32))
+        e_from = np.concatenate(e_from)
+        e_to = np.concatenate(e_to)
+        e_cell = np.concatenate(e_cell).astype(np.int32)
+        e_slot = np.concatenate(e_slot)
         left, right, lslot, rslot = _extract_edges_numpy(
             points.shape[0], e_from, e_to, e_cell, e_slot
         )

@@ -64,6 +64,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         i32p, i32p, i32p, i64p,
     ]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    if hasattr(lib, "rdy_cell_geometry"):
+        lib.rdy_cell_geometry.restype = None
+        lib.rdy_cell_geometry.argtypes = [
+            ctypes.c_int64, f64p, i32p, i32p,
+            f64p, f64p, f64p, f64p, f64p, f64p, f64p,
+        ]
     if hasattr(lib, "rdy_slot_pack"):
         lib.rdy_slot_pack.restype = ctypes.c_int64
         lib.rdy_slot_pack.argtypes = [
@@ -82,6 +89,30 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def cell_geometry(points, cell_vertices, cell_num_vertices):
+    """Native cell areas/centroids/slopes/vertex-avg elevation; bitwise
+    twin of the NumPy geometry passes in mesh/core.py (same per-cell
+    accumulation order, -ffp-contract=off). Returns (area, centroids[C,3],
+    dz_dx, dz_dy, cell_z) or None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rdy_cell_geometry"):
+        return None
+    C = cell_vertices.shape[0]
+    pts = np.ascontiguousarray(points, dtype=np.float64)
+    cv = np.ascontiguousarray(cell_vertices, dtype=np.int32)
+    nv = np.ascontiguousarray(cell_num_vertices, dtype=np.int32)
+    area = np.empty(C, np.float64)
+    cx = np.empty(C, np.float64)
+    cy = np.empty(C, np.float64)
+    cz = np.empty(C, np.float64)
+    dzdx = np.empty(C, np.float64)
+    dzdy = np.empty(C, np.float64)
+    cellz = np.empty(C, np.float64)
+    lib.rdy_cell_geometry(C, pts, cv, nv, area, cx, cy, cz, dzdx, dzdy,
+                          cellz)
+    return area, np.stack([cx, cy, cz], axis=1), dzdx, dzdy, cellz
 
 
 def extract_edges(

@@ -56,8 +56,10 @@ def test_vmapped_ensemble_matches_independent_runs(tmp_path):
 
 def test_vmapped_ensemble_with_pallas_backend(tmp_path):
     """jax CAN vmap pallas_call, but the scalar-prefetch slot kernels
-    compute garbage under it (silently!); a vmapped ensemble must demote
-    its members to the XLA twin and match the plain-XLA ensemble."""
+    compute garbage under it (silently!); pallas ensembles therefore
+    advance as a lax.map (sequential member scan) with the kernels intact
+    — NO demotion to the XLA twin (round-2 verdict item 6) — and must
+    still match the plain-XLA ensemble to kernel (f32) tolerance."""
     cfg = _cfg(tmp_path, stop_n=10)
     ens_x = EnsembleSimulation(cfg)
     while not ens_x.finished:
@@ -68,7 +70,9 @@ def test_vmapped_ensemble_with_pallas_backend(tmp_path):
     cfg_p.numerics.cell_ordering = "rcm"
     cfg_p.validate()
     ens_p = EnsembleSimulation(cfg_p)
-    assert ens_p.members[0].operator.edge_flux_backend == "xla"
+    # the kernels stay active; the ensemble switches to the member scan
+    assert ens_p.members[0].operator.edge_flux_backend == "pallas"
+    assert ens_p._member_scan
     while not ens_p.finished:
         ens_p.advance()
 
@@ -76,4 +80,4 @@ def test_vmapped_ensemble_with_pallas_backend(tmp_path):
         hx, hp = mx.get_height(), mp.get_height()
         # internal cell orders differ (rcm vs file); compare sorted values
         rel = np.abs(np.sort(hp) - np.sort(hx)) / (1.0 + np.abs(np.sort(hx)))
-        assert rel.max() < 1e-10
+        assert rel.max() < 1e-5
