@@ -130,3 +130,67 @@ def test_rdy_style_mark_then_perform():
     assert sim.finished and np.isfinite(sim.get_solution()).all()
     assert not sim.restarted
     assert "rdycore_tpu" in sim.get_build_configuration()
+
+
+def test_refine_marked_quads():
+    """Quad 1:4 red refinement + centroid-fan transition cells (round-2
+    verdict item 7: the realistic Houston/dam-break meshes are quads;
+    reference adapts any DMPlex, rdyamr.c:161-223)."""
+    from rdycore_tpu.mesh import structured_quad
+
+    mesh = structured_quad(6, 4)
+    marked = np.zeros(mesh.num_cells, dtype=bool)
+    marked[[0, 7, 15]] = True
+    fine, parent = refine_marked(mesh, marked)
+    assert np.isclose(fine.cell_area.sum(), mesh.cell_area.sum())
+    for c in np.nonzero(marked)[0]:
+        kids = np.nonzero(parent == c)[0]
+        assert len(kids) == 4  # red quad -> 4 child quads
+        assert (fine.cell_num_vertices[kids] == 4).all()
+        assert np.isclose(fine.cell_area[kids].sum(), mesh.cell_area[c])
+    # per-parent conservation for every cell, incl. fan transitions
+    for c in range(mesh.num_cells):
+        kids = np.nonzero(parent == c)[0]
+        assert np.isclose(fine.cell_area[kids].sum(), mesh.cell_area[c])
+    # transition quads became 5 fan triangles; untouched quads kept
+    counts = np.bincount(parent, minlength=mesh.num_cells)
+    assert set(counts.tolist()) <= {1, 2, 4, 5, 6}
+    assert len(fine.boundaries["left"]) >= len(mesh.boundaries["left"])
+
+
+def test_amr_mid_simulation_quads():
+    """Mid-run AMR on a QUAD mesh with conservative state transfer (the
+    round-2 guard amr.py:34 is gone)."""
+    import jax.numpy as jnp
+
+    from rdycore_tpu.config.schema import Config
+    from rdycore_tpu.mesh import structured_quad
+    from rdycore_tpu.simulation import Simulation
+
+    cfg = Config()
+    cfg.time.stop = 0.4
+    cfg.time.time_step = 0.002
+    cfg.time.coupling_interval = 0.2
+    cfg.logging.level = "none"
+    cfg.validate()
+    mesh = structured_quad(10, 8, 0, 10, 0, 8)
+    sim = Simulation(cfg, mesh=mesh)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = np.where(mesh.cell_centroid[:, 0] < 5.0, 2.0, 1.0)
+    sim.set_solution(q0)
+    mass0 = float((q0[0] * mesh.cell_area).sum())
+
+    sim.advance()
+    depth = sim.get_height()
+    marked = mark_cells_from_raster(
+        depth - 1.2, sim.mesh.cell_area, area_threshold=0.5
+    )
+    perform_amr(sim, marked)
+    assert sim.mesh.num_cells > mesh.num_cells
+    mass1 = float((sim.get_height() * sim.mesh.cell_area).sum())
+    assert np.isclose(mass0, mass1, rtol=1e-10)  # all-reflecting box
+    sim.advance()
+    h = sim.get_height()
+    assert np.isfinite(h).all() and (h >= 0).all()
+    mass2 = float((h * sim.mesh.cell_area).sum())
+    assert np.isclose(mass1, mass2, rtol=1e-8)
