@@ -263,6 +263,292 @@ int64_t rdy_slot_pack(int64_t E, const int64_t* il, const int64_t* ir,
                           ws_rows, need_sup);
 }
 
+// Stable LSD radix argsort of the concatenated interior + boundary edge
+// set by min(left, right) — the slotted plan's canonical order (slotted.py
+// build_slotted_plan) — emitting the sorted (il, ir) alongside the
+// permutation so the caller never materialises the concatenated arrays.
+// Boundary pseudo-edges have il == ir == bl. Cell ids fit uint32 at the
+// reference's largest mesh (184.5M cells); (key << 32 | idx) packing keeps
+// each radix pass a sequential read (numpy's stable argsort on 5.7M i64
+// keys costs ~0.6 s at the 2.88M-cell bench mesh, this is ~80 ms).
+void rdy_sort_fold(int64_t Ei, int64_t Eb, const int64_t* il_i,
+                   const int64_t* ir_i, const int64_t* bl,
+                   int64_t* order_out, int64_t* il_sorted,
+                   int64_t* ir_sorted) {
+  const int64_t E = Ei + Eb;
+  std::vector<uint64_t> kv(E), tmp(E);
+  uint32_t maxkey = 0;
+  for (int64_t e = 0; e < Ei; ++e) {
+    const int64_t l = il_i[e], r = ir_i[e];
+    const uint32_t k = (uint32_t)(l < r ? l : r);
+    if (k > maxkey) maxkey = k;
+    kv[e] = ((uint64_t)k << 32) | (uint64_t)e;
+  }
+  for (int64_t e = 0; e < Eb; ++e) {
+    const uint32_t k = (uint32_t)bl[e];
+    if (k > maxkey) maxkey = k;
+    kv[Ei + e] = ((uint64_t)k << 32) | (uint64_t)(Ei + e);
+  }
+  int64_t count[256];
+  for (int shift = 32; shift < 64 && (maxkey >> (shift - 32)) != 0;
+       shift += 8) {
+    std::memset(count, 0, sizeof count);
+    for (int64_t e = 0; e < E; ++e) ++count[(kv[e] >> shift) & 255];
+    int64_t pos = 0;
+    for (int b = 0; b < 256; ++b) {
+      const int64_t c = count[b];
+      count[b] = pos;
+      pos += c;
+    }
+    for (int64_t e = 0; e < E; ++e) tmp[count[(kv[e] >> shift) & 255]++] = kv[e];
+    kv.swap(tmp);
+  }
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t o = (int64_t)(kv[e] & 0xFFFFFFFFu);
+    order_out[e] = o;
+    if (o < Ei) {
+      il_sorted[e] = il_i[o];
+      ir_sorted[e] = ir_i[o];
+    } else {
+      il_sorted[e] = bl[o - Ei];
+      ir_sorted[e] = bl[o - Ei];
+    }
+  }
+}
+
+// Fill the slot-routed edge plan planes in one pass (slotted.py
+// build_slotted_plan lines after packing: ~3.9 s of separate numpy
+// fancy-index scatters at the 2.88M-cell bench mesh collapse to one
+// cache-warm sweep). Every edge owns a unique (rowL, laneL) and a unique
+// (rowR, laneR) slot by construction of the packer, so the scatters are
+// race-free and the loop parallelizes; the sequential opid prefix pass is
+// O(E) adds.
+//
+// Inputs: `order`/`il`/`ir` come from rdy_sort_fold (sorted); per-edge
+// attributes stay SPLIT as interior [Ei] + boundary [Eb] blocks (indexed
+// through `order`), so the caller never materialises concatenated copies.
+// Unified mode (boundary folding) is signalled with has_bnd == 0/1; the
+// slot BC code is bt[o - Ei] + 1, interior slots 0. ws_tile: per-tile
+// window starts in rows. Outputs are caller-zeroed.
+void rdy_fill_slot_planes(
+    int64_t E, int64_t Ei, int64_t has_bnd, int64_t rrows,
+    const int64_t* order, const int64_t* il, const int64_t* ir,
+    const double* cn_i, const double* sn_i, const double* cc_i,
+    const double* cn_b, const double* sn_b, const double* cc_b,
+    const int64_t* bt, const int64_t* slot_row, const int64_t* color,
+    const int64_t* tile_of, const int64_t* ws_tile,
+    int8_t* supL, int8_t* supR, int8_t* m_al, int8_t* g_al, int8_t* gi,
+    int8_t* mi, float* cn_s, float* sn_s, float* cc_s, int32_t* slot_edge,
+    int64_t* eposL, int64_t* eposR, int32_t* bnd_pos) {
+  // interior rank prefix (opid for unified plans)
+  std::vector<int32_t> opid;
+  if (has_bnd) {
+    opid.resize(E);
+    int32_t rank = 0;
+    for (int64_t e = 0; e < E; ++e) {
+      const int64_t o = order[e];
+      opid[e] = o < Ei ? rank++ : (int32_t)(Ei + (o - Ei));
+    }
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t o = order[e];
+    const int64_t l = il[e], r = ir[e];
+    const int64_t t = tile_of[e];
+    const int64_t ws = ws_tile[t];
+    const int64_t laneL = l & 127, laneR = r & 127;
+    const int64_t rowL = t * 8 + slot_row[e];
+    const int64_t rowR = t * rrows + color[e];
+    const int64_t pL = rowL * 128 + laneL;
+    const int64_t pR = rowR * 128 + laneR;
+    supL[pL] = (int8_t)(l / 128 - ws);
+    supR[pR] = (int8_t)(r / 128 - ws);
+    m_al[rowR * 128 + laneL] = (int8_t)laneR;
+    if (has_bnd) {
+      const int64_t code = o < Ei ? 0 : bt[o - Ei] + 1;
+      g_al[pL] = (int8_t)(color[e] | (code << 4));
+      slot_edge[pL] = opid[e];
+      if (o >= Ei) bnd_pos[o - Ei] = (int32_t)pL;
+    } else {
+      g_al[pL] = (int8_t)color[e];
+      slot_edge[pL] = (int32_t)e;
+    }
+    gi[rowR * 128 + laneL] = (int8_t)slot_row[e];
+    mi[pR] = (int8_t)laneL;
+    const bool bi = o < Ei;
+    cn_s[pL] = (float)(bi ? cn_i[o] : cn_b[o - Ei]);
+    sn_s[pL] = (float)(bi ? sn_i[o] : sn_b[o - Ei]);
+    cc_s[pL] = (float)(bi ? cc_i[o] : cc_b[o - Ei]);
+    eposL[e] = pL;
+    eposR[e] = pR;
+  }
+}
+
+// Side filter for the unified cell plan (slotted.py build_cell_plan): an
+// edge contributes to a side iff it is interior (btype == 0) or its signed
+// coefficient on that side is armed. Emits the filtered (cell, row, coef)
+// triple in one pass (rows = epos / 128), replacing four 5.7M-element
+// numpy temporaries per side. has_bt == 0 keeps every edge (non-unified
+// plans) and only computes rows. Returns the filtered count.
+int64_t rdy_cell_side_filter(int64_t E, int64_t has_bt,
+                             const int64_t* cells_sorted,
+                             const int64_t* epos, const double* coef,
+                             const int64_t* btype_sorted,
+                             int64_t* out_cells, int64_t* out_rows,
+                             double* out_coef) {
+  int64_t n = 0;
+  for (int64_t e = 0; e < E; ++e) {
+    if (has_bt && btype_sorted[e] != 0 && coef[e] == 0.0) continue;
+    out_cells[n] = cells_sorted[e];
+    out_rows[n] = epos[e] / 128;
+    out_coef[n] = coef[e];
+    ++n;
+  }
+  return n;
+}
+
+// Per-edge signed len/area coefficients wrt the left and right cells,
+// extracted from the operator's [C, K] cell->edge gather maps (slotted.py
+// build_plan_arrays: ~0.6 s of reshapes/masks/scatters at the bench mesh).
+// Boundary pseudo-edges (e >= Ei) key off bl. Outputs caller-zeroed [E_lim].
+void rdy_coef_extract(int64_t C, int64_t K, int64_t E_lim, int64_t Ei,
+                      const int64_t* ce, const double* cec,
+                      const int64_t* il_i, const int64_t* bl,
+                      double* coefL, double* coefR) {
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < C; ++c) {
+    for (int64_t j = c * K; j < (c + 1) * K; ++j) {
+      const int64_t e = ce[j];
+      if (e < 0 || e >= E_lim) continue;
+      const int64_t left = e < Ei ? il_i[e] : bl[e - Ei];
+      if (left == c)
+        coefL[e] = cec[j];
+      else
+        coefR[e] = cec[j];
+    }
+  }
+}
+
+// Remap the operator's cell->edge map to the plan's sorted interior-edge
+// order: inv[] is the original -> sorted interior permutation derived from
+// `order` (boundary/dummy indices >= Ei pass through). Replaces a
+// three-temporary np.where at C*K elements.
+void rdy_remap_ce(int64_t E, int64_t Ei, const int64_t* order, int64_t n,
+                  const int64_t* ce, int64_t* ce_new) {
+  std::vector<int64_t> inv(Ei);
+  int64_t rank = 0;
+  for (int64_t e = 0; e < E; ++e) {
+    const int64_t o = order[e];
+    if (o < Ei) inv[o] = rank++;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t j = 0; j < n; ++j) {
+    const int64_t e = ce[j];
+    // mirrors np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
+    ce_new[j] = (e < Ei) ? inv[e < 0 ? 0 : e] : e;
+  }
+}
+
+// Cell-plan side statistics (slotted.py build_cell_plan + _rank_by_row):
+// per-entry k plane = rank of `rows` within each cell ordered by row, plus
+// per-tile row extents. Counting-bucket by cell then an insertion sort of
+// each cell's <= K entries replaces numpy's O(n log n) lexsort (~0.8 s per
+// side at the bench mesh). Returns K (max entries per cell); tlo/thi are
+// INT64_MAX / 0 for untouched tiles, matching the numpy initialisation.
+int64_t rdy_cell_side_stats(int64_t n, const int64_t* cells,
+                            const int64_t* rows, int64_t num_cells,
+                            int64_t Ct, int64_t* k_out, int64_t* tlo,
+                            int64_t* thi) {
+  std::vector<int64_t> start(num_cells + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ++start[cells[i] + 1];
+  int64_t K = 0;
+  for (int64_t c = 0; c < num_cells; ++c) {
+    if (start[c + 1] > K) K = start[c + 1];
+    start[c + 1] += start[c];
+  }
+  std::vector<int64_t> fill(start.begin(), start.end() - 1);
+  std::vector<int64_t> bucket(n);
+  for (int64_t i = 0; i < n; ++i) bucket[fill[cells[i]]++] = i;
+  for (int64_t t = 0; t < Ct; ++t) {
+    tlo[t] = INT64_MAX;
+    thi[t] = 0;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < num_cells; ++c) {
+    const int64_t s = start[c], e = start[c + 1];
+    // insertion sort of [s, e) by row (stable; segments are tiny)
+    for (int64_t i = s + 1; i < e; ++i) {
+      const int64_t b = bucket[i];
+      const int64_t rb = rows[b];
+      int64_t j = i - 1;
+      while (j >= s && rows[bucket[j]] > rb) {
+        bucket[j + 1] = bucket[j];
+        --j;
+      }
+      bucket[j + 1] = b;
+    }
+    for (int64_t i = s; i < e; ++i) k_out[bucket[i]] = i - s;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t t = cells[i] / 1024;
+    const int64_t r = rows[i];
+    if (r < tlo[t]) tlo[t] = r;
+    if (r > thi[t]) thi[t] = r;
+  }
+  return K;
+}
+
+// Cell-plan side fill (slotted.py build_cell_plan): per-(k, tile) windows
+// + the three K-plane scatters (per-tile-relative sup, coef, per-k-relative
+// sup). ws: per-tile window starts in ROWS; base_sup: per-tile fallback
+// window in SUPERS for empty (k, tile) combos. wk_o: [(K+1) * Ct] int32
+// (plane 0 = base_sup); nsup_ks_o: [K]. sup/cf/supk are caller-zeroed
+// [K * Ct*8 * 128] planes. (k, cell-row, lane) triples are unique per
+// entry, so the scatter loop is race-free.
+void rdy_cell_side_fill(int64_t n, const int64_t* cells, const int64_t* rows,
+                        const int64_t* k, const double* coef,
+                        const int64_t* ws, const int64_t* base_sup,
+                        int64_t K, int64_t Ct, int8_t* sup_o, float* cf_o,
+                        int8_t* supk_o, int32_t* wk_o, int64_t* nsup_ks_o) {
+  std::vector<int64_t> lo((size_t)K * Ct, INT64_MAX);
+  std::vector<int64_t> hi((size_t)K * Ct, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t t = cells[i] / 1024;
+    const size_t p = (size_t)(k[i] * Ct + t);
+    const int64_t r = rows[i];
+    if (r < lo[p]) lo[p] = r;
+    if (r > hi[p]) hi[p] = r;
+  }
+  for (int64_t t = 0; t < Ct; ++t) wk_o[t] = (int32_t)base_sup[t];
+  for (int64_t kk = 0; kk < K; ++kk) {
+    int64_t nsup = 0;
+    for (int64_t t = 0; t < Ct; ++t) {
+      const size_t p = (size_t)(kk * Ct + t);
+      int64_t w;
+      if (hi[p] >= 0) {
+        w = lo[p] / 8;
+        const int64_t d = hi[p] / 8 - w;
+        if (d > nsup) nsup = d;
+      } else {
+        w = base_sup[t];
+      }
+      wk_o[(kk + 1) * Ct + t] = (int32_t)w;
+    }
+    nsup_ks_o[kk] = nsup + 1;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t c = cells[i];
+    const int64_t t = c / 1024;
+    const int64_t crow = c / 128, clane = c & 127;
+    const size_t p = (size_t)(k[i] * Ct * 8 + crow) * 128 + clane;
+    sup_o[p] = (int8_t)(rows[i] - ws[t]);
+    cf_o[p] = (float)coef[i];
+    supk_o[p] =
+        (int8_t)(rows[i] - (int64_t)wk_o[(k[i] + 1) * Ct + t] * 8);
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

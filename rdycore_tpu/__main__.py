@@ -35,6 +35,11 @@ def main(argv=None):
     )
     ap.add_argument("--amr-dataset-dir", default=None)
     ap.add_argument("--amr-area-threshold", type=float, default=0.125)
+    ap.add_argument(
+        "--output-dir", default=None,
+        help="override output.directory (outputs normally land next to the "
+             "config file; use this to drive read-only configs)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -51,6 +56,12 @@ def main(argv=None):
         input()
 
     cfg = load_config(args.config)
+    if args.output_dir is not None:
+        import os as _os
+
+        # os.path.join(config_dir, <absolute>) keeps the absolute path, so
+        # every writer (XDMF/CGNS/checkpoint/time series) lands here
+        cfg.output.directory = _os.path.abspath(args.output_dir)
     if args.dt is not None:
         cfg.time.time_step = args.dt
     if args.f32:

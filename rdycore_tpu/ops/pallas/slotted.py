@@ -99,6 +99,8 @@ class SlottedPlan(NamedTuple):
     eposL: np.ndarray  # [E] edge -> L-layout flat position
     eposR: np.ndarray  # [E] edge -> R-layout flat position
     bnd_pos: Optional[np.ndarray] = None  # [Eb] boundary edge -> L position
+    il_s: Optional[np.ndarray] = None  # [E] sorted left cells
+    ir_s: Optional[np.ndarray] = None  # [E] sorted right cells
 
 
 class CellPlan(NamedTuple):
@@ -292,33 +294,30 @@ def build_slotted_plan(
     state with the BC ghost state selected by the per-slot type code packed
     into the g plane's bits 4-5 (row picks are 4-bit)."""
     Ei = len(int_left)
-    if bnd is not None:
-        bl = np.asarray(bnd["left"], np.int64)
-        il_all = np.concatenate([int_left.astype(np.int64), bl])
-        ir_all = np.concatenate([int_right.astype(np.int64), bl])
-        cn_all = np.concatenate([int_cn, bnd["cn"]])
-        sn_all = np.concatenate([int_sn, bnd["sn"]])
-        cc_all = np.concatenate([courant_coef, bnd["ccoef"]])
-        # slot BC code: 0 interior; boundary types shifted by +1
-        bt_all = np.concatenate(
-            [np.zeros(Ei, np.int64), np.asarray(bnd["btype"], np.int64) + 1]
-        )
-    else:
-        il_all = int_left.astype(np.int64)
-        ir_all = int_right.astype(np.int64)
-        cn_all, sn_all, cc_all = int_cn, int_sn, courant_coef
-        bt_all = None
-    E = len(il_all)
+    Eb = len(bnd["left"]) if bnd is not None else 0
+    E = Ei + Eb
     if E == 0:
         return None
-    order = np.argsort(np.minimum(il_all, ir_all), kind="stable")
-    il = il_all[order]
-    ir = ir_all[order]
-    laneL = il & 127
-    laneR = ir & 127
+
+    from ...mesh import native
+
+    bl = np.asarray(bnd["left"], np.int64) if bnd is not None else None
+    sf = native.sort_fold(int_left, int_right, bl)
+    if sf is not None:
+        order, il, ir = sf
+    else:
+        # numpy fallback: materialise the concatenated edge list
+        if bnd is not None:
+            il_all = np.concatenate([int_left.astype(np.int64), bl])
+            ir_all = np.concatenate([int_right.astype(np.int64), bl])
+        else:
+            il_all = int_left.astype(np.int64)
+            ir_all = int_right.astype(np.int64)
+        order = np.argsort(np.minimum(il_all, ir_all), kind="stable")
+        il = il_all[order]
+        ir = ir_all[order]
 
     # ---- one-pass packing + coloring (native, Python twin fallback) ----
-    from ...mesh import native
 
     def pack(rc):
         packed = native.slot_pack(il, ir, max_sup, rcap=rc)
@@ -328,13 +327,31 @@ def build_slotted_plan(
 
     try:
         if rcap == "auto":
-            packed = pack(8)
-            rrows = 8
             ideal = -(-E // TE)
-            if len(packed[3]) > 1.02 * ideal:
-                packed16 = pack(16)
-                if len(packed[3]) > 1.15 * len(packed16[3]):
-                    packed, rrows = packed16, 16
+            if native.available():
+                # speculative: the 16-color pack runs concurrently with the
+                # 8-color attempt (ctypes releases the GIL) so the fallback
+                # decision costs no extra wall time
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(2) as _ex:
+                    f8 = _ex.submit(pack, 8)
+                    f16 = _ex.submit(pack, 16)
+                    packed = f8.result()
+                    rrows = 8
+                    if len(packed[3]) > 1.02 * ideal:
+                        packed16 = f16.result()
+                        if len(packed[3]) > 1.15 * len(packed16[3]):
+                            packed, rrows = packed16, 16
+                    else:
+                        f16.cancel()
+            else:
+                packed = pack(8)
+                rrows = 8
+                if len(packed[3]) > 1.02 * ideal:
+                    packed16 = pack(16)
+                    if len(packed[3]) > 1.15 * len(packed16[3]):
+                        packed, rrows = packed16, 16
         else:
             packed = pack(int(rcap))
             rrows = RROWS if int(rcap) > 8 else 8
@@ -380,6 +397,44 @@ def build_slotted_plan(
     cc_s = np.zeros((R_l, 128), np.float32)
     slot_edge = np.full(R_l * 128, -1, np.int32)
 
+    # native one-pass fill (bitwise twin of the numpy scatters below; at
+    # the 2.88M-cell bench mesh the ~12 separate 5.7M-element fancy-index
+    # passes cost ~3 s, the native sweep ~0.1 s)
+    eposL = np.empty(E, np.int64)
+    eposR = np.empty(E, np.int64)
+    filled = native.fill_slot_planes(
+        Ei, rrows, order, il, ir, int_cn, int_sn, courant_coef,
+        (bnd["cn"], bnd["sn"], bnd["ccoef"], bnd["btype"])
+        if bnd is not None else None,
+        slot_row, color, tile_of, ws_tile, supL, supR, m_al, g_al, gi, mi,
+        cn_s, sn_s, cc_s, slot_edge, eposL, eposR,
+    )
+    if filled is not False:
+        return SlottedPlan(
+            order=order, ntiles=ntiles, rrows=rrows, nsup=need_sup,
+            wq=wq, gws=gws,
+            ws=ws_sup,
+            supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
+            cn=cn_s, sn=sn_s,
+            courant_coef=cc_s, slot_edge=slot_edge,
+            eposL=eposL, eposR=eposR, bnd_pos=filled,
+            il_s=il, ir_s=ir,
+        )
+
+    # ---- numpy fallback fill: concatenated per-edge attribute twins ----
+    if bnd is not None:
+        cn_all = np.concatenate([int_cn, bnd["cn"]])
+        sn_all = np.concatenate([int_sn, bnd["sn"]])
+        cc_all = np.concatenate([courant_coef, bnd["ccoef"]])
+        # slot BC code: 0 interior; boundary types shifted by +1
+        bt_all = np.concatenate(
+            [np.zeros(Ei, np.int64), np.asarray(bnd["btype"], np.int64) + 1]
+        )
+    else:
+        cn_all, sn_all, cc_all = int_cn, int_sn, courant_coef
+        bt_all = None
+    laneL = il & 127
+    laneR = ir & 127
     rl = il // 128 - ws_rows
     rr = ir // 128 - ws_rows
     rowsL = tile_of * 8 + slot_row
@@ -428,6 +483,7 @@ def build_slotted_plan(
         cn=cn_s, sn=sn_s,
         courant_coef=cc_s, slot_edge=slot_edge,
         eposL=eposL, eposR=eposR, bnd_pos=bnd_pos,
+        il_s=il, ir_s=ir,
     )
 
 
@@ -446,18 +502,28 @@ def build_cell_plan(
 ) -> Optional[CellPlan]:
     C = num_cells
     E = len(il_sorted)
-    rowL = plan.eposL // 128
-    rowR = plan.eposR // 128
     Ct = -(-C // TE)
     Ct = -(-Ct // GT) * GT  # cell tiles, padded to a GT multiple
+
+    from ...mesh import native
 
     # unified mode: each edge contributes only to the sides where its
     # signed coefficient is armed — interior edges both, boundary
     # pseudo-edges exactly one (their flux lands in BOTH rings, so
     # build_plan_arrays balances them onto the cell's emptier side to keep
     # the K planes — and with them the divergence gather-chain count —
-    # minimal)
-    if btype_sorted is not None:
+    # minimal). The native filter fuses the masks, the epos // 128 row
+    # computation, and the filtered copies into one pass per side.
+    natL = native.cell_side_filter(il_sorted, plan.eposL, coefL,
+                                   btype_sorted)
+    if natL is not None:
+        il_l, rowL_l, coefL_l = natL
+        ir_r, rowR_r, coefR_r = native.cell_side_filter(
+            ir_sorted, plan.eposR, coefR, btype_sorted
+        )
+    elif btype_sorted is not None:
+        rowL = plan.eposL // 128
+        rowR = plan.eposR // 128
         lmask = (btype_sorted == 0) | (coefL != 0.0)
         rmask = (btype_sorted == 0) | (coefR != 0.0)
         il_l = il_sorted[lmask]
@@ -467,24 +533,37 @@ def build_cell_plan(
         rowR_r = rowR[rmask]
         coefR_r = coefR[rmask]
     else:
-        il_l, rowL_l, coefL_l = il_sorted, rowL, coefL
-        ir_r, rowR_r, coefR_r = ir_sorted, rowR, coefR
+        il_l, rowL_l, coefL_l = il_sorted, plan.eposL // 128, coefL
+        ir_r, rowR_r, coefR_r = ir_sorted, plan.eposR // 128, coefR
 
-    KL = int(np.bincount(il_l, minlength=C).max()) if len(il_l) else 0
-    KR = int(np.bincount(ir_r, minlength=C).max()) if len(ir_r) else 0
-    if KL == 0 or KR == 0:
-        return None
-
+    # rank-by-row + per-tile extents: native one-pass (bitwise twin of the
+    # numpy lexsort/scatter path below; ~2.4 s -> ~0.2 s per build at the
+    # 2.88M-cell bench mesh)
+    kL = kR = None
+    statsL = native.cell_side_stats(il_l, rowL_l, C, Ct)
+    statsR = native.cell_side_stats(ir_r, rowR_r, C, Ct) \
+        if statsL is not None else None
     ctile_l = il_l // TE
     ctile_r = ir_r // TE
-    tL_lo = np.full(Ct, np.iinfo(np.int64).max)
-    tL_hi = np.zeros(Ct, np.int64)
-    tR_lo = np.full(Ct, np.iinfo(np.int64).max)
-    tR_hi = np.zeros(Ct, np.int64)
-    np.minimum.at(tL_lo, ctile_l, rowL_l)
-    np.maximum.at(tL_hi, ctile_l, rowL_l)
-    np.minimum.at(tR_lo, ctile_r, rowR_r)
-    np.maximum.at(tR_hi, ctile_r, rowR_r)
+    if statsR is not None:
+        KL, kL, tL_lo, tL_hi = statsL
+        KR, kR, tR_lo, tR_hi = statsR
+        if KL == 0 or KR == 0:
+            return None
+    else:
+        KL = int(np.bincount(il_l, minlength=C).max()) if len(il_l) else 0
+        KR = int(np.bincount(ir_r, minlength=C).max()) if len(ir_r) else 0
+        if KL == 0 or KR == 0:
+            return None
+
+        tL_lo = np.full(Ct, np.iinfo(np.int64).max)
+        tL_hi = np.zeros(Ct, np.int64)
+        tR_lo = np.full(Ct, np.iinfo(np.int64).max)
+        tR_hi = np.zeros(Ct, np.int64)
+        np.minimum.at(tL_lo, ctile_l, rowL_l)
+        np.maximum.at(tL_hi, ctile_l, rowL_l)
+        np.minimum.at(tR_lo, ctile_r, rowR_r)
+        np.maximum.at(tR_hi, ctile_r, rowR_r)
     tL_lo = np.minimum(tL_lo, tL_hi)
     tR_lo = np.minimum(tR_lo, tR_hi)
     wsL = (tL_lo >> 3) << 3
@@ -544,43 +623,60 @@ def build_cell_plan(
     cfL = np.zeros((KL, Ct * 8, 128), np.float32)
     supRc = np.zeros((KR, Ct * 8, 128), np.int8)
     cfR = np.zeros((KR, Ct * 8, 128), np.float32)
-
-    kL = _rank_by_row(il_l, rowL_l)
-    kR = _rank_by_row(ir_r, rowR_r)
-    crowL = il_l // 128
-    claneL = il_l & 127
-    crowR = ir_r // 128
-    claneR = ir_r & 127
-    supLc[kL, crowL, claneL] = (rowL_l - wsL[ctile_l]).astype(np.int8)
-    cfL[kL, crowL, claneL] = coefL_l.astype(np.float32)
-    supRc[kR, crowR, claneR] = (rowR_r - wsR[ctile_r]).astype(np.int8)
-    cfR[kR, crowR, claneR] = coefR_r.astype(np.float32)
-
-    wkL, nsupL_ks = _per_k_windows(
-        kL, il_l, rowL_l, KL, Ct, (wsL // 8).astype(np.int64)
-    )
-    wkR, nsupR_ks = _per_k_windows(
-        kR, ir_r, rowR_r, KR, Ct, (wsR // 8).astype(np.int64)
-    )
-    if max(nsupL_ks) > 15 or max(nsupR_ks) > 15:
-        # per-k windows must stay int8-representable (nsup_k * 8 <= 120)
-        _plan_debug(
-            f"per-k windows exceed int8: {nsupL_ks} / {nsupR_ks}"
-        )
-        return None
-
     # per-k-RELATIVE sup planes for the fused kernels (int8-safe at any
     # bandwidth; padding entries are 0 with coef 0)
     supLk = np.zeros((KL, Ct * 8, 128), np.int8)
     supRk = np.zeros((KR, Ct * 8, 128), np.int8)
-    wkL2 = wkL.reshape(KL + 1, Ct)[1:]
-    wkR2 = wkR.reshape(KR + 1, Ct)[1:]
-    supLk[kL, crowL, claneL] = (
-        rowL_l - wkL2[kL, il_l // TE] * 8
-    ).astype(np.int8)
-    supRk[kR, crowR, claneR] = (
-        rowR_r - wkR2[kR, ir_r // TE] * 8
-    ).astype(np.int8)
+
+    crowL = il_l // 128
+    claneL = il_l & 127
+    crowR = ir_r // 128
+    claneR = ir_r & 127
+    if kL is not None:
+        # native per-(k, tile) windows + K-plane scatters (bitwise twin of
+        # the numpy path below)
+        wkL, nsupL_ks = native.cell_side_fill(
+            il_l, rowL_l, kL, coefL_l, wsL, (wsL // 8), KL, Ct,
+            supLc, cfL, supLk,
+        )
+        wkR, nsupR_ks = native.cell_side_fill(
+            ir_r, rowR_r, kR, coefR_r, wsR, (wsR // 8), KR, Ct,
+            supRc, cfR, supRk,
+        )
+        if max(nsupL_ks) > 15 or max(nsupR_ks) > 15:
+            _plan_debug(
+                f"per-k windows exceed int8: {nsupL_ks} / {nsupR_ks}"
+            )
+            return None
+    else:
+        kL = _rank_by_row(il_l, rowL_l)
+        kR = _rank_by_row(ir_r, rowR_r)
+        supLc[kL, crowL, claneL] = (rowL_l - wsL[ctile_l]).astype(np.int8)
+        cfL[kL, crowL, claneL] = coefL_l.astype(np.float32)
+        supRc[kR, crowR, claneR] = (rowR_r - wsR[ctile_r]).astype(np.int8)
+        cfR[kR, crowR, claneR] = coefR_r.astype(np.float32)
+
+        wkL, nsupL_ks = _per_k_windows(
+            kL, il_l, rowL_l, KL, Ct, (wsL // 8).astype(np.int64)
+        )
+        wkR, nsupR_ks = _per_k_windows(
+            kR, ir_r, rowR_r, KR, Ct, (wsR // 8).astype(np.int64)
+        )
+        if max(nsupL_ks) > 15 or max(nsupR_ks) > 15:
+            # per-k windows must stay int8-representable (nsup_k * 8 <= 120)
+            _plan_debug(
+                f"per-k windows exceed int8: {nsupL_ks} / {nsupR_ks}"
+            )
+            return None
+
+        wkL2 = wkL.reshape(KL + 1, Ct)[1:]
+        wkR2 = wkR.reshape(KR + 1, Ct)[1:]
+        supLk[kL, crowL, claneL] = (
+            rowL_l - wkL2[kL, il_l // TE] * 8
+        ).astype(np.int8)
+        supRk[kR, crowR, claneR] = (
+            rowR_r - wkR2[kR, ir_r // TE] * 8
+        ).astype(np.int8)
 
     def slot_coefs(valsL, valsR):
         """Fill extra per-edge-side coefficient sets with the same
@@ -2669,37 +2765,55 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     if plan is None:
         return None
 
+    from ...mesh import native
+
     order = plan.order
+    bl_np = np.asarray(bnd["left"], np.int64) if bnd is not None else None
     if bnd is not None:
-        il_all = np.concatenate([np.asarray(il), np.asarray(bnd["left"])])
-        ir_all = np.concatenate([np.asarray(ir), np.asarray(bnd["left"])])
-        bt_all = np.concatenate(
-            [np.zeros(Ei, np.int64), np.asarray(bnd["btype"], np.int64) + 1]
-        )
-        btype_sorted = bt_all[order]
-        order_int = order[order < Ei]
+        bt_np = np.asarray(bnd["btype"], np.int64)
+        # btype in plan-sorted order (0 interior, type + 1 boundary)
+        # without materialising the concatenated edge list
+        bmask = order >= Ei
+        btype_sorted = np.zeros(len(order), np.int64)
+        btype_sorted[bmask] = bt_np[order[bmask] - Ei] + 1
+        order_int = order[~bmask]
     else:
-        il_all, ir_all = il, ir
         btype_sorted = None
         order_int = order
-    il_s = il_all[order]
-    ir_s = ir_all[order]
+    il_s = plan.il_s
+    ir_s = plan.ir_s
+    if il_s is None:  # plan from a path that didn't record the sorted cells
+        il_all_ = (np.concatenate([np.asarray(il, np.int64), bl_np])
+                   if bnd is not None else np.asarray(il, np.int64))
+        ir_all_ = (np.concatenate([np.asarray(ir, np.int64), bl_np])
+                   if bnd is not None else np.asarray(ir, np.int64))
+        il_s = il_all_[order]
+        ir_s = ir_all_[order]
 
     # per-edge signed len/area coefficients wrt the left and right cells,
     # extracted from the operator's gather maps (robust to conventions)
     C, K = ce.shape
-    coefL = np.zeros(E_lim)
-    coefR = np.zeros(E_lim)
-    cells = np.repeat(np.arange(C), K)
-    edges = ce.reshape(-1)
-    cfs = cec.reshape(-1)
-    interior = edges < E_lim
-    e_i = edges[interior]
-    c_i = cells[interior]
-    f_i = cfs[interior]
-    is_left = il_all[e_i] == c_i
-    coefL[e_i[is_left]] = f_i[is_left]
-    coefR[e_i[~is_left]] = f_i[~is_left]
+    # the MUSCL LS-gradient extraction below reuses this path's masks, so
+    # second-order plans keep the numpy extraction
+    nat_coef = (native.coef_extract(ce, cec, il, bl_np, E_lim)
+                if muscl is None else None)
+    if nat_coef is not None:
+        coefL, coefR = nat_coef
+    else:
+        il_all = (np.concatenate([np.asarray(il, np.int64), bl_np])
+                  if bnd is not None else il)
+        coefL = np.zeros(E_lim)
+        coefR = np.zeros(E_lim)
+        cells = np.repeat(np.arange(C), K)
+        edges = ce.reshape(-1)
+        cfs = cec.reshape(-1)
+        interior = edges < E_lim
+        e_i = edges[interior]
+        c_i = cells[interior]
+        f_i = cfs[interior]
+        is_left = il_all[e_i] == c_i
+        coefL[e_i[is_left]] = f_i[is_left]
+        coefR[e_i[~is_left]] = f_i[~is_left]
 
     if bnd is not None:
         # boundary pseudo-edge fluxes land in BOTH rings (the edge kernel
@@ -2711,7 +2825,7 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         nLc = np.bincount(il, minlength=num_cells)
         nRc = np.bincount(ir[ir >= 0], minlength=num_cells)
         for j in range(Ei, E_lim):
-            c = int(il_all[j])
+            c = int(bl_np[j - Ei])
             if nLc[c] > nRc[c]:
                 coefR[j] = coefL[j]
                 coefL[j] = 0.0
@@ -2779,13 +2893,21 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     if cell_z is not None:
         # boundary pseudo-edges (unified mode) see the same cell on both
         # sides -> dz == 0 -> reconstruction is the identity there, matching
-        # the twin (boundary edges are never HR-reconstructed)
-        zl = np.asarray(cell_z)[il_all]
-        zr = np.asarray(cell_z)[ir_all]
-        zmax = np.maximum(zl, zr)
+        # the twin (boundary edges are never HR-reconstructed); computed in
+        # plan-sorted space (cell_z[il_s] == cell_z[il_all][order])
+        cz = np.asarray(cell_z)
+        zl_s = cz[il_s]
+        zr_s = cz[ir_s]
+        zmax_s = np.maximum(zl_s, zr_s)
+
+        def _slot_sorted(v_s):
+            arr = np.zeros((R_l, 128), np.float32)
+            arr.reshape(-1)[plan.eposL] = v_s.astype(np.float32)
+            return arr
+
         hr_np = dict(
-            pl_hr_dzl=slot_edge_vals(zmax - zl),
-            pl_hr_dzr=slot_edge_vals(zmax - zr),
+            pl_hr_dzl=_slot_sorted(zmax_s - zl_s),
+            pl_hr_dzr=_slot_sorted(zmax_s - zr_s),
         )
 
     muscl_np = {}
@@ -2864,9 +2986,11 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     # remap operator interior-edge order to plan (sorted) order; in unified
     # mode the stable min-cell sort preserves the interior edges' relative
     # order, so order_int is exactly the interior permutation
-    inv = np.empty(Ei, dtype=np.int64)
-    inv[order_int] = np.arange(Ei)
-    ce_new = np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
+    ce_new = native.remap_ce(order, Ei, ce)
+    if ce_new is None:
+        inv = np.empty(Ei, dtype=np.int64)
+        inv[order_int] = np.arange(Ei)
+        ce_new = np.where(ce < Ei, inv[np.clip(ce, 0, Ei - 1)], ce)
 
     reordered = dict(
         int_left=il[order_int], int_right=ir[order_int],

@@ -112,3 +112,82 @@ def test_plan_layout_invariants(mesh_fn):
     for arr in (plan.supL, plan.supR, plan.m, plan.g, plan.gi, plan.mi):
         assert arr.dtype == np.int8
         assert arr.min() >= 0
+
+
+def _native_plan_fns():
+    from rdycore_tpu.mesh import native
+
+    return {
+        k: getattr(native, k)
+        for k in (
+            "sort_fold", "fill_slot_planes", "cell_side_stats",
+            "cell_side_fill", "cell_side_filter", "coef_extract",
+            "remap_ce",
+        )
+    }
+
+
+@pytest.mark.parametrize("variant", [
+    "unified", "muscl", "hr", "tracers", "tri", "bs2002",
+])
+def test_native_plan_build_matches_numpy(variant):
+    """The native plan-fill fast path (csrc rdy_sort_fold /
+    rdy_fill_slot_planes / rdy_cell_side_* / rdy_coef_extract /
+    rdy_remap_ce) must be a bitwise twin of the numpy builders across
+    every plan flavor: unified boundary folding, MUSCL second order,
+    hydrostatic reconstruction, tracers (ndof > 3), triangles, BS2002."""
+    from rdycore_tpu.mesh import native
+    from rdycore_tpu.operator import build_operator
+    from rdycore_tpu.ops.pallas.slotted import to_pallas_backend
+    import jax.numpy as jnp
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    real = _native_plan_fns()
+    if any(v is None for v in real.values()):
+        pytest.skip("native plan entry points missing")
+
+    mesh = (structured_tri(40, 32) if variant in ("tri", "bs2002")
+            else structured_quad(48, 40))
+    kw = dict(
+        muscl=dict(second_order=True),
+        hr=dict(well_balancing_hr=True),
+        tracers=dict(num_tracers=2),
+        bs2002=dict(well_balancing_bs2002=True),
+    ).get(variant, {})
+    op = build_operator(mesh, mannings_n=np.full(mesh.num_cells, 0.02),
+                        dtype=jnp.float32, **kw)
+
+    def run():
+        return to_pallas_backend(op)
+
+    try:
+        op_native = run()
+        for k in real:
+            setattr(
+                native, k,
+                (lambda *a, **kw: False) if k == "fill_slot_planes"
+                else (lambda *a, **kw: None),
+            )
+        op_numpy = run()
+    finally:
+        for k, v in real.items():
+            setattr(native, k, v)
+
+    assert op_native.edge_flux_backend == "pallas"
+    assert op_numpy.edge_flux_backend == "pallas"
+    fn = dict(zip(op_native.arrays._fields, op_native.arrays))
+    fp = dict(zip(op_numpy.arrays._fields, op_numpy.arrays))
+    plan_keys = {k for k in fn if k.startswith("pl_")}
+    assert plan_keys == {k for k in fp if k.startswith("pl_")}
+    check = plan_keys | {
+        "int_left", "int_right", "cell_edges", "int_cn", "int_sn",
+        "edge_courant_coef",
+    }
+    for k in sorted(check & set(fn)):
+        a, b = fn[k], fp[k]
+        if isinstance(a, (tuple, list)):
+            continue  # nested aux structures are covered via their pl_ twins
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=f"{variant}:{k}"
+        )
