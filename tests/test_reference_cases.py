@@ -71,3 +71,31 @@ def test_bad_input_fails_cleanly(tmp_path):
     cfg.logging.level = "none"
     with pytest.raises(ConfigError):
         Simulation(cfg)
+
+
+def test_cli_output_dir_override(tmp_path, monkeypatch):
+    """--output-dir redirects every writer (XDMF + checkpoint + time
+    series) away from the config's directory, so read-only reference
+    configs can be driven in place (driver/main.c runs from a writable
+    build tree; our configs may live on a read-only mount)."""
+    import rdycore_tpu.__main__ as cli
+
+    case_dir = tmp_path / "cfg"
+    case_dir.mkdir()
+    out_dir = tmp_path / "out"
+    src = f"{SWE}/ex2b.yaml"
+    text = open(src).read()
+    text = text.replace("stop_n: 1000", "stop_n: 20")
+    text = text.replace("interval: 100", "interval: 10")
+    text = text.replace("output_interval: 100", "output_interval: 10")
+    (case_dir / "ex2b.yaml").write_text(text)
+    rc = cli.main([
+        str(case_dir / "ex2b.yaml"), "--cpu",
+        "--output-dir", str(out_dir),
+    ])
+    assert not rc
+    produced = {p.name for p in out_dir.iterdir()}
+    assert any(n.endswith(".h5") for n in produced), produced
+    assert any(".rdycore.r." in n for n in produced), produced
+    # nothing landed next to the config
+    assert {p.name for p in case_dir.iterdir()} == {"ex2b.yaml"}
