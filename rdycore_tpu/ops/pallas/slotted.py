@@ -355,7 +355,8 @@ def build_slotted_plan(
         else:
             packed = pack(int(rcap))
             rrows = RROWS if int(rcap) > 8 else 8
-    except ValueError:
+    except ValueError as e:
+        _plan_debug(f"slot packing failed: {e}")
         return None
     slot_row, color, tile_of, ws_tile, need_sup = packed
     ws_rows = ws_tile[tile_of]  # [E] window start of each edge's tile
@@ -379,8 +380,10 @@ def build_slotted_plan(
     # backstops the per-GT heuristic so large-GT/ndof plans fall back to the
     # two-kernel path instead of failing pallas compilation.
     if wq > 64 * max(1, GT // 8):
+        _plan_debug(f"group q window exceeds cap: wq={wq} > {64 * max(1, GT // 8)}")
         return None
     if _qbuf_bytes(wq, ndof) > _vmem_budget():
+        _plan_debug(f"group q window exceeds VMEM budget: wq={wq} ndof={ndof}")
         return None
 
     # all index planes fit int8: window rows < max_sup*8 <= 32, lanes < 128,
@@ -3130,6 +3133,25 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
             sn=asnp("bnd_sn", a.bnd_sn),
             btype=btype,
         )
+
+    # auto-escalate the edge-window budget to the mesh's actual bandwidth:
+    # the packer hard-fails when a LONE edge's endpoints span more than
+    # max_sup*8 supers from the tile's aligned window start, so the exact
+    # per-edge requirement is computable up front. Wide rasters (the 46M
+    # dam-break is 8192 cells across -> vertical-edge span 64 supers) then
+    # get a valid (usually fused-only) plan instead of falling back to XLA.
+    # Cap at 15: the int8 slot planes store window supers < max_sup*8 <= 120.
+    lo_e = np.minimum(il, ir)
+    hi_e = np.maximum(il, ir)
+    if len(lo_e):
+        need_ms = int(((hi_e >> 7) - ((lo_e >> 10) << 3)).max()) // 8 + 1
+        if need_ms > max_sup:
+            ms = min(need_ms, 15)
+            _plan_debug(
+                f"escalating max_sup {max_sup} -> {ms} "
+                f"(mesh needs {need_ms})"
+            )
+            max_sup = ms
 
     res = build_plan_arrays(
         il, ir, cn_h, sn_h, ccoef_h,

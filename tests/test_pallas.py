@@ -273,12 +273,41 @@ def test_pallas_second_order_matches_xla(limiter):
 
 
 def test_pallas_fallback_on_bad_bandwidth():
-    # nx=4096 row-major: edge tiles span > 1024 cells -> 1-super budget fails
-    mesh = structured_quad(4096, 2)
+    # the window budget auto-escalates to the mesh's bandwidth, but only up
+    # to max_sup=15 (int8 slot planes); a row-major raster wider than
+    # 15*1024 cells has vertical edges no window can hold -> XLA fallback
+    mesh = structured_quad(16640, 2)
     op = build_operator(
         mesh, mannings_n=np.zeros(mesh.num_cells), dtype=jnp.float32
     )
     assert to_pallas_backend(op, max_sup=1) is op
+
+
+def test_pallas_window_escalation_matches_xla():
+    """A raster wider than the default window budget (4*1024 cells) gets
+    an auto-escalated max_sup and must still match the XLA twin (the 46M
+    dam-break mesh is 8192 across and runs this path)."""
+    mesh = structured_quad(4608, 2)
+    op = build_operator(
+        mesh, mannings_n=np.full(mesh.num_cells, 0.02), dtype=jnp.float32
+    )
+    op_p = to_pallas_backend(op, interpret=True)  # default max_sup=4 -> 5
+    assert op_p.edge_flux_backend == "pallas"
+
+    q = _random_state(mesh)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    # f32 divergence summation-order differences cancel against flux terms
+    # of ~2e4 magnitude on this mesh, so the error floor scales with the
+    # largest flux, not the (possibly small) per-cell result
+    rx = np.asarray(r_x.rhs)
+    err = np.abs(np.asarray(r_p.rhs) - rx)
+    assert err.max() <= 2e-5 * np.abs(rx).max()
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
 
 
 def test_pallas_simulation_config_surface():
