@@ -165,9 +165,10 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
         mesh = structured_quad(nx, ny, 0.0, nx * 0.002, 0.0, ny * 0.002)
         C = mesh.num_cells
         op = build_operator(mesh, mannings_n=np.full(C, 0.015), dtype=jnp.float32)
+        ms_env = os.environ.get("BENCH_MAX_SUP")
         op = to_pallas_backend(
             op,
-            max_sup=int(os.environ.get("BENCH_MAX_SUP", 4)),
+            max_sup=int(ms_env) if ms_env else None,  # None = auto-escalate
             max_sup_cd=int(os.environ.get("BENCH_MAX_SUP_CD", 16)),
         )
         assert op.edge_flux_backend == "pallas", "pallas plan failed"

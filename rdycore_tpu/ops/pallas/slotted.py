@@ -386,7 +386,8 @@ def build_slotted_plan(
         _plan_debug(f"group q window exceeds VMEM budget: wq={wq} ndof={ndof}")
         return None
 
-    # all index planes fit int8: window rows < max_sup*8 <= 32, lanes < 128,
+    # all index planes fit int8: window rows < max_sup*8 <= 120 (int8-safe,
+    # < 128 even at the escalation cap max_sup=15), lanes < 128,
     # row picks < 16 (int8 plan traffic is 1/4 of the round-1 i32 planes)
     R_l, R_r = ntiles * 8, ntiles * rrows
     supL = np.zeros((R_l, 128), np.int8)
@@ -3074,15 +3075,20 @@ def plan_field_dtype(name):
     return _PLAN_DTYPES.get(name, np.float32)
 
 
-def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
+def to_pallas_backend(op, max_sup: int | None = None, max_sup_cd: int = 16,
                       interpret: bool = False, rcap="auto"):
     """Rebuild an SWEOperator with the slot-routed Pallas backend.
 
     Reorders interior edges into sorted (min-cell) order, builds the slot
-    plans, and attaches the plan arrays. Returns the operator unchanged if
-    the mesh's bandwidth exceeds the static window budget (use
-    cell_ordering: rcm) or an unsupported feature is enabled.
+    plans, and attaches the plan arrays. With max_sup=None (the default)
+    the edge-window budget starts at 4 and auto-escalates to the mesh's
+    actual bandwidth (capped at 15); an explicitly passed max_sup is a hard
+    budget — the build fails (returns op unchanged) if the mesh exceeds it,
+    preserving the documented "use cell_ordering: rcm" fallback contract.
     """
+    escalate = max_sup is None
+    if escalate:
+        max_sup = 4
     if op.well_balancing_bs2002 and op.num_tracers:
         return op  # BS2002 tracer transport stays on the XLA twin
     # (MUSCL+HR and MUSCL+tracers are rejected by build_operator, like
@@ -3134,16 +3140,17 @@ def to_pallas_backend(op, max_sup: int = 4, max_sup_cd: int = 16,
             btype=btype,
         )
 
-    # auto-escalate the edge-window budget to the mesh's actual bandwidth:
-    # the packer hard-fails when a LONE edge's endpoints span more than
-    # max_sup*8 supers from the tile's aligned window start, so the exact
-    # per-edge requirement is computable up front. Wide rasters (the 46M
-    # dam-break is 8192 cells across -> vertical-edge span 64 supers) then
-    # get a valid (usually fused-only) plan instead of falling back to XLA.
+    # auto-escalate the edge-window budget to the mesh's actual bandwidth
+    # (only when the caller left max_sup at its default): the packer
+    # hard-fails when a LONE edge's endpoints span more than max_sup*8
+    # supers from the tile's aligned window start, so the exact per-edge
+    # requirement is computable up front. Wide rasters (the 46M dam-break
+    # is 8192 cells across -> vertical-edge span 64 supers) then get a
+    # valid (usually fused-only) plan instead of falling back to XLA.
     # Cap at 15: the int8 slot planes store window supers < max_sup*8 <= 120.
     lo_e = np.minimum(il, ir)
     hi_e = np.maximum(il, ir)
-    if len(lo_e):
+    if escalate and len(lo_e):
         need_ms = int(((hi_e >> 7) - ((lo_e >> 10) << 3)).max()) // 8 + 1
         if need_ms > max_sup:
             ms = min(need_ms, 15)

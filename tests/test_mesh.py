@@ -130,7 +130,12 @@ def test_rcm_reorder_preserves_physics_and_enables_pallas():
     # the slot-routed Pallas kernel becomes feasible after RCM (the
     # natural ordering's bandwidth 2683 exceeds a 2048-cell window)
     op_nat = build_operator(m, mannings_n=np.zeros(m.num_cells), dtype=jnp.float32)
+    # an EXPLICIT max_sup is a hard budget: bandwidth 2683 > 2*1024 fails
     assert to_pallas_backend(op_nat, max_sup=2) is op_nat
+    # the default budget auto-escalates to the mesh's bandwidth, so even the
+    # natural ordering builds a (fused-only) plan now
+    op_nat_p = to_pallas_backend(op_nat, interpret=True)
+    assert op_nat_p.edge_flux_backend == "pallas"
     op = build_operator(mr, mannings_n=np.zeros(mr.num_cells), dtype=jnp.float32)
     assert to_pallas_backend(op, max_sup=2).edge_flux_backend == "pallas"
 

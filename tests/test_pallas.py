@@ -291,7 +291,7 @@ def test_pallas_window_escalation_matches_xla():
     op = build_operator(
         mesh, mannings_n=np.full(mesh.num_cells, 0.02), dtype=jnp.float32
     )
-    op_p = to_pallas_backend(op, interpret=True)  # default max_sup=4 -> 5
+    op_p = to_pallas_backend(op, interpret=True)  # default max_sup=4 -> 6
     assert op_p.edge_flux_backend == "pallas"
 
     q = _random_state(mesh)
