@@ -67,6 +67,10 @@ def _emit(nx, ny, n_steps, headline):
         u = _results["pallas"]
         out["unstructured_value"] = round(u, 1)
         out["unstructured_vs_baseline"] = round(u / BASELINE, 4)
+    if "sharded_fused" in _results and headline != "sharded_fused":
+        u = _results["sharded_fused"]
+        out["sharded_fused_value"] = round(u, 1)
+        out["sharded_fused_vs_baseline"] = round(u / BASELINE, 4)
     print(json.dumps(out))
     return True
 
@@ -422,6 +426,15 @@ def orchestrate(nx, ny, n_steps):
             u = _run_child("pallas", budget(240))
         if u is not None:
             _results["pallas"] = u
+
+    # product scale-out path: the row-strip-sharded fused kernel (on the
+    # single bench chip this runs a 1-shard device mesh — it measures the
+    # shard_map/halo wrapper's overhead over the plain fused kernel; the
+    # multi-device execution itself is validated by dryrun_multichip)
+    if time.time() < deadline - 90:
+        u = _run_child("sharded_fused", budget(300))
+        if u is not None:
+            _results["sharded_fused"] = u
 
     _emit(nx, ny, n_steps, headline)
 

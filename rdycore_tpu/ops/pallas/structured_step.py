@@ -493,9 +493,12 @@ def make_sharded_fused_structured_stepper(
     bitwise-equal to make_fused_structured_stepper.
 
     State/geometry planes are [P, ny/P + 2*gr, nx + 2*GC] arrays sharded
-    on axis 0 (pad_plane_sharded). Dirichlet walls are not supported here
-    (use the unstructured ShardedSWE path); reflecting/critical walls
-    cover the flagship case.
+    on axis 0 (pad_plane_sharded). Dirichlet walls are supported: pass
+    `bc_vals` to advance() as a dict side -> [3, ny|nx] prescribed
+    (h, hu, hv) wall values — left/right values are row-strip-sharded with
+    the state, bottom/top are replicated (the fill on interior strips is
+    overwritten by the ppermute halo rows, so only the first/last shard's
+    fill survives, exactly matching the single-device ghost frame).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -509,10 +512,12 @@ def make_sharded_fused_structured_stepper(
         )
     if scheme not in ("euler", "ssprk2", "ssprk3"):
         raise ValueError(f"sharded fused: unsupported scheme '{scheme}'")
-    if bc_mod.BC_DIRICHLET in (
-        plan.bc_left, plan.bc_right, plan.bc_bottom, plan.bc_top
-    ):
-        raise ValueError("sharded fused kernel: Dirichlet walls unsupported")
+    dir_sides = tuple(
+        side for side, bc in (
+            ("left", plan.bc_left), ("right", plan.bc_right),
+            ("bottom", plan.bc_bottom), ("top", plan.bc_top),
+        ) if bc == bc_mod.BC_DIRICHLET
+    )
     nyl = ny // n_shards
     local_plan = plan._replace(ny=nyl)
     nxp = nx + 2 * GC
@@ -564,7 +569,7 @@ def make_sharded_fused_structured_stepper(
     bwd = [(i + 1, i) for i in range(n_shards - 1)]
     r0, r1 = ty, ty + nyl
 
-    def exchange_and_fill(h, hu, hv):
+    def exchange_and_fill(h, hu, hv, bc_local=None):
         """Wall ghosts from the local strip + strip-boundary rows from the
         neighbor shards (the DMGlobalToLocal halo exchange of the
         reference's RHS evaluation, rdysetup.c:1133-1134, as two
@@ -575,7 +580,7 @@ def make_sharded_fused_structured_stepper(
             bot_int = jnp.stack([h[r0], hu[r0], hv[r0]])
             up = jax.lax.ppermute(top_int, axis_name, fwd)
             down = jax.lax.ppermute(bot_int, axis_name, bwd)
-        h, hu, hv = fill_ghost_frame(local_plan, h, hu, hv)
+        h, hu, hv = fill_ghost_frame(local_plan, h, hu, hv, bc_local)
         if n_shards > 1:
             idx = jax.lax.axis_index(axis_name)
             not_first = idx > 0
@@ -588,8 +593,8 @@ def make_sharded_fused_structured_stepper(
             hv = hv.at[r1].set(jnp.where(not_last, down[2], hv[r1]))
         return h, hu, hv
 
-    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, src):
-        h, hu, hv = exchange_and_fill(h, hu, hv)
+    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, src, bc_local=None):
+        h, hu, hv = exchange_and_fill(h, hu, hv, bc_local)
         args = (dt_arr, h, hu, hv, dzx, dzy, mann)
         if with_src:
             args = args + (src,)
@@ -602,10 +607,21 @@ def make_sharded_fused_structured_stepper(
         )(*args)
         return ho, huo, hvo, cm.max()
 
-    def shard_body(h, hu, hv, dzx, dzy, mann, src, t0, dt, n_steps, t_end):
+    def shard_body(h, hu, hv, dzx, dzy, mann, src, bcv, t0, dt, n_steps,
+                   t_end):
         h, hu, hv = h[0], hu[0], hv[0]
         dzx, dzy, mann = dzx[0], dzy[0], mann[0]
         src = src[0] if with_src else None
+        # Dirichlet wall values for the local strip: left/right arrive
+        # row-strip-sharded ([1, 3, nyl] blocks), bottom/top replicated
+        bc_local = None
+        if dir_sides:
+            bc_local = {}
+            for s in dir_sides:
+                v = bcv[s]
+                if s in ("left", "right"):
+                    v = v[0]
+                bc_local[s] = (v[0], v[1], v[2])
 
         def body(i, carry):
             h, hu, hv, tt, cmax = carry
@@ -613,25 +629,25 @@ def make_sharded_fused_structured_stepper(
             dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
             if scheme == "euler":
                 hn, hun, hvn, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
-                                            mann, src)
+                                            mann, src, bc_local)
             elif scheme == "ssprk2":
                 h1, hu1, hv1, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
-                                            mann, src)
+                                            mann, src, bc_local)
                 h2, hu2, hv2, _ = one_step(h1, hu1, hv1, dt_arr, dzx, dzy,
-                                           mann, src)
+                                           mann, src, bc_local)
                 hn = 0.5 * h + 0.5 * h2
                 hun = 0.5 * hu + 0.5 * hu2
                 hvn = 0.5 * hv + 0.5 * hv2
             else:  # ssprk3
                 h1, hu1, hv1, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
-                                            mann, src)
+                                            mann, src, bc_local)
                 h2, hu2, hv2, _ = one_step(h1, hu1, hv1, dt_arr, dzx, dzy,
-                                           mann, src)
+                                           mann, src, bc_local)
                 h2 = 0.75 * h + 0.25 * h2
                 hu2 = 0.75 * hu + 0.25 * hu2
                 hv2 = 0.75 * hv + 0.25 * hv2
                 h3, hu3, hv3, _ = one_step(h2, hu2, hv2, dt_arr, dzx, dzy,
-                                           mann, src)
+                                           mann, src, bc_local)
                 third = jnp.float32(1.0 / 3.0)
                 hn = third * h + (1.0 - third) * h3
                 hun = third * hu + (1.0 - third) * hu3
@@ -647,7 +663,11 @@ def make_sharded_fused_structured_stepper(
         return h[None], hu[None], hv[None], t, cmax
 
     sharded = P(axis_name, None, None)
-    in_specs = (sharded,) * 7 + (P(), P(), P(), P())
+    bc_specs = {
+        s: (sharded if s in ("left", "right") else P())
+        for s in dir_sides
+    }
+    in_specs = (sharded,) * 7 + (bc_specs, P(), P(), P(), P())
     out_specs = (sharded, sharded, sharded, P(), P())
     mapped = jax.jit(
         jax.shard_map(
@@ -659,12 +679,28 @@ def make_sharded_fused_structured_stepper(
     )
 
     def advance(h, hu, hv, t0, dt, n_steps, t_end, dzx, dzy, mann,
-                src=None):
+                src=None, bc_vals=None):
         """h/hu/hv/dzx/dzy/mann: [P, ny/P + 2*gr, nxp] (pad_plane_sharded),
-        sharded over the mesh axis. Returns (h, hu, hv, t, max_courant)."""
+        sharded over the mesh axis. bc_vals (required iff the plan has
+        Dirichlet walls): dict side -> [3, ny|nx] prescribed wall values.
+        Returns (h, hu, hv, t, max_courant)."""
         if src is None:
             src = jnp.zeros_like(h)
-        return mapped(h, hu, hv, dzx, dzy, mann, src, t0, dt, n_steps,
-                      t_end)
+        bcv = {}
+        if dir_sides:
+            if bc_vals is None:
+                raise ValueError(
+                    "sharded fused kernel: Dirichlet walls need bc_vals"
+                )
+            for s in dir_sides:
+                v = jnp.asarray(bc_vals[s], jnp.float32)
+                if s in ("left", "right"):
+                    # [3, ny] -> [P, 3, nyl] row-strip blocks
+                    v = jnp.moveaxis(
+                        v.reshape(3, n_shards, nyl), 1, 0
+                    )
+                bcv[s] = v
+        return mapped(h, hu, hv, dzx, dzy, mann, src, bcv, t0, dt,
+                      n_steps, t_end)
 
     return advance

@@ -351,9 +351,11 @@ class Simulation:
         self.log_domain_statistics()
 
         # ---- multi-device execution (parallel.n_devices) ----
+        # (the fused_structured backend owns its own row-strip sharding;
+        # everything else goes through the unstructured ShardedSWE path)
         self._sharded = None
         self._q_stacked = None
-        if config.parallel.n_devices > 1:
+        if config.parallel.n_devices > 1 and self._structured is None:
             self._init_sharded()
 
         # restart (checkpoint.c:259-317)
@@ -603,7 +605,9 @@ class Simulation:
             unsupported.append("second_order")
         if cfg.physics.flow.well_balancing not in (None, "", "none"):
             unsupported.append("well_balancing")
-        if cfg.parallel.n_devices > 1:
+        if cfg.parallel.n_devices > 1 and kind != "fused_structured":
+            # the fused kernel has a row-strip sharded variant; the XLA
+            # structured path does not (use xla/pallas for sharded rasters)
             unsupported.append("parallel.n_devices > 1")
         if cfg.output.time_series.boundary_fluxes:
             unsupported.append("time_series.boundary_fluxes")
@@ -658,7 +662,14 @@ class Simulation:
                     "edge_flux_backend: fused_structured supports the "
                     "semi_implicit source method only"
                 )
-            ty = 16 if ny % 16 == 0 else 8
+            n_dev = cfg.parallel.n_devices
+            if n_dev > 1 and scheme == "rk4":
+                raise ConfigError(
+                    "edge_flux_backend: fused_structured with "
+                    "parallel.n_devices > 1 supports temporal: "
+                    "euler|ssprk2|ssprk3"
+                )
+            ty = 16 if ny % (16 * max(n_dev, 1)) == 0 else 8
             if nx % 128 or ny % ty:
                 self.log.warning(
                     f"fused_structured needs nx % 128 == 0 and ny % {ty} == "
@@ -666,6 +677,19 @@ class Simulation:
                     "path"
                 )
                 kind = "structured"
+            if kind == "fused_structured" and n_dev > 1 and ny % (
+                n_dev * ty
+            ):
+                raise ConfigError(
+                    f"edge_flux_backend: fused_structured with "
+                    f"parallel.n_devices = {n_dev} needs ny divisible by "
+                    f"n_devices * {ty} (got ny = {ny})"
+                )
+        if kind == "structured" and cfg.parallel.n_devices > 1:
+            raise ConfigError(
+                "edge_flux_backend: structured does not support "
+                "parallel.n_devices > 1"
+            )
         if kind == "fused_structured":
             from .ops.pallas.structured_step import (
                 StructuredPlan,
@@ -714,22 +738,66 @@ class Simulation:
             with_src = bool(cfg.sources) or bool(
                 getattr(cfg, "forcing_active", False)
             )
-            adv = make_fused_structured_stepper(
-                plan, dzx, dzy, mann, scheme=scheme, with_src=with_src
-            )
             interp = jax.default_backend() == "cpu"
-            self._structured = dict(
-                kind="fused", plan=plan, nx=nx, ny=ny,
-                with_src=with_src, side_cols=side_cols,
-                scheme=scheme, geo=(dzx, dzy, mann),
-                adv=jax.jit(
-                    functools.partial(adv, interpret=interp),
-                    static_argnames=(),
-                ),
-            )
+            if n_dev > 1:
+                # row-strip sharded variant: same kernel per strip, 1-row
+                # ppermute halo, bitwise-equal to the single-device kernel
+                # (the reference runs one input deck at any rank count,
+                # docs/user/example-cases/dam-break/frontier.batch.base)
+                from jax.sharding import (
+                    Mesh as DeviceMesh, NamedSharding, PartitionSpec,
+                )
+                from .ops.pallas.structured_step import (
+                    make_sharded_fused_structured_stepper,
+                    pad_plane_sharded,
+                )
+
+                devices = jax.devices()
+                if len(devices) < n_dev:
+                    raise ConfigError(
+                        f"parallel.n_devices = {n_dev} but only "
+                        f"{len(devices)} devices are available"
+                    )
+                dm = DeviceMesh(
+                    np.array(devices[:n_dev]), (cfg.parallel.axis_name,)
+                )
+                adv = make_sharded_fused_structured_stepper(
+                    plan, dm, axis_name=cfg.parallel.axis_name,
+                    scheme=scheme, with_src=with_src, interpret=interp,
+                )
+                shrd = NamedSharding(
+                    dm, PartitionSpec(cfg.parallel.axis_name, None, None)
+                )
+                geo_dev = tuple(
+                    jax.device_put(
+                        jnp.asarray(pad_plane_sharded(g, n_dev, ty)), shrd
+                    )
+                    for g in (dzx, dzy, mann)
+                )
+                self._structured = dict(
+                    kind="fused_sharded", plan=plan, nx=nx, ny=ny,
+                    n_shards=n_dev, device_mesh=dm, sharding=shrd,
+                    with_src=with_src, side_cols=side_cols,
+                    scheme=scheme, geo=(dzx, dzy, mann),
+                    geo_dev=geo_dev, adv=adv,
+                )
+            else:
+                adv = make_fused_structured_stepper(
+                    plan, dzx, dzy, mann, scheme=scheme, with_src=with_src
+                )
+                self._structured = dict(
+                    kind="fused", plan=plan, nx=nx, ny=ny,
+                    with_src=with_src, side_cols=side_cols,
+                    scheme=scheme, geo=(dzx, dzy, mann),
+                    adv=jax.jit(
+                        functools.partial(adv, interpret=interp),
+                        static_argnames=(),
+                    ),
+                )
             self.log.info(
                 f"structured raster {nx}x{ny}: fused Pallas kernel "
                 f"(ty={ty}, {scheme}"
+                f"{f', {n_dev} row strips' if n_dev > 1 else ''}"
                 f"{', +src' if with_src else ''}"
                 f"{', interpret' if interp else ''})"
             )
@@ -767,15 +835,26 @@ class Simulation:
     def _rebuild_fused_stepper(self):
         """Rebuild the fused-structured stepper (e.g. when a coupler first
         sets an external water source, requiring the src plane DMA)."""
-        from .ops.pallas.structured_step import make_fused_structured_stepper
+        from .ops.pallas.structured_step import (
+            make_fused_structured_stepper,
+            make_sharded_fused_structured_stepper,
+        )
 
         st = self._structured
         dzx, dzy, mann = st["geo"]
+        interp = jax.default_backend() == "cpu"
+        if st["kind"] == "fused_sharded":
+            st["adv"] = make_sharded_fused_structured_stepper(
+                st["plan"], st["device_mesh"],
+                axis_name=self.config.parallel.axis_name,
+                scheme=st["scheme"], with_src=st["with_src"],
+                interpret=interp,
+            )
+            return
         adv = make_fused_structured_stepper(
             st["plan"], dzx, dzy, mann, scheme=st["scheme"],
             with_src=st["with_src"],
         )
-        interp = jax.default_backend() == "cpu"
         st["adv"] = jax.jit(functools.partial(adv, interpret=interp))
 
     def _advance_structured(self, n_steps: int, t_end: float) -> float:
@@ -791,7 +870,20 @@ class Simulation:
             )
             self.q = jnp.reshape(q_out, (N_FLOW_DOF, ny * nx))
         else:
-            from .ops.pallas.structured_step import GC, pad_plane
+            from .ops.pallas.structured_step import (
+                GC, pad_plane, pad_plane_sharded, unshard_plane,
+            )
+
+            sharded = st["kind"] == "fused_sharded"
+            gr = st["plan"].gr
+            if sharded:
+                P_ = st["n_shards"]
+                pack = lambda x: jax.device_put(
+                    jnp.asarray(pad_plane_sharded(x, P_, gr)),
+                    st["sharding"],
+                )
+            else:
+                pack = lambda x: jnp.asarray(pad_plane(x, gr))
 
             src_np = np.asarray(self.ext_src)
             if np.abs(src_np[1:]).max() != 0.0:
@@ -801,12 +893,7 @@ class Simulation:
                     "momentum sources)"
                 )
             src_arg = None
-            if st["with_src"]:
-                gr0 = st["plan"].gr
-                src_arg = jnp.asarray(
-                    pad_plane(src_np[0].reshape(ny, nx), gr0)
-                )
-            elif np.abs(src_np[0]).max() != 0.0:
+            if not st["with_src"] and np.abs(src_np[0]).max() != 0.0:
                 # a coupler set rain after init: rebuild the stepper with
                 # the source plane threaded through (one-time recompile)
                 self.log.info(
@@ -816,10 +903,8 @@ class Simulation:
                 st["with_src"] = True
                 self._rebuild_fused_stepper()
                 st = self._structured
-                gr0 = st["plan"].gr
-                src_arg = jnp.asarray(
-                    pad_plane(src_np[0].reshape(ny, nx), gr0)
-                )
+            if st["with_src"]:
+                src_arg = pack(src_np[0].reshape(ny, nx))
             bc_vals = None
             if st["side_cols"]:
                 bv = self.boundary_values
@@ -830,26 +915,32 @@ class Simulation:
                     )
                     for side, cols in st["side_cols"].items()
                 }
-            gr = st["plan"].gr
             q3 = np.asarray(
                 jnp.reshape(self.q, (N_FLOW_DOF, ny, nx)), np.float32
             )
+            kwargs = dict(src=src_arg, bc_vals=bc_vals)
+            if sharded:
+                dzx_d, dzy_d, mann_d = st["geo_dev"]
+                args = (np.float32(self.t), np.float32(self.dt),
+                        np.int32(n_steps), np.float32(t_end),
+                        dzx_d, dzy_d, mann_d)
+            else:
+                args = (np.float32(self.t), np.float32(self.dt),
+                        np.int32(n_steps), np.float32(t_end))
             h, hu, hv, t_out, cmax = st["adv"](
-                jnp.asarray(pad_plane(q3[0], gr)),
-                jnp.asarray(pad_plane(q3[1], gr)),
-                jnp.asarray(pad_plane(q3[2], gr)),
-                np.float32(self.t),
-                np.float32(self.dt),
-                np.int32(n_steps),
-                np.float32(t_end),
-                src=src_arg,
-                bc_vals=bc_vals,
+                pack(q3[0]), pack(q3[1]), pack(q3[2]), *args, **kwargs
             )
-            planes = [
-                jnp.asarray(p)[gr : gr + ny, GC : GC + nx] for p in (h, hu, hv)
-            ]
+            if sharded:
+                planes = [unshard_plane(np.asarray(p), gr)
+                          for p in (h, hu, hv)]
+            else:
+                planes = [
+                    jnp.asarray(p)[gr : gr + ny, GC : GC + nx]
+                    for p in (h, hu, hv)
+                ]
             self.q = jnp.reshape(
-                jnp.stack(planes), (N_FLOW_DOF, ny * nx)
+                jnp.stack([jnp.asarray(p) for p in planes]),
+                (N_FLOW_DOF, ny * nx),
             ).astype(self.dtype)
         self.t = float(t_out)
         self.step += int(n_steps)

@@ -46,21 +46,22 @@ def _case(nx=256, ny=64, ty=8, bc_top=2):
     return plan, h0, hu0, hv0, dzx, dzy, mann
 
 
-def _run_single(plan, scheme, n_steps, h0, hu0, hv0, dzx, dzy, mann):
+def _run_single(plan, scheme, n_steps, h0, hu0, hv0, dzx, dzy, mann,
+                bc_vals=None):
     ty = plan.gr
     adv = make_fused_structured_stepper(plan, None, None, None, scheme=scheme)
     h, hu, hv = (jnp.asarray(pad_plane(x, ty)) for x in (h0, hu0, hv0))
     h1, hu1, hv1, t, cm = adv(
         h, hu, hv, 0.0, 1e-3, n_steps, 1e9,
         jnp.asarray(pad_plane(dzx, ty)), jnp.asarray(pad_plane(dzy, ty)),
-        jnp.asarray(pad_plane(mann, ty)), interpret=True,
+        jnp.asarray(pad_plane(mann, ty)), bc_vals=bc_vals, interpret=True,
     )
     strip = lambda x: np.asarray(x)[ty:-ty, GC:-GC]
     return strip(h1), strip(hu1), strip(hv1), float(cm)
 
 
 def _run_sharded(plan, scheme, n_steps, n_shards, h0, hu0, hv0, dzx, dzy,
-                 mann):
+                 mann, bc_vals=None):
     ty = plan.gr
     dm = DeviceMesh(np.array(jax.devices()[:n_shards]), ("y",))
     adv = make_sharded_fused_structured_stepper(
@@ -72,7 +73,7 @@ def _run_sharded(plan, scheme, n_steps, n_shards, h0, hu0, hv0, dzx, dzy,
     )
     h8, hu8, hv8, t, cm = adv(
         pack(h0), pack(hu0), pack(hv0), 0.0, 1e-3, n_steps, 1e9,
-        pack(dzx), pack(dzy), pack(mann),
+        pack(dzx), pack(dzy), pack(mann), bc_vals=bc_vals,
     )
     un = lambda x: unshard_plane(np.asarray(x), ty)
     return un(h8), un(hu8), un(hv8), float(cm)
@@ -100,8 +101,30 @@ def test_sharded_fused_ssprk2_close():
     assert ref[3] == pytest.approx(out[3], rel=1e-6)
 
 
-def test_sharded_fused_rejects_dirichlet():
-    plan, *_ = _case(bc_top=0)
-    dm = DeviceMesh(np.array(jax.devices()[:2]), ("y",))
-    with pytest.raises(ValueError, match="Dirichlet"):
-        make_sharded_fused_structured_stepper(plan, dm)
+def test_sharded_fused_dirichlet_bitwise():
+    """Dirichlet walls on the sharded fused kernel: a strip-sharded wall
+    (left) and a replicated wall (top) both match the single-device
+    kernel bitwise (the reference runs the same Dirichlet Q-functions at
+    any rank count, swe_fluxes_ceed.h:104-156)."""
+    plan, h0, hu0, hv0, dzx, dzy, mann = _case(bc_top=0)
+    plan = plan._replace(bc_left=0)
+    ny, nx = h0.shape
+    bc_vals = {
+        "left": np.stack([
+            np.full(ny, 1.5, np.float32),
+            np.full(ny, 0.3, np.float32),
+            np.zeros(ny, np.float32),
+        ]),
+        "top": np.stack([
+            1.0 + 0.1 * np.sin(np.arange(nx) / 7.0).astype(np.float32),
+            np.zeros(nx, np.float32),
+            np.full(nx, -0.2, np.float32),
+        ]),
+    }
+    ref = _run_single(plan, "euler", 10, h0, hu0, hv0, dzx, dzy, mann,
+                      bc_vals=bc_vals)
+    out = _run_sharded(plan, "euler", 10, 4, h0, hu0, hv0, dzx, dzy, mann,
+                       bc_vals=bc_vals)
+    for a, b in zip(ref[:3], out[:3]):
+        assert np.array_equal(a, b), "Dirichlet sharding must be bitwise"
+    assert ref[3] == out[3]

@@ -160,3 +160,80 @@ def test_fused_structured_dirichlet_wall_matches_xla():
     np.testing.assert_allclose(q_fused, q_ref, rtol=0, atol=2e-6)
     # the inflow actually raised the mean depth (hu*L*t / area ~ 8e-4)
     assert q_ref[0].mean() > 1.0005
+
+
+def test_fused_structured_sharded_config_bitwise():
+    """VERDICT r3 #1a: one YAML deck drives the fused structured kernel at
+    any device count (the reference runs the same kernels at any rank
+    count, docs/user/example-cases/dam-break/frontier.batch.base:44-59).
+    With euler stepping the row-strip sharded run is BITWISE equal to the
+    single-device fused kernel."""
+    def z_fn(x, y):
+        return 0.05 * np.sin(x) * np.cos(y)
+
+    mesh = structured_quad(128, 32, 0, 32, 0, 8, z_fn=z_fn)
+    q0 = _dam_ic(mesh)
+
+    ref = Simulation(_cfg("fused_structured"), mesh=mesh)
+    assert ref._structured["kind"] == "fused"
+    ref.set_solution(q0)
+    ref.run()
+
+    cfg = _cfg("fused_structured")
+    cfg.parallel.n_devices = 4
+    sim = Simulation(cfg, mesh=mesh)
+    assert sim._structured["kind"] == "fused_sharded"
+    assert sim._sharded is None  # the strip sharding owns the parallelism
+    sim.set_solution(q0)
+    sim.run()
+
+    np.testing.assert_array_equal(sim.get_solution(), ref.get_solution())
+    assert sim.prev_max_courant == ref.prev_max_courant
+
+
+def test_fused_structured_sharded_dirichlet_wall():
+    """VERDICT r3 #1a: Dirichlet walls work on the SHARDED fused kernel
+    (the left wall's values are row-strip sharded with the state)."""
+    from rdycore_tpu.config.schema import (
+        Boundary,
+        BoundaryCondition,
+        FlowCondition,
+    )
+
+    def z_fn(x, y):
+        return 0.02 * np.sin(x)
+
+    mesh = structured_quad(128, 32, 0, 32, 0, 8, z_fn=z_fn)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = 1.0
+
+    def run(n_devices):
+        cfg = _cfg("fused_structured")
+        cfg.parallel.n_devices = n_devices
+        cfg.boundaries = [Boundary(name="left")]
+        cfg.boundary_conditions = [
+            BoundaryCondition(boundaries=["left"], flow="inflow")
+        ]
+        cfg.flow_conditions = [
+            FlowCondition(
+                name="inflow", type="dirichlet", height=1.2, x_momentum=0.5
+            )
+        ]
+        cfg.validate()
+        sim = Simulation(cfg, mesh=mesh)
+        sim.set_solution(q0)
+        sim.run()
+        return sim.get_solution()
+
+    q_single = run(0)
+    q_sharded = run(4)
+    np.testing.assert_array_equal(q_sharded, q_single)
+    assert q_single[0].mean() > 1.0005  # inflow raised the mean depth
+
+
+def test_structured_sharded_rejected():
+    mesh = _mesh()
+    cfg = _cfg("structured")
+    cfg.parallel.n_devices = 4
+    with pytest.raises(ConfigError, match="n_devices"):
+        Simulation(cfg, mesh=mesh)
