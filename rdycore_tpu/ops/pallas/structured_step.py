@@ -295,7 +295,9 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
 
 def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                                   scheme: str = "euler",
-                                  with_src: bool = False):
+                                  with_src: bool = False,
+                                  accumulate: bool = False,
+                                  bflux_fn=None):
     """Returns advance(h, hu, hv [padded planes], t0, dt, n_steps, t_end,
     [dzx, dzy, mann, src, bc_vals]) -> (h, hu, hv, t, cmax). Planes stay
     padded (gr = plan.gr rows) across steps; larger gr (= taller row tiles)
@@ -305,7 +307,16 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
     euler substeps) | rk4 (classic RK from rhs-mode kernel calls).
     with_src=True threads an external water-source plane (rainfall, m/s)
     through the kernel as a 4th geometry DMA. bc_vals: Dirichlet wall
-    values dict for fill_ghost_frame."""
+    values dict for fill_ghost_frame.
+
+    accumulate=True adds dt-weighted output accounting to the interval
+    carry (the TSMonitor accumulators of xdmf_output.c:179-241 /
+    time_series.c:464-506): the advance returns four extra values
+    (bfa [3, Eb], asol [3, ny*nx], aprim [3, ny*nx], atime). bflux_fn
+    (q_flat [3, ny*nx], bv_edges) -> [3, Eb] supplies the per-boundary-edge
+    Roe fluxes (the simulation passes the unstructured twin's
+    SWEOperator.boundary_fluxes); advance then takes bv_edges as a
+    keyword arg."""
     nx, ny = plan.nx, plan.ny
     ty = plan.gr
     if ty < 8 or ty % 8:
@@ -387,9 +398,17 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
         # the next step, so the outputs ARE the new state -- no re-splice
         return ho, huo, hvo, cm.max()
 
+    r0a, r1a = ty, ty + ny
+    c0a, c1a = GC, GC + nx
+
+    def _interior_flat(hh, huu, hvv):
+        return jnp.stack([
+            p[r0a:r1a, c0a:c1a].reshape(-1) for p in (hh, huu, hvv)
+        ])
+
     def advance(h, hu, hv, t0, dt, n_steps, t_end,
                 dzx=None, dzy=None, mann=None, src=None, bc_vals=None,
-                interpret=False):
+                bv_edges=None, interpret=False):
         # geometry planes default to the factory-captured constants; VERY
         # large meshes should pass them as runtime args instead (constants
         # are inlined into the compiled program -- a 184M-cell mesh bakes
@@ -405,9 +424,31 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
             )
 
         def body(i, carry):
-            h, hu, hv, tt, cmax = carry
+            if accumulate:
+                h, hu, hv, tt, cmax, bfa, asol, aprim, atime = carry
+            else:
+                h, hu, hv, tt, cmax = carry
             dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
             dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
+            if accumulate:
+                # dt-weighted accounting of the PRE-STEP state, matching
+                # the unstructured interval advancer (timestepping.py)
+                q_flat = _interior_flat(h, hu, hv)
+                u, v = regularized_velocity(
+                    q_flat[0], q_flat[1], q_flat[2],
+                    jnp.float32(plan.tiny_h), jnp.float32(plan.h_anuga),
+                )
+                asol = (asol + dt_i * q_flat).astype(jnp.float32)
+                aprim = (
+                    aprim + dt_i * jnp.stack([q_flat[0], u, v])
+                ).astype(jnp.float32)
+                atime = (atime + dt_i).astype(jnp.float32)
+                if bflux_fn is not None:
+                    # the twin operator may compute in f64 on CPU (x64);
+                    # the carry stays f32
+                    bfa = (
+                        bfa + dt_i * bflux_fn(q_flat, bv_edges)
+                    ).astype(jnp.float32)
             if scheme == "euler":
                 hn, hun, hvn, cm = E(h, hu, hv, dt_arr)
             elif scheme == "ssprk2":
@@ -449,9 +490,20 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                 hvn = hv + w * (k1v + 2 * k2v + 2 * k3v + k4v)
             # dt_i == 0 leaves the state unchanged (q + 0 * rhs for euler;
             # convex combos of unchanged states for the SSP schemes)
-            return (hn, hun, hvn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
+            out = (hn, hun, hvn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
+            if accumulate:
+                out = out + (bfa, asol, aprim, atime)
+            return out
 
         init = (h, hu, hv, jnp.float32(t0), jnp.float32(0.0))
+        if accumulate:
+            Eb = bv_edges.shape[1] if bv_edges is not None else 1
+            init = init + (
+                jnp.zeros((3, Eb), jnp.float32),
+                jnp.zeros((3, ny * nx), jnp.float32),
+                jnp.zeros((3, ny * nx), jnp.float32),
+                jnp.float32(0.0),
+            )
         return jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, init)
 
     return advance

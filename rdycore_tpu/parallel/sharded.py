@@ -102,10 +102,11 @@ def _stack_shard_plans(plans):
     leading shard axis (shard_map strips it back off per device)."""
     from ..ops.pallas.slotted import GT as GT_
 
-    # the sharded operators run the two-kernel pallas path (no fused
-    # schedule is installed per shard), so the fused/full-step-only plan
-    # fields are dropped rather than padded across shards
-    drop = ("pl_fs_", "pl_st_", "pl_fz_", "pl_cd_wk", "pl_bnd_pos")
+    # the fused/full-step streams need schedule-aware merging (K-split
+    # padding + schedule rebuild against the padded tile count); they are
+    # handled by _merge_fused_plans, not the generic padder
+    drop = ("pl_fs_", "pl_st_", "pl_fz_c8", "pl_fz_cf", "pl_cd_wk",
+            "pl_bnd_pos")
     keys = [k for k in plans[0].keys() if not k.startswith(drop)]
     T = max(p["pl_supL"].shape[0] // 8 for p in plans)
     Ks = {
@@ -115,6 +116,8 @@ def _stack_shard_plans(plans):
     }
     out = {}
     for k in keys:
+        if any(k not in p for p in plans):
+            continue  # fused-only stream missing on some shard
         stacked = []
         for p in plans:
             v = p[k]
@@ -143,6 +146,255 @@ def _stack_shard_plans(plans):
             stacked.append(w)
         out[k] = np.stack(stacked)
     return out
+
+
+def _merge_fused_plans(plans, metas, ndof=3, want_step=True):
+    """Merge the per-shard fused-kernel plan streams into stacked uniform
+    arrays plus ONE static meta every shard can run under shard_map.
+
+    The fused kernels bake tile/K/window counts into the compiled program,
+    so the per-shard plans are padded to common shapes (zero K-planes and
+    repeated window starts are numerically inert) and the fused / full-step
+    schedules are REBUILT against the padded tile count: negrp becomes
+    uniform, the edge phase recomputes the last real group on the padding
+    steps (same values to the same ring slots — harmless), and per-k gather
+    depths take the elementwise max (depth-0 padding planes skip their
+    gather chain entirely). Returns (fields, meta) or None when any shard
+    lacks a fused stream or the merged rings/windows exceed VMEM."""
+    import types
+
+    from ..ops.pallas.slotted import (
+        GT as GT_,
+        _qbuf_bytes,
+        _ring_bytes,
+        _vmem_budget,
+        build_fused_schedule,
+    )
+
+    if any("pl_fz_e8" not in p for p in plans):
+        return None
+    Pn = len(plans)
+    T = max(p["pl_supL"].shape[0] // 8 for p in plans)
+    rr = {p["pl_supR"].shape[0] // (p["pl_supL"].shape[0] // 8)
+          for p in plans}
+    if len(rr) != 1:
+        return None
+    rrows = rr.pop()
+    Ct = plans[0]["pl_cd_supL"].shape[1] // 8  # C_loc uniform -> Ct uniform
+    KLs = [len(m["nsupL_ks"]) for m in metas]
+    KRs = [len(m["nsupR_ks"]) for m in metas]
+    KL, KR = max(KLs), max(KRs)
+    nsup_lk = tuple(
+        max(m["nsupL_ks"][k] if k < len(m["nsupL_ks"]) else 0 for m in metas)
+        for k in range(KL)
+    )
+    nsup_rk = tuple(
+        max(m["nsupR_ks"][k] if k < len(m["nsupR_ks"]) else 0 for m in metas)
+        for k in range(KR)
+    )
+    nsup = max(m["nsup"] for m in metas)
+    # each shard's q-window slack must cover the MERGED static gather depth:
+    # off <= (wq_p - nsup_p)*8 per shard, so wq_m - nsup >= max(wq_p - nsup_p)
+    wq = max(m["wq"] - m["nsup"] for m in metas) + nsup
+
+    fields = {}
+    # per-k window tables padded on K by repeating the last real plane
+    # (valid ring positions; the padding planes' gather depth is 0)
+    wk_pad = {}
+    for name, Kmax, Kp_l in (("pl_cd_wkL", KL, KLs), ("pl_cd_wkR", KR, KRs)):
+        per = []
+        for p, Kp in zip(plans, Kp_l):
+            w = np.asarray(p[name]).reshape(Kp + 1, Ct)
+            if Kmax > Kp:
+                w = np.concatenate(
+                    [w, np.repeat(w[-1:], Kmax - Kp, axis=0)]
+                )
+            per.append(w)
+        wk_pad[name] = per
+        fields[name] = np.stack([w.reshape(-1) for w in per])
+    # merged cell streams: split at the per-shard KL, pad each side
+    for name in ("pl_fz_c8", "pl_fz_cf"):
+        stacked = []
+        for p, KLp, KRp in zip(plans, KLs, KRs):
+            v = np.asarray(p[name])
+            w = np.zeros((KL + KR,) + v.shape[1:], v.dtype)
+            w[:KLp] = v[:KLp]
+            w[KL : KL + KRp] = v[KLp:]
+            stacked.append(w)
+        fields[name] = np.stack(stacked)
+    if all("pl_bnd_pos" in p for p in plans):
+        fields["pl_bnd_pos"] = np.stack([p["pl_bnd_pos"] for p in plans])
+
+    # rebuild the schedules against the padded/merged geometry
+    negrp = T // GT_
+    scheds = []
+    for p in range(Pn):
+        plan_ns = types.SimpleNamespace(rrows=rrows, ntiles=T, wq=wq)
+        cp_ns = types.SimpleNamespace(
+            ntiles=Ct,
+            wsL=np.asarray(plans[p]["pl_cd_wsL"]),
+            wsR=np.asarray(plans[p]["pl_cd_wsR"]),
+            wkL=wk_pad["pl_cd_wkL"][p].reshape(-1),
+            wkR=wk_pad["pl_cd_wkR"][p].reshape(-1),
+            nsupL_ks=nsup_lk,
+            nsupR_ks=nsup_rk,
+        )
+        fs = build_fused_schedule(plan_ns, cp_ns, ndof=ndof)
+        if fs is None:
+            return None
+        scheds.append(fs)
+    nringL = max(s.nringL for s in scheds)
+    nringR = max(s.nringR for s in scheds)
+    if _qbuf_bytes(wq, ndof) + _ring_bytes(nringL, nringR, ndof) > (
+        _vmem_budget()
+    ):
+        return None
+    ns = max(s.nsteps for s in scheds)
+    eg_all, cg_all, doc_all = [], [], []
+    for s in scheds:
+        pad = ns - s.nsteps
+        eg_all.append(np.concatenate(
+            [s.eg, np.full(pad, negrp - 1, np.int32)]))
+        cg_all.append(np.concatenate(
+            [s.cg, np.full(pad, s.cg[-1], np.int32)]))
+        doc_all.append(np.concatenate([s.doc, np.zeros(pad, np.int32)]))
+    fields["pl_fs_eg"] = np.stack(eg_all)
+    fields["pl_fs_cg"] = np.stack(cg_all)
+    fields["pl_fs_doc"] = np.stack(doc_all)
+    meta = dict(
+        nsup=nsup, wq=wq, nsup_lk=nsup_lk, nsup_rk=nsup_rk,
+        fused=(ns, negrp, nringL, nringR), step=(),
+    )
+
+    # full-step schedule (unified plans only; ndof == 3 flow)
+    if want_step and ndof == 3 and all(m["unified"] for m in metas):
+        ncgrp = Ct // GT_
+        NB = -(-(Ct * 8 + wq * 8 + 8) // (GT_ * 8))
+        npad = NB - ncgrp
+        ns_st = max(s.nsteps for s in scheds) + npad
+        st = {k: [] for k in ("eg", "cg", "co", "doc")}
+        for s in scheds:
+            cgo = np.concatenate(
+                [s.cg, ncgrp + np.arange(npad, dtype=np.int32)]
+            ).astype(np.int32)
+            doc = np.concatenate([s.doc, np.ones(npad, np.int32)])
+            pad = ns_st - len(cgo)
+            # pad steps rewrite zeros to the last slack block (doc=1,
+            # co=NB-1): revisiting an output block without writing it
+            # is NOT safe under pallas block semantics
+            st["eg"].append(np.minimum(
+                np.arange(ns_st), negrp - 1).astype(np.int32))
+            st["cg"].append(np.concatenate([
+                np.minimum(cgo, ncgrp - 1),
+                np.full(pad, ncgrp - 1, np.int32),
+            ]))
+            st["co"].append(np.concatenate(
+                [cgo, np.full(pad, NB - 1, np.int32)]))
+            st["doc"].append(np.concatenate(
+                [doc, np.ones(pad, np.int32)]))
+        for k in st:
+            fields[f"pl_st_{k}"] = np.stack(st[k]).astype(np.int32)
+        meta["step"] = (ns_st, negrp, nringL, nringR, NB, ncgrp)
+    return fields, meta
+
+
+def _fused_step_interval(op, stages, exchange, B, q, t0, dt, n_steps, t_end,
+                         bv_local, ext_src):
+    """Per-shard interval loop over the fused full-step kernel (tier B).
+
+    The single-device analogue is timestepping._advance_fused_step; here
+    the state lives in tile-row layout [3, NB*GT*8, 128] per shard and the
+    halo exchange runs on the FLAT view before every RK stage (cells sit
+    at their local ids in the flat layout — pack_rows is a plain reshape —
+    so the same send/ghost index maps apply). Ghost cells' in-kernel
+    updates are incomplete (their edge sets are partial on this shard) and
+    are overwritten by the next exchange, exactly like the ghost RHS
+    entries of the two-kernel path.
+
+    Returns (q_f [3, C_loc], t_f, cmax, cedge) with cedge a shard-local
+    edge id (interior plan order, boundaries at Ei_loc + j) for
+    _finish_shard's global mapping."""
+    from ..ops.pallas.slotted import (
+        GT,
+        fused_step_slotted,
+        pack_rows,
+        slot_dirichlet_planes,
+    )
+
+    a = op.arrays
+    sm = op.pallas_step_meta
+    ns, negrp, nringL, nringR, NB, ncgrp = sm
+    rows = NB * GT * 8
+    crows = ncgrp * GT * 8
+    C_loc = op.num_cells
+    has_dir = 1 in op.pallas_bnd_kinds
+
+    dirp = None
+    if has_dir:
+        # Dirichlet values are interval-constant (the reference freezes
+        # forcing/BCs across each RDyAdvance too)
+        dirp = slot_dirichlet_planes(
+            a.pl_bnd_pos, a.pl_supL.shape[0], bv_local, op.tiny_h,
+            op.h_anuga,
+        )
+    geom2d = pack_rows(
+        jnp.stack([a.dz_dx, a.dz_dy, a.mannings_n]).astype(jnp.float32),
+        crows,
+    )
+    ext2d = (
+        pack_rows(ext_src[:3].astype(jnp.float32), crows)
+        if ext_src is not None else None
+    )
+
+    def exchange2d(q2d):
+        qf = exchange(q2d.reshape(3, -1))
+        return qf.reshape(q2d.shape)
+
+    def stage_call(q2d_s, qA2d, dt_i, coeffs):
+        alpha, beta, gfac = coeffs
+        return fused_step_slotted(
+            a, q2d_s, dt_i, sm, op.pallas_nsup, op.pallas_wq,
+            op.pallas_cd_nsup_lk, op.pallas_cd_nsup_rk,
+            op.tiny_h, op.h_anuga, op.xq2018_threshold, op.source_method,
+            op.pallas_bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
+            qA2d=qA2d, dir_planes=dirp, emit_prim=False,
+            interpret=op.pallas_interpret,
+        )
+
+    q2d0 = pack_rows(q.astype(jnp.float32), rows)
+
+    def body(i, carry):
+        qq2d, tt, cmax, cedge = carry
+        dt_i = jnp.minimum(dt, t_end - tt)
+        dt_i = jnp.maximum(dt_i, 0.0).astype(jnp.float32)
+
+        q_x = exchange2d(qq2d)
+        out1 = stage_call(q_x, None, dt_i, stages[0])
+        qs2d, cmax8, cidx8 = out1[0], out1[1], out1[2]
+        for coeffs in stages[1:]:
+            qs_x = exchange2d(qs2d)
+            out = stage_call(qs_x, q_x, dt_i, coeffs)
+            qs2d = out[0]
+
+        cm = cmax8.reshape(-1)
+        step_c = (cm.max() * dt_i).astype(cmax.dtype)
+        sedge = a.pl_slot_edge[cidx8.reshape(-1)[jnp.argmax(cm)]]
+        bigger = step_c > cmax
+        cmax = jnp.maximum(cmax, step_c)
+        cedge = jnp.where(bigger, sedge.astype(jnp.int32), cedge)
+        # dt_i == 0 freezes the state algebraically (gfac * 0 = 0 and the
+        # stage convex combinations are the identity)
+        return (qs2d, tt + dt_i, cmax, cedge)
+
+    init = (
+        q2d0, jnp.asarray(t0, jnp.float32), jnp.zeros((), jnp.float32),
+        jnp.full((), -1, jnp.int32),
+    )
+    q2d_f, t_f, cmax, cedge = jax.lax.fori_loop(
+        0, jnp.asarray(n_steps, jnp.int32), body, init
+    )
+    q_f = q2d_f.reshape(3, -1)[:, :C_loc]
+    return q_f, t_f, cmax, cedge
 
 
 class ShardedSWE:
@@ -383,6 +635,11 @@ class ShardedSWE:
         bcn = np.zeros((Pn, Eb_loc))
         bsn = np.zeros((Pn, Eb_loc))
         blen = np.zeros((Pn, Eb_loc))
+        from ..ops.swe import boundary as _bc_mod
+
+        # pad slots: reflecting ghosts of (usually dry) filler cells give
+        # finite zero-coefficient fluxes in the unified fused plans
+        btype_sh = np.full((Pn, Eb_loc), _bc_mod.BC_REFLECTING, np.int64)
         E_loc = Ei_slots + Eb_loc
         ce = np.full((Pn, C_loc, mesh.cell_edges.shape[1]), E_loc, np.int64)
         cec = np.zeros((Pn, C_loc, mesh.cell_edges.shape[1]))
@@ -533,10 +790,23 @@ class ShardedSWE:
                     bcn[p, out_j] = ref_bcn[be]
                     bsn[p, out_j] = ref_bsn[be]
                     blen[p, out_j] = ref_blen[be]
+                    btype_sh[p, out_j] = seg.bc_type
                     bnd_global_idx[p, out_j] = be
                     bnd_mask[p, out_j] = 1.0
                     emap[Ei + int(be)] = Ei_slots + out_j
                     ccoef[p, Ei_slots + out_j] = ref_ccoef[Ei + be]
+
+            # padding boundary pseudo-edges cycle through distinct trailing
+            # cell ids for the same reason as the interior pads above: the
+            # slot packer caps 8 edges per (tile, lane), so a pile of
+            # identical (DUMMY, DUMMY) pseudo-edges would churn tiles in
+            # the unified plans. Padding contributions stay zero (cn = sn
+            # = coef = 0; they never appear in the cell->edge maps).
+            bpad = np.nonzero(bnd_mask[p] == 0.0)[0]
+            if len(bpad):
+                bl[p, bpad] = C_loc - 1 - (
+                    np.arange(len(bpad)) % min(128, C_loc)
+                )
 
             if bs2002:
                 # local vertex universe: endpoints of local interior +
@@ -657,13 +927,26 @@ class ShardedSWE:
             if bs2002:
                 from ..ops.swe.bs2002 import build_bs2002_routed_plans
 
-            def shard_plan(p, rcap):
+            # unified plans (boundary edges folded in-kernel) enable the
+            # fused-RHS and full-step kernels per shard — first-order
+            # flow-only, like to_pallas_backend's single-device fold
+            unified_want = not (
+                second_order or bs2002 or hr or ref_op.num_tracers
+            ) and ref_op.ndof == N_FLOW_DOF
+
+            def shard_plan(p, rcap, with_bnd):
                 muscl_p = None
                 if second_order:
                     muscl_p = dict(
                         cell_ls_cx=cls_cx[p], cell_ls_cy=cls_cy[p],
                         int_dxl=idxl[p], int_dyl=idyl[p],
                         int_dxr=idxr[p], int_dyr=idyr[p],
+                    )
+                bnd_p = None
+                if with_bnd:
+                    bnd_p = dict(
+                        left=bl[p], cn=bcn[p], sn=bsn[p],
+                        btype=btype_sh[p],
                     )
                 return build_plan_arrays(
                     il[p], ir[p], icn[p], isn[p], ccoef[p], ce[p], cec[p],
@@ -672,28 +955,63 @@ class ShardedSWE:
                     max_sup_cd=self._pallas_max_sup_cd,
                     muscl=muscl_p,
                     cell_z=cell_z[p] if hr else None,
-                    rcap=rcap,
+                    rcap=rcap, bnd=bnd_p, ndof=ref_op.ndof,
                 )
 
             # phase 1: slot plans at a uniform R-layout height (the stacked
             # plans must share one rrows; rebuild everything at 16 colors
             # as soon as any shard needs them)
-            per_shard = []
-            rcap = "auto"
-            for p in range(Pn):
-                res = shard_plan(p, rcap)
-                if res is None:
-                    per_shard = None
-                    break
-                if rcap == "auto" and res[2]["rrows"] == 16:
-                    # res is already the 16-color plan (auto's fallback IS
-                    # pack(16)); only the earlier shards need rebuilding
-                    rcap = 16
-                    per_shard = [shard_plan(q_, 16) for q_ in range(p)]
-                    if any(r is None for r in per_shard):
-                        per_shard = None
-                        break
-                per_shard.append(res)
+            def build_all(with_bnd):
+                per = []
+                rcap = "auto"
+                for p in range(Pn):
+                    res = shard_plan(p, rcap, with_bnd)
+                    if res is None:
+                        return None
+                    if rcap == "auto" and res[2]["rrows"] == 16:
+                        # res is already the 16-color plan (auto's fallback
+                        # IS pack(16)); only earlier shards need rebuilding
+                        rcap = 16
+                        per = [shard_plan(q_, 16, with_bnd)
+                               for q_ in range(p)]
+                        if any(r is None for r in per):
+                            return None
+                    per.append(res)
+                return per
+
+            unified_used = unified_want
+            per_shard = build_all(unified_want)
+            if per_shard is not None and unified_want and not all(
+                m["unified"] for *_, m in per_shard
+            ):
+                # stacked shards must agree on the plan layout: if any
+                # shard's boundary fold failed internally, rebuild ALL
+                # shards interior-only
+                unified_used = False
+                per_shard = build_all(False)
+
+            # phase 1b: merge the fused-kernel streams (padded shapes +
+            # rebuilt schedules, one static meta for every shard); on
+            # failure with unified plans, rebuild interior-only — the
+            # two-kernel fallback cannot consume boundary-folded plans
+            fused_fields = fused_meta = None
+            if per_shard is not None and not (second_order or bs2002):
+                def _try_merge(per):
+                    return _merge_fused_plans(
+                        [pl for pl, _, _ in per],
+                        [m for *_, m in per],
+                        ndof=ref_op.ndof,
+                        want_step=unified_used,
+                    )
+
+                fm = _try_merge(per_shard)
+                if fm is None and unified_used:
+                    unified_used = False
+                    per_shard = build_all(False)
+                    if per_shard is not None:
+                        fm = _try_merge(per_shard)
+                if fm is not None:
+                    fused_fields, fused_meta = fm
 
             # phase 2: per-shard BS2002 route/accumulate plans over the
             # LOCAL cell/vertex/slot spaces (padding edges excluded: their
@@ -741,6 +1059,13 @@ class ShardedSWE:
                 pallas_fields = _stack_shard_plans(
                     [pl for pl, _, _ in per_shard]
                 )
+                if fused_fields is not None:
+                    pallas_fields.update(fused_fields)
+                else:
+                    # without a merged schedule the fused streams are dead
+                    # weight — the operator runs the two-kernel path
+                    pallas_fields.pop("pl_fz_e8", None)
+                    pallas_fields.pop("pl_fz_ef", None)
                 self._pallas_meta = dict(
                     nsup=max(m["nsup"] for _, _, m in per_shard),
                     wq=max(m["wq"] for _, _, m in per_shard),
@@ -749,6 +1074,19 @@ class ShardedSWE:
                     wl=max(m["wl"] for _, _, m in per_shard),
                     wr=max(m["wr"] for _, _, m in per_shard),
                 )
+                if fused_meta is not None:
+                    # the merged q-window/gather depths supersede the
+                    # per-shard maxima (wq grows to cover the merged nsup)
+                    self._pallas_meta.update(
+                        nsup=fused_meta["nsup"], wq=fused_meta["wq"],
+                        nsup_lk=fused_meta["nsup_lk"],
+                        nsup_rk=fused_meta["nsup_rk"],
+                        fused=fused_meta["fused"],
+                        step=fused_meta["step"],
+                        bnd_kinds=tuple(sorted(set(
+                            int(b) + 1 for b in btype_sh.reshape(-1)
+                        ))) if unified_used else (),
+                    )
                 if bs2002:
                     from ..ops.swe.bs2002 import bs_plan_to_device
 
@@ -865,8 +1203,13 @@ class ShardedSWE:
                 pallas_wq=self._pallas_meta["wq"],
                 pallas_cd_nsup_l=self._pallas_meta["nsupL"],
                 pallas_cd_nsup_r=self._pallas_meta["nsupR"],
+                pallas_cd_nsup_lk=self._pallas_meta.get("nsup_lk", ()),
+                pallas_cd_nsup_rk=self._pallas_meta.get("nsup_rk", ()),
                 pallas_cd_wl=self._pallas_meta["wl"],
                 pallas_cd_wr=self._pallas_meta["wr"],
+                pallas_fused_meta=self._pallas_meta.get("fused", ()),
+                pallas_step_meta=self._pallas_meta.get("step", ()),
+                pallas_bnd_kinds=self._pallas_meta.get("bnd_kinds", ()),
                 pallas_bs_meta=self._pallas_meta.get("bs", ()),
                 pallas_interpret=self._pallas_interpret,
             )
@@ -915,13 +1258,18 @@ class ShardedSWE:
         return float(ci[p, 0]), int(ci[p, 1])
 
     # --------------------------------------------------------------- stepping
-    def make_interval_fn(self, device_mesh: DeviceMesh, scheme: str = "euler"):
+    def make_interval_fn(self, device_mesh: DeviceMesh, scheme: str = "euler",
+                         ext_active: bool = True):
         """Build the jitted multi-device interval advancer.
 
         Returns advance(q_stacked, t0, dt, n_steps, t_end, bnd_values_global,
         ext_src_stacked) -> (q_stacked, t, max_courant, courant_info) where
         courant_info is [P, 2] per-shard (local max, global edge id); feed
         it to courant_location() for the winning (max, edge) pair.
+
+        ext_active=False elides the external-source stream from the fused
+        full-step kernel (no sources configured saves one state-sized DMA
+        per stage); the ext_src argument is then ignored on that path.
         """
         axis = self.axis_name
         op = self.op
@@ -940,6 +1288,21 @@ class ShardedSWE:
         use_nbr = self.neighbor_only and Pn > 2
         ndof = op.ndof
         Ei_glob = self.ref_op.num_internal_edges
+
+        # full-step fused path (round 4): whole RK stages run as one pallas
+        # call per shard with the state carried in tile-row layout; the
+        # halo exchange happens on the flat view before every stage, so
+        # the 2-kernel-era per-step XLA work drops to the exchange alone
+        from ..timestepping import _FUSED_STEP_STAGES
+
+        fused_stages = _FUSED_STEP_STAGES.get(scheme)
+        use_fused_step = (
+            fused_stages is not None
+            and op.edge_flux_backend == "pallas"
+            and bool(op.pallas_step_meta)
+            and ndof == N_FLOW_DOF
+            and self.dtype == jnp.float32
+        )
 
         def shard_body(arrays, send_ids, ghost_src, ghost_src_nbr,
                        int_gidx, bnd_gidx, bnd_mask,
@@ -981,6 +1344,15 @@ class ShardedSWE:
             bound_op = with_arrays(op, arrays)
             bv_local = bv_global[:, bnd_gidx] * bnd_mask
 
+            if use_fused_step:
+                q_f, t_f, cmax, cedge = _fused_step_interval(
+                    bound_op, fused_stages, exchange, self.B,
+                    q, t0, dt, n_steps, t_end, bv_local,
+                    ext_src if ext_active else None,
+                )
+                return _finish_shard(
+                    q_f, t_f, cmax, cedge, int_gidx, bnd_gidx)
+
             def body(i, carry):
                 qq, tt, cmax, cedge = carry
                 dt_i = jnp.minimum(dt, t_end - tt)
@@ -999,6 +1371,23 @@ class ShardedSWE:
                         )
                     return bound_op.apply(q_x, dt_s, bv_local, ext_src)
 
+                lin_rhs_fn = None
+                if (
+                    scheme == "beuler"
+                    and bound_op.edge_flux_backend != "xla"
+                ):
+                    # Newton-GMRES JVPs route through the XLA twin (with
+                    # the halo exchange inside, so the Jacobian is the
+                    # global one); residuals stay on the kernel path
+                    lin_bound = dataclasses.replace(
+                        bound_op, edge_flux_backend="xla"
+                    )
+
+                    def lin_rhs_fn(q_s, t_s, dt_s):
+                        return lin_bound.apply(
+                            exchange(q_s), dt_s, bv_local, ext_src
+                        )
+
                 imex_ctx = (
                     (arrays.mannings_n, bound_op.tiny_h)
                     if scheme == "ark_imex"
@@ -1006,7 +1395,7 @@ class ShardedSWE:
                 )
                 q_new, r1 = _rk_step(
                     scheme, full_rhs, qq, tt, dt_i, imex_ctx,
-                    axis_name=axis,
+                    axis_name=axis, lin_rhs_fn=lin_rhs_fn,
                 )
                 step_c = r1.max_courant_per_dt * dt_i
                 cedge = jnp.where(
@@ -1024,6 +1413,9 @@ class ShardedSWE:
             q_f, t_f, cmax, cedge = jax.lax.fori_loop(
                 0, jnp.asarray(n_steps, jnp.int32), body, init
             )
+            return _finish_shard(q_f, t_f, cmax, cedge, int_gidx, bnd_gidx)
+
+        def _finish_shard(q_f, t_f, cmax, cedge, int_gidx, bnd_gidx):
             # map the shard-local max edge to the reference op's global
             # edge id (interior edges may be pallas-reordered; int_gidx
             # follows the same reorder). The per-shard (max, edge) pair is
@@ -1040,7 +1432,7 @@ class ShardedSWE:
             else:
                 gedge = gint
             gedge = jnp.where(cedge < 0, -1, gedge)
-            cinfo = jnp.stack([cmax, gedge.astype(q.dtype)])
+            cinfo = jnp.stack([cmax, gedge.astype(self.dtype)])
             cmax = jax.lax.pmax(cmax, axis)
             return q_f[None], t_f, cmax, cinfo[None]
 

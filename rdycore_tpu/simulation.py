@@ -309,17 +309,25 @@ class Simulation:
                 + ("; tracers advance explicitly" if self.ndof > 3 else "")
             )
         if self._advance_scheme == "beuler":
-            # backward Euler via matrix-free Newton-Krylov with exact JVPs
-            # (timestepping._beuler_step; the reference's TSBEULER + SNES)
-            if config.numerics.edge_flux_backend not in ("xla", "auto"):
+            # backward Euler via matrix-free Newton-Krylov
+            # (timestepping._beuler_step; the reference's TSBEULER + SNES).
+            # On the pallas backend, residuals evaluate through the kernels
+            # and JVPs route through the XLA twin (inexact Newton); the
+            # structured raster backends reject beuler in their own checks.
+            if config.numerics.edge_flux_backend not in (
+                "xla", "auto", "pallas"
+            ):
                 raise ConfigError(
-                    "temporal: beuler requires edge_flux_backend: xla "
-                    "(jax.jvp cannot differentiate through the Pallas or "
-                    "fused-structured kernels)"
+                    "temporal: beuler requires edge_flux_backend: "
+                    "xla or pallas"
                 )
             self.log.info(
-                "beuler: backward Euler via matrix-free Newton-GMRES "
-                "(exact JVPs)"
+                "beuler: backward Euler via matrix-free Newton-GMRES"
+                + (
+                    " (kernel residuals, XLA-twin JVPs)"
+                    if config.numerics.edge_flux_backend == "pallas"
+                    else " (exact JVPs)"
+                )
             )
         self._monitors: List[Callable] = []
 
@@ -609,9 +617,21 @@ class Simulation:
             # the fused kernel has a row-strip sharded variant; the XLA
             # structured path does not (use xla/pallas for sharded rasters)
             unsupported.append("parallel.n_devices > 1")
-        if cfg.output.time_series.boundary_fluxes:
+        # dt-weighted output accounting lives in the fused stepper's carry
+        # (round 4); the XLA structured path and the sharded variant still
+        # reject it
+        accum_ok = kind == "fused_structured" and cfg.parallel.n_devices <= 1
+        wants_bflux = bool(cfg.output.time_series.boundary_fluxes)
+        wants_means = any(
+            f.endswith("_Mean") for f in (cfg.output.fields or [])
+        ) or bool(
+            cfg.output.time_series.observations.interval
+            and not cfg.output.time_series.observations
+            .time_sampling.instantaneous
+        )
+        if wants_bflux and not accum_ok:
             unsupported.append("time_series.boundary_fluxes")
-        if any(f.endswith("_Mean") for f in (cfg.output.fields or [])):
+        if wants_means and not accum_ok:
             unsupported.append("time-averaged output fields")
         if unsupported:
             raise ConfigError(
@@ -782,12 +802,22 @@ class Simulation:
                     geo_dev=geo_dev, adv=adv,
                 )
             else:
+                accum = wants_bflux or wants_means
+                bflux_fn = None
+                if wants_bflux and self.operator.num_boundary_edges:
+                    _op = self.operator
+
+                    def bflux_fn(q_flat, bv_edges):
+                        return _op.boundary_fluxes(q_flat, bv_edges)[0]
+
                 adv = make_fused_structured_stepper(
-                    plan, dzx, dzy, mann, scheme=scheme, with_src=with_src
+                    plan, dzx, dzy, mann, scheme=scheme, with_src=with_src,
+                    accumulate=accum, bflux_fn=bflux_fn,
                 )
                 self._structured = dict(
                     kind="fused", plan=plan, nx=nx, ny=ny,
                     with_src=with_src, side_cols=side_cols,
+                    accumulate=accum, bflux=bflux_fn is not None,
                     scheme=scheme, geo=(dzx, dzy, mann),
                     adv=jax.jit(
                         functools.partial(adv, interpret=interp),
@@ -851,9 +881,17 @@ class Simulation:
                 interpret=interp,
             )
             return
+        bflux_fn = None
+        if st.get("bflux"):
+            _op = self.operator
+
+            def bflux_fn(q_flat, bv_edges):
+                return _op.boundary_fluxes(q_flat, bv_edges)[0]
+
         adv = make_fused_structured_stepper(
             st["plan"], dzx, dzy, mann, scheme=st["scheme"],
             with_src=st["with_src"],
+            accumulate=st.get("accumulate", False), bflux_fn=bflux_fn,
         )
         st["adv"] = jax.jit(functools.partial(adv, interpret=interp))
 
@@ -919,6 +957,7 @@ class Simulation:
                 jnp.reshape(self.q, (N_FLOW_DOF, ny, nx)), np.float32
             )
             kwargs = dict(src=src_arg, bc_vals=bc_vals)
+            accum = st.get("accumulate", False)
             if sharded:
                 dzx_d, dzy_d, mann_d = st["geo_dev"]
                 args = (np.float32(self.t), np.float32(self.dt),
@@ -927,9 +966,21 @@ class Simulation:
             else:
                 args = (np.float32(self.t), np.float32(self.dt),
                         np.int32(n_steps), np.float32(t_end))
-            h, hu, hv, t_out, cmax = st["adv"](
+                if accum:
+                    kwargs["bv_edges"] = jnp.asarray(
+                        self.boundary_values, jnp.float32
+                    )
+            out = st["adv"](
                 pack(q3[0]), pack(q3[1]), pack(q3[2]), *args, **kwargs
             )
+            h, hu, hv, t_out, cmax = out[:5]
+            if accum:
+                bfa, asol, aprim, atime = out[5:]
+                if st.get("bflux"):
+                    self.bflux_accum += np.asarray(bfa)
+                self.accum_sol += np.asarray(asol)
+                self.accum_prim += np.asarray(aprim)
+                self.accum_time += float(atime)
             if sharded:
                 planes = [unshard_plane(np.asarray(p), gr)
                           for p in (h, hu, hv)]
@@ -953,7 +1004,8 @@ class Simulation:
         sh = self._sharded
         if self._sharded_advance is None:
             self._sharded_advance = sh.make_interval_fn(
-                self._device_mesh, self._advance_scheme
+                self._device_mesh, self._advance_scheme,
+                ext_active=self._ext_active,
             )
         if self._q_stacked is None:
             self._q_stacked = sh.scatter_state(np.asarray(self.q))
@@ -1201,6 +1253,19 @@ class Simulation:
         if not self._ext_active and np.any(src):
             self._ext_active = True
             self._advance_fn = None
+            # the sharded fused-step kernel elides the ext stream when
+            # sources were inactive at build time — rebuild it too
+            self._sharded_advance = None
+        if self._sharded is not None and self._q_stacked is not None:
+            # refresh the stacked per-shard source planes
+            s = np.zeros((self._sharded.P, self.ndof, self._sharded.C_loc))
+            C = self.mesh.num_cells
+            for p in range(self._sharded.P):
+                lo, hi = p * self._sharded.B, min(
+                    (p + 1) * self._sharded.B, C
+                )
+                s[p, :, : hi - lo] = np.asarray(src)[:, lo:hi]
+            self._src_stacked = jnp.asarray(s, self.dtype)
 
     def set_domain_water_source(self, rate: np.ndarray | float):
         """RDySetDomainWaterSource: water source for every cell [m/s]."""

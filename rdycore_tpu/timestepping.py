@@ -81,7 +81,7 @@ def _ark_imex_step(rhs_fn, q, t, dt, mannings_n, tiny_h):
 
 
 def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
-                 axis_name=None):
+                 axis_name=None, lin_rhs_fn=None):
     """One backward-Euler step via matrix-free Newton-Krylov: the residual
     R(u) = u - u^n - dt*F(u, t+dt) is driven to zero with a fixed number of
     Newton iterations, each solving (I - dt*J) du = -R by GMRES with EXACT
@@ -96,7 +96,13 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
     GLOBAL-problem ones — each shard runs the identical small dense solve
     on the replicated Hessenberg while the matvecs stay shard-local RHS
     evaluations with their usual halo exchanges (the analogue of PETSc
-    KSP's MPI-reduced dot products)."""
+    KSP's MPI-reduced dot products).
+
+    lin_rhs_fn (kernel backends): JVPs route through this differentiable
+    twin while residual evaluations stay on rhs_fn — jax.jvp cannot
+    differentiate the Pallas kernels, but Newton-GMRES only needs an
+    accurate-to-f32-rounding Jacobian (inexact Newton; the reference's
+    SNES defaults to an fd-approximated one, which is far looser)."""
     r1: RHSResult = rhs_fn(q, t, dt)
     t1 = t + dt
 
@@ -111,6 +117,10 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
 
     def F(qq):
         return rhs_fn(qq, t1, dt).rhs
+
+    F_lin = F if lin_rhs_fn is None else (
+        lambda qq: lin_rhs_fn(qq, t1, dt).rhs
+    )
 
     def res_norm(qq):
         R = qq - q - dt * F(qq)
@@ -144,7 +154,7 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
         R, rn = res_norm(qk)
 
         def Av(v):
-            return v - dt * jax.jvp(F, (qk,), (v,))[1]
+            return v - dt * jax.jvp(F_lin, (qk,), (v,))[1]
 
         dq = gmres(Av, -R)
         # Backtracking globalization: full Newton steps overshoot on
@@ -166,7 +176,7 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
 
 
 def _rk_step(scheme: str, rhs_fn, q, t, dt, imex_ctx=None,
-             axis_name=None):
+             axis_name=None, lin_rhs_fn=None):
     """One step; rhs_fn(q, t, dt) -> RHSResult. Returns the new q and
     the first-stage RHSResult (used for diagnostics, matching the reference's
     per-apply accumulation under forward euler). For ark_imex, rhs_fn must be
@@ -176,7 +186,8 @@ def _rk_step(scheme: str, rhs_fn, q, t, dt, imex_ctx=None,
         mannings_n, tiny_h = imex_ctx
         return _ark_imex_step(rhs_fn, q, t, dt, mannings_n, tiny_h)
     if scheme == TEMPORAL_BEULER:
-        return _beuler_step(rhs_fn, q, t, dt, axis_name=axis_name)
+        return _beuler_step(rhs_fn, q, t, dt, axis_name=axis_name,
+                            lin_rhs_fn=lin_rhs_fn)
     r1: RHSResult = rhs_fn(q, t, dt)
     if scheme == TEMPORAL_EULER:
         q_new = q + dt * r1.rhs
@@ -243,6 +254,16 @@ def make_interval_advancer(
         # them through), so flow + tracers is supported.
         base_op = dataclasses.replace(op, source_method=SOURCE_NONE)
 
+    # beuler on kernel backends (round 4): residuals evaluate through the
+    # Pallas kernels while Newton-GMRES JVPs route through the XLA twin on
+    # the SAME (possibly plan-reordered) arrays — the gather-form XLA path
+    # is edge-order-independent, so the twin computes the identical rhs
+    # and jax.jvp can differentiate it (reference: TSBEULER + SNES,
+    # rdysetup.c:1183-1196)
+    lin_base_op = None
+    if scheme == TEMPORAL_BEULER and base_op.edge_flux_backend != "xla":
+        lin_base_op = dataclasses.replace(base_op, edge_flux_backend="xla")
+
     # fused full-step path: whole RK stages run as one pallas call each
     # with the state carried in tile-row layout (ops/pallas/slotted.py
     # fused_step_slotted) — per-step XLA work drops to scalars. Only for
@@ -296,12 +317,20 @@ def make_interval_advancer(
             def rhs_fn(q_s, t_s, dt_s):
                 return bound_op.apply(q_s, dt_s, bv, es)
 
+            lin_rhs_fn = None
+            if lin_base_op is not None:
+                lin_bound = with_arrays(lin_base_op, arrays)
+
+                def lin_rhs_fn(q_s, t_s, dt_s):
+                    return lin_bound.apply(q_s, dt_s, bv, es)
+
             imex_ctx = (
                 (arrays.mannings_n, bound_op.tiny_h)
                 if scheme == TEMPORAL_ARK_IMEX
                 else None
             )
-            q_new, r1 = _rk_step(scheme, rhs_fn, qq, tt, dt_i, imex_ctx)
+            q_new, r1 = _rk_step(scheme, rhs_fn, qq, tt, dt_i, imex_ctx,
+                                 lin_rhs_fn=lin_rhs_fn)
             # step-level Courant (uses the actual step dt)
             step_courant = r1.max_courant_per_dt * dt_i
             bigger = step_courant > cmax

@@ -70,9 +70,12 @@ def test_vmapped_ensemble_with_pallas_backend(tmp_path):
     cfg_p.numerics.cell_ordering = "rcm"
     cfg_p.validate()
     ens_p = EnsembleSimulation(cfg_p)
-    # the kernels stay active; the ensemble switches to the member scan
+    # the kernels stay active; with enough devices the members map one-
+    # per-device over a `member` mesh axis (round 4: concurrent comm-split
+    # semantics, src/ensemble.c:11-16), else a sequential member scan
     assert ens_p.members[0].operator.edge_flux_backend == "pallas"
     assert ens_p._member_scan
+    assert ens_p._member_mesh  # conftest provides 8 CPU devices, size = 2
     while not ens_p.finished:
         ens_p.advance()
 
@@ -81,3 +84,18 @@ def test_vmapped_ensemble_with_pallas_backend(tmp_path):
         # internal cell orders differ (rcm vs file); compare sorted values
         rel = np.abs(np.sort(hp) - np.sort(hx)) / (1.0 + np.abs(np.sort(hx)))
         assert rel.max() < 1e-5
+
+    # the sequential member-scan fallback (fewer devices than members)
+    # computes the same thing
+    cfg_s = _cfg(tmp_path, stop_n=10)
+    cfg_s.numerics.edge_flux_backend = "pallas"
+    cfg_s.numerics.cell_ordering = "rcm"
+    cfg_s.validate()
+    ens_s = EnsembleSimulation(cfg_s)
+    ens_s._member_mesh = False
+    while not ens_s.finished:
+        ens_s.advance()
+    for mp, ms in zip(ens_p.members, ens_s.members):
+        np.testing.assert_allclose(
+            ms.get_height(), mp.get_height(), atol=1e-6
+        )
