@@ -61,8 +61,10 @@ def _ghost(bc, h, hu, hv, sn, cn, tiny_h, h_anuga, dirichlet=None):
     """Wall ghost state for a 1-D strip of boundary cells."""
     if bc == bc_mod.BC_DIRICHLET:
         # prescribed (h, hu, hv) per wall cell (swe_fluxes_ceed.h:104-156:
-        # ghost = the Dirichlet state, flux = roe(interior, ghost))
-        return dirichlet
+        # ghost = the Dirichlet state, flux = roe(interior, ghost));
+        # tracer rows (if prescribed too) are handled by _ghost_hc
+        d = jnp.asarray(dirichlet)
+        return d[0], d[1], d[2]
     u, v = regularized_velocity(h, hu, hv, tiny_h, h_anuga)
     if bc == bc_mod.BC_REFLECTING:
         hg, ug, vg = bc_mod.reflecting_ghost(h, u, v, sn, cn)
@@ -78,12 +80,19 @@ def _ghost(bc, h, hu, hv, sn, cn, tiny_h, h_anuga, dirichlet=None):
     raise ValueError(f"unsupported wall BC {bc} for the fused kernel")
 
 
-def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None):
+def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None,
+                     hc=None):
     """Fill the 1-cell ghost frame of padded planes from the wall BCs.
 
-    bc_vals: optional dict side -> (h, hu, hv) 1-D arrays of prescribed
-    Dirichlet values along that wall (sides "left"/"right" length ny,
-    "bottom"/"top" length nx)."""
+    bc_vals: optional dict side -> (h, hu, hv[, hc_1..hc_nt]) 1-D arrays of
+    prescribed Dirichlet values along that wall (sides "left"/"right"
+    length ny, "bottom"/"top" length nx).
+
+    hc ([nt, nyp, nxp] tracer planes): ghost tracer mass follows the
+    coupled twin's conventions (operator._apply_tracers) — reflecting and
+    critical-outflow ghosts keep the interior concentration (hc_g =
+    h_g * c_int), Dirichlet ghosts take the prescribed hc rows. Returns
+    (h, hu, hv[, hc])."""
     nx, ny = plan.nx, plan.ny
     th, ta = plan.tiny_h, plan.h_anuga
     one = jnp.float32(1.0)
@@ -92,11 +101,23 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None):
     c0, c1 = GC, GC + nx
     bc_vals = bc_vals or {}
 
+    def _ghost_hc(bc, h_int, hc_int, hg, dirichlet):
+        if bc == bc_mod.BC_DIRICHLET:
+            return jnp.asarray(dirichlet)[3:]
+        hden = jnp.where(jnp.abs(h_int) > 0.0, h_int, 1.0)
+        c_int = jnp.where(h_int > th, hc_int / hden, 0.0)
+        return hg * c_int
+
     # left wall: outward normal (-1, 0)
     hg, hug, hvg = _ghost(
         plan.bc_left, h[r0:r1, c0], hu[r0:r1, c0], hv[r0:r1, c0],
         zero, -one, th, ta, bc_vals.get("left"),
     )
+    if hc is not None:
+        hc = hc.at[:, r0:r1, c0 - 1].set(_ghost_hc(
+            plan.bc_left, h[r0:r1, c0], hc[:, r0:r1, c0], hg,
+            bc_vals.get("left"),
+        ))
     h = h.at[r0:r1, c0 - 1].set(hg)
     hu = hu.at[r0:r1, c0 - 1].set(hug)
     hv = hv.at[r0:r1, c0 - 1].set(hvg)
@@ -105,6 +126,11 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None):
         plan.bc_right, h[r0:r1, c1 - 1], hu[r0:r1, c1 - 1], hv[r0:r1, c1 - 1],
         zero, one, th, ta, bc_vals.get("right"),
     )
+    if hc is not None:
+        hc = hc.at[:, r0:r1, c1].set(_ghost_hc(
+            plan.bc_right, h[r0:r1, c1 - 1], hc[:, r0:r1, c1 - 1], hg,
+            bc_vals.get("right"),
+        ))
     h = h.at[r0:r1, c1].set(hg)
     hu = hu.at[r0:r1, c1].set(hug)
     hv = hv.at[r0:r1, c1].set(hvg)
@@ -113,6 +139,11 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None):
         plan.bc_bottom, h[r0, c0:c1], hu[r0, c0:c1], hv[r0, c0:c1],
         -one, zero, th, ta, bc_vals.get("bottom"),
     )
+    if hc is not None:
+        hc = hc.at[:, r0 - 1, c0:c1].set(_ghost_hc(
+            plan.bc_bottom, h[r0, c0:c1], hc[:, r0, c0:c1], hg,
+            bc_vals.get("bottom"),
+        ))
     h = h.at[r0 - 1, c0:c1].set(hg)
     hu = hu.at[r0 - 1, c0:c1].set(hug)
     hv = hv.at[r0 - 1, c0:c1].set(hvg)
@@ -121,25 +152,42 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None):
         plan.bc_top, h[r1 - 1, c0:c1], hu[r1 - 1, c0:c1], hv[r1 - 1, c0:c1],
         one, zero, th, ta, bc_vals.get("top"),
     )
+    if hc is not None:
+        hc = hc.at[:, r1, c0:c1].set(_ghost_hc(
+            plan.bc_top, h[r1 - 1, c0:c1], hc[:, r1 - 1, c0:c1], hg,
+            bc_vals.get("top"),
+        ))
     h = h.at[r1, c0:c1].set(hg)
     hu = hu.at[r1, c0:c1].set(hug)
     hv = hv.at[r1, c0:c1].set(hvg)
+    if hc is not None:
+        return h, hu, hv, hc
     return h, hu, hv
 
 
 def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
             *rest,
             nxp, ty, gr, tiny_h, h_anuga, inv_dx, inv_dy,
-            with_src=False, emit_rhs=False):
+            with_src=False, emit_rhs=False, nt=0, num_sediment=0,
+            sed_params=None, upwind=False):
     if with_src:
         src_hbm = rest[0]
         rest = rest[1:]
+    if nt:
+        hc_hbm = rest[0]  # [nt, nyp, nxp] tracer planes, stacked
+        rest = rest[1:]
     ho_ref, huo_ref, hvo_ref, cmax_ref = rest[:4]
     rest = rest[4:]
+    if nt:
+        hco_ref = rest[0]  # [nt, ty, nxp] output block
+        rest = rest[1:]
     hw, huw, hvw, dzxw, dzyw, mw = rest[:6]
     rest = rest[6:]
     if with_src:
         srcw = rest[0]
+        rest = rest[1:]
+    if nt:
+        hcw = rest[0]  # [2, nt, ty+16, nxp] tracer window
         rest = rest[1:]
     sem_state, sem_geom = rest
 
@@ -151,13 +199,19 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     def _state_dma(slot, tt):
         # window rows [tt*ty + gr - 8, +ty+16): 8-row halo blocks around it
         rr = pl.multiple_of(tt * ty + (gr - 8), 8)
-        return [
+        copies = [
             pltpu.make_async_copy(
                 src.at[pl.ds(rr, ty + 16), :], dst.at[slot],
                 sem_state.at[slot],
             )
             for src, dst in ((h_hbm, hw), (hu_hbm, huw), (hv_hbm, hvw))
         ]
+        if nt:
+            copies.append(pltpu.make_async_copy(
+                hc_hbm.at[:, pl.ds(rr, ty + 16), :], hcw.at[slot],
+                sem_state.at[slot],
+            ))
+        return copies
 
     def _geom_dma(slot, tt):
         pairs = [(dzx_hbm, dzxw), (dzy_hbm, dzyw), (mann_hbm, mw)]
@@ -203,43 +257,72 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     # sqrt(h) on both sides of every face; computing it per (face, side)
     # would cost 4x the transcendental work)
     sqs = jnp.sqrt(jnp.maximum(hs, 0.0))
+    if nt:
+        # concentrations per cell (safe_div twin: guarded by wet depth)
+        hcs = hcw[slot, :, 7:9 + ty, :]
+        hden = jnp.where(jnp.abs(hs) > 0.0, hs, 1.0)
+        cts = jnp.where(hs > tiny_h, hcs / hden, 0.0)  # [nt, rows, nxp]
 
     def eshift(x):
-        # x[:, c] -> x[:, c+1] (lane roll)
-        return pltpu.roll(x, x.shape[1] - 1, 1)
+        # x[..., c] -> x[..., c+1] (lane roll)
+        return pltpu.roll(x, x.shape[-1] - 1, x.ndim - 1)
 
     ci = slice(1, 1 + ty)  # interior rows within the [7, 9+ty) slice
 
     # east-face fluxes on interior rows (normal +x): roe(q[c], q[c+1])
     hc, uc, vc = hs[ci], us[ci], vs[ci]
     hE, uE, vE = (eshift(x)[ci] for x in (hs, us, vs))
-    fxh, fxhu, fxhv, ax = roe_flux(
+    tx = dict(cil=cts[:, ci], cir=eshift(cts)[:, ci], upwind=upwind) \
+        if nt else {}
+    fx_all = roe_flux(
         hc, uc, vc, hE, uE, vE, 0.0, 1.0,
-        sqrt_hl=sqs[ci], sqrt_hr=eshift(sqs)[ci], fast=True,
+        sqrt_hl=sqs[ci], sqrt_hr=eshift(sqs)[ci], fast=True, **tx,
     )
-    mx = jnp.where((hc < tiny_h) & (hE < tiny_h), 0.0, 1.0)
+    fxh, fxhu, fxhv, ax = fx_all[:4]
+    if nt:
+        # the coupled-system twin keeps either-wet fluxes with strict >
+        # (operator._apply tracer mask); the pure-flow kernel's both-dry
+        # zeroing is the complement up to h == tiny_h exactly
+        mx = jnp.where((hc > tiny_h) | (hE > tiny_h), 1.0, 0.0)
+    else:
+        mx = jnp.where((hc < tiny_h) & (hE < tiny_h), 0.0, 1.0)
     fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
+    if nt:
+        fxc = fx_all[4] * mx
 
     # north-face fluxes on rows [7, 8+ty) (normal +y): roe(q[r], q[r+1]);
     # local fy row i = north face of window row 7+i, so rows 0..ty cover
     # the south face of the first interior row through the top-wall face
     cs = slice(0, 1 + ty)
     cn_ = slice(1, 2 + ty)
-    fyh, fyhu, fyhv, ay = roe_flux(
+    ty_ = dict(cil=cts[:, cs], cir=cts[:, cn_], upwind=upwind) \
+        if nt else {}
+    fy_all = roe_flux(
         hs[cs], us[cs], vs[cs], hs[cn_], us[cn_], vs[cn_], 1.0, 0.0,
-        sqrt_hl=sqs[cs], sqrt_hr=sqs[cn_], fast=True,
+        sqrt_hl=sqs[cs], sqrt_hr=sqs[cn_], fast=True, **ty_,
     )
-    my = jnp.where((hs[cs] < tiny_h) & (hs[cn_] < tiny_h), 0.0, 1.0)
+    fyh, fyhu, fyhv, ay = fy_all[:4]
+    if nt:
+        my = jnp.where((hs[cs] > tiny_h) | (hs[cn_] > tiny_h), 1.0, 0.0)
+    else:
+        my = jnp.where((hs[cs] < tiny_h) & (hs[cn_] < tiny_h), 0.0, 1.0)
     fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my
+    if nt:
+        fyc = fy_all[4] * my
 
     def div(fx, fy):
-        dwx = (fx - pltpu.roll(fx, 1, 1)) * inv_dx  # east - west
-        dwy = (fy[1:] - fy[:-1]) * inv_dy  # north - south
+        dwx = (fx - pltpu.roll(fx, 1, fx.ndim - 1)) * inv_dx  # east - west
+        # north - south along the row axis
+        dwy = (
+            fy[..., 1:, :] - fy[..., :-1, :]
+        ) * inv_dy
         return -(dwx + dwy)
 
     dh = div(fxh, fyh)
     dhu = div(fxhu, fyhu)
     dhv = div(fxhv, fyhv)
+    if nt:
+        dhc = div(fxc, fyc)  # [nt, ty, nxp]
 
     for d in _geom_dma(slot, t):
         d.wait()
@@ -266,16 +349,47 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     rhu = dhu - bedx - tbx
     rhv = dhv - bedy - tby
 
+    if nt:
+        # erosion/deposition sources for the sediment classes
+        # (ops/tracer/sources.py twin; Hairsine-Rose,
+        # tracer_sources_ceed.h:37-160); salinity/heat advect passively.
+        # The coupled twin's wet condition is strict (h > tiny_h).
+        hcc = hcw[slot, :, 8:8 + ty, :]  # [nt, ty, nxp] interior rows
+        wet_t = hc > tiny_h
+        cc = jnp.where(wet_t, hcc / jnp.where(wet_t, hc, 1.0), 0.0)
+        rhc = dhc
+        if num_sediment:
+            kp, ws, tau_ce, tau_cd, rhow = sed_params
+            tau_b = 0.5 * jnp.float32(rhow) * cd * (uu * uu + vv * vv)
+            e = jnp.float32(kp) * (
+                tau_b - jnp.float32(tau_ce)
+            ) / jnp.float32(tau_ce)
+            d = jnp.float32(ws) * cc * (
+                1.0 - tau_b / jnp.float32(tau_cd)
+            )
+            ed = jnp.where(wet_t, e[None] - d, 0.0)
+            if num_sediment < nt:
+                smask = (
+                    jax.lax.broadcasted_iota(jnp.int32, (nt, 1, 1), 0)
+                    < num_sediment
+                ).astype(jnp.float32)
+                ed = ed * smask
+            rhc = rhc + ed
+
     if emit_rhs:
         # rhs mode (multi-stage integrators compose stages in XLA); the
         # friction factor above still uses the true dt (semi-implicit)
         ho_ref[:] = rh
         huo_ref[:] = rhu
         hvo_ref[:] = rhv
+        if nt:
+            hco_ref[:] = rhc
     else:
         ho_ref[:] = hc + dt * rh
         huo_ref[:] = huc + dt * rhu
         hvo_ref[:] = hvc + dt * rhv
+        if nt:
+            hco_ref[:] = hcc + dt * rhc
 
     # Courant over physical faces only:
     # - x-faces: columns GC-1 .. GC+nx-1 (left wall .. right wall); ax rows
@@ -297,7 +411,11 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                                   scheme: str = "euler",
                                   with_src: bool = False,
                                   accumulate: bool = False,
-                                  bflux_fn=None):
+                                  bflux_fn=None,
+                                  num_tracers: int = 0,
+                                  num_sediment: int = 0,
+                                  sed_params=None,
+                                  riemann: str = "roe"):
     """Returns advance(h, hu, hv [padded planes], t0, dt, n_steps, t_end,
     [dzx, dzy, mann, src, bc_vals]) -> (h, hu, hv, t, cmax). Planes stay
     padded (gr = plan.gr rows) across steps; larger gr (= taller row tiles)
@@ -316,7 +434,20 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
     (q_flat [3, ny*nx], bv_edges) -> [3, Eb] supplies the per-boundary-edge
     Roe fluxes (the simulation passes the unstructured twin's
     SWEOperator.boundary_fluxes); advance then takes bv_edges as a
-    keyword arg."""
+    keyword arg.
+
+    num_tracers > 0 (round 4, VERDICT r3 #5): advance() threads one extra
+    [nt, nyp, nxp] stacked tracer-mass plane (hc) through the kernel —
+    tracer fluxes share the flow Roe eigensystem in-kernel (Roe advected
+    waves, or upwind-Roe with riemann='upwind_roe';
+    tracer_fluxes_ceed.h:80-206) and the sediment classes get Hairsine-
+    Rose erosion/deposition sources (sed_params: ops/tracer/sources.py
+    SedimentParams)."""
+    nt = int(num_tracers)
+    if nt and sed_params is None:
+        from ..tracer.sources import SedimentParams
+
+        sed_params = SedimentParams()
     nx, ny = plan.nx, plan.ny
     ty = plan.gr
     if ty < 8 or ty % 8:
@@ -339,18 +470,25 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
             tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
             inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
             with_src=with_src, emit_rhs=emit_rhs,
+            nt=nt, num_sediment=int(num_sediment),
+            sed_params=tuple(sed_params) if nt else None,
+            upwind=riemann == "upwind_roe",
         )
+        nyp = ny + 2 * ty
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,  # dt (as a f32 array of length 1)
             grid=(ntiles,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
-            * (7 if with_src else 6),
+            * ((7 if with_src else 6) + (1 if nt else 0)),
             out_specs=[
                 pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 128), lambda t, d: (0, t), memory_space=pltpu.VMEM),
-            ],
+            ] + ([
+                pl.BlockSpec((nt, ty, nxp), lambda t, d: (0, t + 1, 0),
+                             memory_space=pltpu.VMEM),
+            ] if nt else []),
             scratch_shapes=[
                 pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
                 pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
@@ -359,44 +497,55 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                 pltpu.VMEM((2, ty, nxp), jnp.float32),
                 pltpu.VMEM((2, ty, nxp), jnp.float32),
             ] + ([pltpu.VMEM((2, ty, nxp), jnp.float32)] if with_src else [])
+            + ([pltpu.VMEM((2, nt, ty + 16, nxp), jnp.float32)]
+               if nt else [])
             + [
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         )
-        nyp = ny + 2 * ty
         out_shape = [
             jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
             jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
             jax.ShapeDtypeStruct((nyp, nxp), jnp.float32),
             jax.ShapeDtypeStruct((1, ntiles * 128), jnp.float32),
-        ]
+        ] + (
+            [jax.ShapeDtypeStruct((nt, nyp, nxp), jnp.float32)]
+            if nt else []
+        )
         return kernel, grid_spec, out_shape
 
     kern_upd = build_call(emit_rhs=False)
     kern_rhs = build_call(emit_rhs=True) if scheme == "rk4" else None
 
-    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, src, bc_vals,
+    def one_step(h, hu, hv, hc, dt_arr, dzx, dzy, mann, src, bc_vals,
                  interpret=False, emit_rhs=False):
-        h, hu, hv = fill_ghost_frame(plan, h, hu, hv, bc_vals)
+        if nt:
+            h, hu, hv, hc = fill_ghost_frame(plan, h, hu, hv, bc_vals, hc)
+        else:
+            h, hu, hv = fill_ghost_frame(plan, h, hu, hv, bc_vals)
         kernel, grid_spec, out_shape = kern_rhs if emit_rhs else kern_upd
         args = (dt_arr, h, hu, hv, dzx, dzy, mann)
         if with_src:
             args = args + (src,)
+        if nt:
+            args = args + (hc,)
         # raise Mosaic's scoped-VMEM cap (default 16MB) toward the chip's
         # physical VMEM: wide meshes (nx >= 8192 -> 8448-col blocks) need
         # ~20-32MB of stack for the flux temporaries at ty=8..16
-        ho, huo, hvo, cm = pl.pallas_call(
+        out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
         )(*args)
+        ho, huo, hvo, cm = out[:4]
+        hco = out[4] if nt else None
         # the kernel writes the interior row blocks of full padded planes;
         # the ghost frame (unwritten garbage) is refreshed at the start of
         # the next step, so the outputs ARE the new state -- no re-splice
-        return ho, huo, hvo, cm.max()
+        return ho, huo, hvo, hco, cm.max()
 
     r0a, r1a = ty, ty + ny
     c0a, c1a = GC, GC + nx
@@ -408,7 +557,7 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
 
     def advance(h, hu, hv, t0, dt, n_steps, t_end,
                 dzx=None, dzy=None, mann=None, src=None, bc_vals=None,
-                bv_edges=None, interpret=False):
+                bv_edges=None, hc=None, interpret=False):
         # geometry planes default to the factory-captured constants; VERY
         # large meshes should pass them as runtime args instead (constants
         # are inlined into the compiled program -- a 184M-cell mesh bakes
@@ -416,24 +565,37 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
         dzx = dzx_p if dzx is None else dzx
         dzy = dzy_p if dzy is None else dzy
         mann = mann_p if mann is None else mann
+        if nt and hc is None:
+            raise ValueError("num_tracers > 0 needs an hc plane stack")
 
-        def E(hh, huu, hvv, dt_arr):
-            return one_step(
-                hh, huu, hvv, dt_arr, dzx, dzy, mann, src, bc_vals,
-                interpret=interpret,
+        # the state is a (h, hu, hv[, hc]) tuple; the scheme combinators
+        # apply the same convex combinations / RK weights to every member
+        st0 = (h, hu, hv) + ((hc,) if nt else ())
+
+        def E(st, dt_arr, emit_rhs=False):
+            hh, huu, hvv = st[:3]
+            out = one_step(
+                hh, huu, hvv, st[3] if nt else None, dt_arr, dzx, dzy,
+                mann, src, bc_vals, interpret=interpret,
+                emit_rhs=emit_rhs,
             )
+            stn = out[:3] + ((out[3],) if nt else ())
+            return stn, out[4]
+
+        def lin(a, sa, b, sb):
+            return tuple(a_i * sa + b_i * sb for a_i, b_i in zip(a, b))
 
         def body(i, carry):
             if accumulate:
-                h, hu, hv, tt, cmax, bfa, asol, aprim, atime = carry
+                st, tt, cmax, bfa, asol, aprim, atime = carry
             else:
-                h, hu, hv, tt, cmax = carry
+                st, tt, cmax = carry
             dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
             dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
             if accumulate:
                 # dt-weighted accounting of the PRE-STEP state, matching
                 # the unstructured interval advancer (timestepping.py)
-                q_flat = _interior_flat(h, hu, hv)
+                q_flat = _interior_flat(*st[:3])
                 u, v = regularized_velocity(
                     q_flat[0], q_flat[1], q_flat[2],
                     jnp.float32(plan.tiny_h), jnp.float32(plan.h_anuga),
@@ -450,52 +612,41 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                         bfa + dt_i * bflux_fn(q_flat, bv_edges)
                     ).astype(jnp.float32)
             if scheme == "euler":
-                hn, hun, hvn, cm = E(h, hu, hv, dt_arr)
+                stn, cm = E(st, dt_arr)
             elif scheme == "ssprk2":
                 # Shu-Osher: u1 = E(u); u' = (u + E(u1)) / 2
-                h1, hu1, hv1, cm = E(h, hu, hv, dt_arr)
-                h2, hu2, hv2, _ = E(h1, hu1, hv1, dt_arr)
-                hn = 0.5 * h + 0.5 * h2
-                hun = 0.5 * hu + 0.5 * hu2
-                hvn = 0.5 * hv + 0.5 * hv2
+                st1, cm = E(st, dt_arr)
+                st2, _ = E(st1, dt_arr)
+                stn = lin(st, 0.5, st2, 0.5)
             elif scheme == "ssprk3":
-                h1, hu1, hv1, cm = E(h, hu, hv, dt_arr)
-                h2, hu2, hv2, _ = E(h1, hu1, hv1, dt_arr)
-                h2 = 0.75 * h + 0.25 * h2
-                hu2 = 0.75 * hu + 0.25 * hu2
-                hv2 = 0.75 * hv + 0.25 * hv2
-                h3, hu3, hv3, _ = E(h2, hu2, hv2, dt_arr)
+                st1, cm = E(st, dt_arr)
+                st2, _ = E(st1, dt_arr)
+                st2 = lin(st, 0.75, st2, 0.25)
+                st3, _ = E(st2, dt_arr)
                 third = jnp.float32(1.0 / 3.0)
-                hn = third * h + (1.0 - third) * h3
-                hun = third * hu + (1.0 - third) * hu3
-                hvn = third * hv + (1.0 - third) * hv3
+                stn = lin(st, third, st3, 1.0 - third)
             else:  # rk4 from rhs-mode kernel calls
-                def R(hh, huu, hvv):
-                    return one_step(
-                        hh, huu, hvv, dt_arr, dzx, dzy, mann, src, bc_vals,
-                        interpret=interpret, emit_rhs=True,
-                    )
+                def R(s):
+                    return E(s, dt_arr, emit_rhs=True)
 
-                k1h, k1u, k1v, cm = R(h, hu, hv)
+                k1, cm = R(st)
                 hdt = 0.5 * dt_i
-                k2h, k2u, k2v, _ = R(h + hdt * k1h, hu + hdt * k1u,
-                                     hv + hdt * k1v)
-                k3h, k3u, k3v, _ = R(h + hdt * k2h, hu + hdt * k2u,
-                                     hv + hdt * k2v)
-                k4h, k4u, k4v, _ = R(h + dt_i * k3h, hu + dt_i * k3u,
-                                     hv + dt_i * k3v)
+                k2, _ = R(lin(st, 1.0, k1, hdt))
+                k3, _ = R(lin(st, 1.0, k2, hdt))
+                k4, _ = R(lin(st, 1.0, k3, dt_i))
                 w = dt_i / 6.0
-                hn = h + w * (k1h + 2 * k2h + 2 * k3h + k4h)
-                hun = hu + w * (k1u + 2 * k2u + 2 * k3u + k4u)
-                hvn = hv + w * (k1v + 2 * k2v + 2 * k3v + k4v)
+                stn = tuple(
+                    s + w * (a + 2 * b + 2 * c + d)
+                    for s, a, b, c, d in zip(st, k1, k2, k3, k4)
+                )
             # dt_i == 0 leaves the state unchanged (q + 0 * rhs for euler;
             # convex combos of unchanged states for the SSP schemes)
-            out = (hn, hun, hvn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
+            out = (stn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
             if accumulate:
                 out = out + (bfa, asol, aprim, atime)
             return out
 
-        init = (h, hu, hv, jnp.float32(t0), jnp.float32(0.0))
+        init = (st0, jnp.float32(t0), jnp.float32(0.0))
         if accumulate:
             Eb = bv_edges.shape[1] if bv_edges is not None else 1
             init = init + (
@@ -504,7 +655,12 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                 jnp.zeros((3, ny * nx), jnp.float32),
                 jnp.float32(0.0),
             )
-        return jax.lax.fori_loop(0, jnp.asarray(n_steps, jnp.int32), body, init)
+        res = jax.lax.fori_loop(
+            0, jnp.asarray(n_steps, jnp.int32), body, init
+        )
+        st_f = res[0]
+        # flatten back to the historical (h, hu, hv[, hc], t, cmax[, ...])
+        return st_f + tuple(res[1:])
 
     return advance
 

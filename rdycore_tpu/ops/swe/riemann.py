@@ -86,13 +86,20 @@ def roe_eigenspectrum(hl, ul, vl, hr, ur, vr, sn, cn):
 
 
 def roe_flux(
-    hl, ul, vl, hr, ur, vr, sn, cn, sqrt_hl=None, sqrt_hr=None, fast=False
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    hl, ul, vl, hr, ur, vr, sn, cn, sqrt_hl=None, sqrt_hr=None, fast=False,
+    cil=None, cir=None, upwind=False,
+) -> Tuple[jnp.ndarray, ...]:
     """Roe flux through edges for the 2-D shallow water equations.
 
     All inputs are arrays of the same shape [...]. Velocities must already be
     regularized (see `regularized_velocity`). Returns (f_h, f_hu, f_hv, amax)
     where amax is the max wave speed |u_perp| + c_hat.
+
+    cil/cir ([nt, ...] tracer concentrations): also return f_tracer as a
+    5th element, sharing this eigensystem — the same math as
+    ops.tracer.flux.tracer_roe_flux (Roe advected waves, or upwinded by
+    the sign of the h-flux when upwind=True; tracer_roe_flux_ceed.h:18-170)
+    but reusing the fast path's per-cell sqrt/rsqrt work.
 
     sqrt_hl/sqrt_hr: optional precomputed sqrt(max(h, 0)). A cell's sqrt
     feeds all four of its faces in a structured sweep, so kernels that
@@ -193,7 +200,20 @@ def roe_flux(
     )
 
     amax = chat + jnp.abs(uperp)
-    return f_h, f_hu, f_hv, amax
+    if cil is None:
+        return f_h, f_hu, f_hv, amax
+
+    fl_c = hl_s * uperpl * cil  # [nt, ...]
+    fr_c = hr_s * uperpr * cir
+    if upwind:
+        c_up = jnp.where(f_h >= 0.0, cil, cir)
+        f_tracer = f_h * c_up
+    else:
+        cihat = (duml * cil + dumr * cir) * inv_denom
+        dch = cir * hr_s - cil * hl_s
+        dW_c = dch - cihat * dh
+        f_tracer = 0.5 * (fl_c + fr_c - cihat * (A0dW0 + A2dW2) - a2 * dW_c)
+    return f_h, f_hu, f_hv, amax, f_tracer
 
 
 def regularized_velocity(h, hu, hv, tiny_h, h_anuga):

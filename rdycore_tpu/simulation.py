@@ -607,7 +607,11 @@ class Simulation:
             )
         nx, ny, dx, dy = raster
         unsupported = []
-        if self.num_tracers:
+        if self.num_tracers and not (
+            kind == "fused_structured" and cfg.parallel.n_devices <= 1
+        ):
+            # the fused kernel advects tracers in-kernel (round 4); the
+            # XLA structured path and the sharded strips do not (yet)
             unsupported.append("tracers/sediment")
         if cfg.numerics.second_order:
             unsupported.append("second_order")
@@ -709,6 +713,12 @@ class Simulation:
             raise ConfigError(
                 "edge_flux_backend: structured does not support "
                 "parallel.n_devices > 1"
+            )
+        if kind == "structured" and self.num_tracers:
+            raise ConfigError(
+                "edge_flux_backend: structured does not support tracers "
+                "(use fused_structured on a 128-aligned raster, or "
+                "xla/pallas)"
             )
         if kind == "fused_structured":
             from .ops.pallas.structured_step import (
@@ -813,6 +823,9 @@ class Simulation:
                 adv = make_fused_structured_stepper(
                     plan, dzx, dzy, mann, scheme=scheme, with_src=with_src,
                     accumulate=accum, bflux_fn=bflux_fn,
+                    num_tracers=self.num_tracers,
+                    num_sediment=self.num_sediment,
+                    riemann=cfg.numerics.riemann,
                 )
                 self._structured = dict(
                     kind="fused", plan=plan, nx=nx, ny=ny,
@@ -892,6 +905,9 @@ class Simulation:
             st["plan"], dzx, dzy, mann, scheme=st["scheme"],
             with_src=st["with_src"],
             accumulate=st.get("accumulate", False), bflux_fn=bflux_fn,
+            num_tracers=self.num_tracers,
+            num_sediment=self.num_sediment,
+            riemann=self.config.numerics.riemann,
         )
         st["adv"] = jax.jit(functools.partial(adv, interpret=interp))
 
@@ -946,17 +962,23 @@ class Simulation:
             bc_vals = None
             if st["side_cols"]:
                 bv = self.boundary_values
+                # all ndof rows: Dirichlet tracer walls prescribe hc too
                 bc_vals = {
                     side: tuple(
                         jnp.asarray(bv[row, cols], jnp.float32)
-                        for row in range(N_FLOW_DOF)
+                        for row in range(self.ndof)
                     )
                     for side, cols in st["side_cols"].items()
                 }
             q3 = np.asarray(
-                jnp.reshape(self.q, (N_FLOW_DOF, ny, nx)), np.float32
+                jnp.reshape(self.q, (self.ndof, ny, nx)), np.float32
             )
             kwargs = dict(src=src_arg, bc_vals=bc_vals)
+            nt = self.num_tracers
+            if nt:
+                kwargs["hc"] = jnp.stack(
+                    [pack(q3[N_FLOW_DOF + j]) for j in range(nt)]
+                )
             accum = st.get("accumulate", False)
             if sharded:
                 dzx_d, dzy_d, mann_d = st["geo_dev"]
@@ -973,9 +995,11 @@ class Simulation:
             out = st["adv"](
                 pack(q3[0]), pack(q3[1]), pack(q3[2]), *args, **kwargs
             )
-            h, hu, hv, t_out, cmax = out[:5]
+            h, hu, hv = out[:3]
+            hc_out = out[3] if nt else None
+            t_out, cmax = out[3 + bool(nt) : 5 + bool(nt)]
             if accum:
-                bfa, asol, aprim, atime = out[5:]
+                bfa, asol, aprim, atime = out[5 + bool(nt):]
                 if st.get("bflux"):
                     self.bflux_accum += np.asarray(bfa)
                 self.accum_sol += np.asarray(asol)
@@ -989,9 +1013,14 @@ class Simulation:
                     jnp.asarray(p)[gr : gr + ny, GC : GC + nx]
                     for p in (h, hu, hv)
                 ]
+                if nt:
+                    planes += [
+                        jnp.asarray(hc_out)[j, gr : gr + ny, GC : GC + nx]
+                        for j in range(nt)
+                    ]
             self.q = jnp.reshape(
                 jnp.stack([jnp.asarray(p) for p in planes]),
-                (N_FLOW_DOF, ny * nx),
+                (self.ndof, ny * nx),
             ).astype(self.dtype)
         self.t = float(t_out)
         self.step += int(n_steps)

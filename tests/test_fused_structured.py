@@ -80,3 +80,74 @@ def test_fused_dry_dam_break_wetting():
     assert np.isfinite(h).all()
     assert h[:, nx // 2 + 2].max() > 0.0  # the front moved
     assert h.sum() == pytest.approx(h0.sum(), rel=1e-5)
+
+
+def test_fused_tracers_dirichlet_wall_matches_unstructured():
+    """Dirichlet wall with prescribed tracer mass on the fused raster
+    kernel vs the unstructured coupled twin (reference: tracer Dirichlet
+    Q-functions, tracer_fluxes_ceed.h)."""
+    import numpy as np
+
+    from rdycore_tpu.mesh import structured_quad
+    from rdycore_tpu.operator import build_operator
+    from rdycore_tpu.ops.swe.boundary import BC_DIRICHLET
+    from rdycore_tpu.timestepping import make_interval_advancer
+    from rdycore_tpu.ops.pallas.structured_step import (
+        make_fused_structured_stepper,
+    )
+
+    nx, ny, nt = 128, 16, 2
+    mesh = structured_quad(nx, ny, 0, 32, 0, 4)
+    C = mesh.num_cells
+    mann = np.full(C, 0.02)
+    rng = np.random.default_rng(4)
+    q0 = np.zeros((3 + nt, C), np.float32)
+    q0[0] = 1.0 + rng.random(C)
+    q0[3:] = 0.01 * q0[0]
+
+    op = build_operator(
+        mesh, bc_types={"left": BC_DIRICHLET}, mannings_n=mann,
+        num_tracers=nt, dtype=jnp.float32,
+    )
+    bv = np.zeros((3 + nt, op.num_boundary_edges), np.float32)
+    bv[0] = 1.5
+    bv[1] = 0.4
+    bv[3] = 1.5 * 0.05  # prescribed hc: c = 0.05 carried by the inflow
+    adv_x = make_interval_advancer(op, "euler", accumulate=False)
+    r = adv_x(op.arrays, jnp.asarray(q0), 0.0, 1e-3, 12, 1.0,
+              jnp.asarray(bv), jnp.zeros_like(jnp.asarray(q0)))
+    q_ref = np.asarray(r.q)
+
+    from rdycore_tpu.ops.swe.boundary import BC_REFLECTING
+
+    plan = StructuredPlan(
+        nx=nx, ny=ny, dx=0.25, dy=0.25, tiny_h=1e-7, h_anuga=0.0,
+        bc_left=BC_DIRICHLET, bc_right=BC_REFLECTING,
+        bc_bottom=BC_REFLECTING, bc_top=BC_REFLECTING,
+    )
+    dzx = np.asarray(op.arrays.dz_dx).reshape(ny, nx)
+    dzy = np.asarray(op.arrays.dz_dy).reshape(ny, nx)
+    adv_f = make_fused_structured_stepper(
+        plan, dzx, dzy, mann.reshape(ny, nx), num_tracers=nt,
+    )
+    pp = lambda x: jnp.asarray(pad_plane(x.reshape(ny, nx)))
+    hcp = jnp.stack([pp(q0[3 + j]) for j in range(nt)])
+    bc_vals = {"left": np.stack([
+        np.full(ny, 1.5, np.float32), np.full(ny, 0.4, np.float32),
+        np.zeros(ny, np.float32), np.full(ny, 1.5 * 0.05, np.float32),
+        np.zeros(ny, np.float32),
+    ])}
+    h, hu, hv, hc, t, cm = adv_f(
+        pp(q0[0]), pp(q0[1]), pp(q0[2]), 0.0, 1e-3, 12, 1.0,
+        bc_vals=bc_vals, hc=hcp, interpret=True,
+    )
+    got = np.stack(
+        [np.asarray(x)[GR:GR + ny, GC:GC + nx].reshape(-1)
+         for x in (h, hu, hv)]
+        + [np.asarray(hc)[j, GR:GR + ny, GC:GC + nx].reshape(-1)
+           for j in range(nt)]
+    )
+    rel = np.abs(got - q_ref) / (1.0 + np.abs(q_ref))
+    assert rel.max() < 2e-5
+    # inflow tracer mass actually entered
+    assert got[3].sum() > q0[3].sum() + 1e-5

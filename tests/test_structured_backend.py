@@ -294,3 +294,46 @@ def test_fused_structured_output_accumulators_match_xla():
     )
     # the outflow actually produced nonzero flux accounting
     assert np.abs(ref.bflux_accum).max() > 1e-6
+
+
+@pytest.mark.parametrize("riemann,temporal", [
+    ("roe", "euler"), ("upwind_roe", "ssprk2"),
+])
+def test_fused_structured_tracers_match_xla(riemann, temporal):
+    """VERDICT r3 #5: tracers (sediment + passive) on the fused raster
+    kernel — in-kernel Roe/upwind-Roe tracer fluxes sharing the flow
+    eigensystem plus Hairsine-Rose erosion/deposition — match the
+    unstructured XLA twin (reference: tracer_fluxes_ceed.h:80-206,
+    tracer_sources_ceed.h:37-160)."""
+    def z_fn(x, y):
+        return 0.05 * np.sin(x) * np.cos(y)
+
+    mesh = structured_quad(128, 16, 0, 32, 0, 4, z_fn=z_fn)
+    C = mesh.num_cells
+    rng = np.random.default_rng(9)
+    q0 = np.zeros((5, C))  # 1 sediment class + salinity
+    q0[0] = 1.0 + rng.random(C)
+    q0[1] = 0.3 * rng.standard_normal(C)
+    q0[2] = 0.3 * rng.standard_normal(C)
+    q0[3:] = 0.02 * rng.random((2, C)) * q0[0]
+
+    def run(backend):
+        cfg = _cfg(backend, temporal=temporal)
+        cfg.physics.sediment.num_classes = 1
+        cfg.physics.salinity = True
+        cfg.numerics.riemann = riemann
+        cfg.validate()
+        sim = Simulation(cfg, mesh=mesh)
+        if backend == "fused_structured":
+            assert sim._structured["kind"] == "fused"
+        assert sim.ndof == 5
+        sim.set_solution(q0)
+        sim.run()
+        return sim.get_solution()
+
+    q_ref = run("xla")
+    q_fused = run("fused_structured")
+    rel = np.abs(q_fused - q_ref) / (1.0 + np.abs(q_ref))
+    assert rel.max() < 2e-5
+    # tracers actually moved
+    assert np.abs(q_fused[3] - q0[3]).max() > 1e-7
