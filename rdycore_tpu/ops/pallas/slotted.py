@@ -66,6 +66,15 @@ GT = int(_os.environ.get("RDYTPU_GT", 8))
 _ABLATE = frozenset(
     s for s in _os.environ.get("RDYTPU_FUSED_ABLATE", "").split(",") if s
 )
+# runtime gating of the divergence gather chains on per-(k, tile) actual
+# span counts: "cond" wraps tail iterations in scf branches, "fori" runs
+# the chain as a dynamic-trip-count loop, "0" disables (static unrolled
+# chains). A/B on the TPU (BASELINE.md round-4): static 2.09e9 > cond
+# 2.00e9 > fori 1.50e9 — Mosaic predicates/serializes both dynamic
+# forms, so the dead-tail work is cheaper than the control flow. Static
+# unrolled is the default; the span counts stay in the plan for future
+# layout work.
+_CNT_GATE = _os.environ.get("RDYTPU_CNT_GATE", "0")
 
 
 class SlottedPlan(NamedTuple):
@@ -122,8 +131,10 @@ class CellPlan(NamedTuple):
     # far south edges and the near west edges land in different planes) and
     # each plane scans its own small window instead of the full per-tile
     # span — the divergence gather-chain count is sum(nsup_ks), not
-    # K * nsup. wk*: [(K+1) * ntiles] i32 flat (row 0 = the per-tile window
-    # the sup planes are relative to; rows 1..K = plane windows), supers.
+    # K * nsup. wk*: [(2K+1) * ntiles] i32 flat (row 0 = the per-tile
+    # window the sup planes are relative to; rows 1..K = plane window
+    # starts in supers; rows K+1..2K = per-(k, tile) ACTUAL span counts
+    # that gate the gather chains at run time).
     wkL: np.ndarray = None
     wkR: np.ndarray = None
     nsupL_ks: tuple = ()
@@ -695,6 +706,30 @@ def build_cell_plan(
             arr[kR, crowR, claneR] = v.astype(np.float32)
             outR.append(arr)
         return outL, outR
+
+    # extend the per-k window tables with per-(k, tile) ACTUAL span counts:
+    # layout [2K+1, Ct] flat = [legacy row 0 | K window starts | K counts].
+    # The static nsup_ks are tile MAXIMA (the whole mesh pays the worst
+    # tile); the fused cell phase gates its gather chain on the per-tile
+    # count instead (measured on the 2.88M bench raster: statics (5,5)/
+    # (5,4) vs actual ~3 per plane — ~36% of the chain is dead work).
+    def _per_k_counts(supk, cfk, K):
+        rows = np.arange(Ct * 8) // 8
+        cnt = np.zeros((K, Ct), np.int32)
+        for k in range(K):
+            v = np.where(cfk[k] != 0.0, (supk[k].astype(np.int32) >> 3) + 1,
+                         0).max(axis=1)
+            np.maximum.at(cnt[k], rows, v)
+        return cnt
+
+    wkL = np.concatenate(
+        [wkL.reshape(KL + 1, Ct).astype(np.int32),
+         _per_k_counts(supLk, cfL, KL)]
+    ).reshape(-1)
+    wkR = np.concatenate(
+        [wkR.reshape(KR + 1, Ct).astype(np.int32),
+         _per_k_counts(supRk, cfR, KR)]
+    ).reshape(-1)
 
     cp = CellPlan(
         ntiles=Ct, nsupL=nsupL, nsupR=nsupR, wl=wl, wr=wr,
@@ -1470,8 +1505,8 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
     # two-kernel budget and cp.nsupL/R are clamped)
     KLp = len(cp.nsupL_ks)
     KRp = len(cp.nsupR_ks)
-    wkL2 = cp.wkL.reshape(KLp + 1, -1)[1:].astype(np.int64)
-    wkR2 = cp.wkR.reshape(KRp + 1, -1)[1:].astype(np.int64)
+    wkL2 = cp.wkL.reshape(-1, cp.ntiles)[1 : KLp + 1].astype(np.int64)
+    wkR2 = cp.wkR.reshape(-1, cp.ntiles)[1 : KRp + 1].astype(np.int64)
     endL = np.max(
         wkL2 + np.asarray(cp.nsupL_ks, np.int64)[:, None], axis=0
     )
@@ -1643,23 +1678,58 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
     def side(ring, wk_ref, s_all, K, nsup_ks, nring, k0=0):
         for k in range(K):
             w_k = wk_ref[(k + 1) * Ct + tidx]
+            # per-(k, tile) ACTUAL span: the static nsup_ks[k] is the max
+            # over all tiles; most tiles need ~60% of it (build_cell_plan
+            # measurement), so the tail iterations branch away at run time
+            cnt_k = wk_ref[(K + 1 + k) * Ct + tidx]
             # sup planes are per-k-window-relative (int8-safe at any mesh
             # bandwidth); zero-coef padding entries read window row 0
             # harmlessly
             sup = s_all[k, r8]
             cf = cf_ref[k0 + k, r8]
-            for comp in range(ndof):
-                gat = jnp.zeros((8, 128), jnp.float32)
+            gats = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
+
+            # one ring slice + one select mask shared by all ndof
+            # components (the per-comp dynamic slices / compares were
+            # ~1/3 of the chain's VPU issue)
+            def _gather_s(_s, g):
+                pos = pl.multiple_of(
+                    jax.lax.rem(w_k + _s, jnp.int32(nring)) * 8, 8
+                )
+                block = ring[pl.ds(pos, 8), :, :]  # [8, ndof, 128]
+                idx = jnp.clip(sup - _s * 8, 0, 7)
+                sel = (sup >> 3) == _s
+                return tuple(
+                    jnp.where(
+                        sel,
+                        jnp.take_along_axis(
+                            block[:, comp, :], idx, axis=0
+                        ),
+                        g[comp],
+                    )
+                    for comp in range(ndof)
+                )
+
+            if _CNT_GATE == "fori":
+                # dynamic trip count = the per-(k, tile) ACTUAL span (avg
+                # ~60% of the static max on the bench raster)
+                gats = list(jax.lax.fori_loop(
+                    0,
+                    jnp.minimum(cnt_k, jnp.int32(nsup_ks[k])),
+                    _gather_s, tuple(gats),
+                ))
+            else:
                 for s in range(nsup_ks[k]):
-                    pos = pl.multiple_of(
-                        jax.lax.rem(w_k + s, jnp.int32(nring)) * 8, 8
-                    )
-                    src = ring[pl.ds(pos, 8), comp, :]
-                    gg = jnp.take_along_axis(
-                        src, jnp.clip(sup - s * 8, 0, 7), axis=0
-                    )
-                    gat = jnp.where((sup >> 3) == s, gg, gat)
-                acc[comp] = acc[comp] + gat * cf
+                    if s == 0 or _CNT_GATE == "0":
+                        gats = list(_gather_s(s, tuple(gats)))
+                    else:
+                        gats = list(jax.lax.cond(
+                            s < cnt_k,
+                            lambda g, _s=s: _gather_s(_s, g),
+                            lambda g: g, tuple(gats),
+                        ))
+            for comp in range(ndof):
+                acc[comp] = acc[comp] + gats[comp] * cf
 
     side(ringL, wkL_ref, sL_all, KL, nsupL_ks, nringL)
     side(ringR, wkR_ref, sR_all, KR, nsupR_ks, nringR, k0=KL)

@@ -686,6 +686,8 @@ def unshard_plane(xp: np.ndarray, gr: int = GR) -> np.ndarray:
 def make_sharded_fused_structured_stepper(
     plan: StructuredPlan, device_mesh, axis_name: str = "y",
     scheme: str = "euler", with_src: bool = False, interpret: bool = False,
+    num_tracers: int = 0, num_sediment: int = 0, sed_params=None,
+    riemann: str = "roe",
 ):
     """Row-strip-sharded fused structured stepper.
 
@@ -730,18 +732,26 @@ def make_sharded_fused_structured_stepper(
     local_plan = plan._replace(ny=nyl)
     nxp = nx + 2 * GC
     ntiles = nyl // ty
+    nt = int(num_tracers)
+    if nt and sed_params is None:
+        from ..tracer.sources import SedimentParams
+
+        sed_params = SedimentParams()
 
     kernel = functools.partial(
         _kernel, nxp=nxp, ty=ty, gr=ty,
         tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
         inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
         with_src=with_src, emit_rhs=False,
+        nt=nt, num_sediment=int(num_sediment),
+        sed_params=tuple(sed_params) if nt else None,
+        upwind=riemann == "upwind_roe",
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)]
-        * (7 if with_src else 6),
+        * ((7 if with_src else 6) + (1 if nt else 0)),
         out_specs=[
             pl.BlockSpec((ty, nxp), lambda t, d: (t + 1, 0),
                          memory_space=pltpu.VMEM),
@@ -751,7 +761,10 @@ def make_sharded_fused_structured_stepper(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda t, d: (0, t),
                          memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((nt, ty, nxp), lambda t, d: (0, t + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ] if nt else []),
         scratch_shapes=[
             pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
             pltpu.VMEM((2, ty + 16, nxp), jnp.float32),
@@ -760,6 +773,7 @@ def make_sharded_fused_structured_stepper(
             pltpu.VMEM((2, ty, nxp), jnp.float32),
             pltpu.VMEM((2, ty, nxp), jnp.float32),
         ] + ([pltpu.VMEM((2, ty, nxp), jnp.float32)] if with_src else [])
+        + ([pltpu.VMEM((2, nt, ty + 16, nxp), jnp.float32)] if nt else [])
         + [
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -771,24 +785,36 @@ def make_sharded_fused_structured_stepper(
         jax.ShapeDtypeStruct((nylp, nxp), jnp.float32),
         jax.ShapeDtypeStruct((nylp, nxp), jnp.float32),
         jax.ShapeDtypeStruct((1, ntiles * 128), jnp.float32),
-    ]
+    ] + (
+        [jax.ShapeDtypeStruct((nt, nylp, nxp), jnp.float32)] if nt else []
+    )
 
     fwd = [(i, i + 1) for i in range(n_shards - 1)]
     bwd = [(i + 1, i) for i in range(n_shards - 1)]
     r0, r1 = ty, ty + nyl
 
-    def exchange_and_fill(h, hu, hv, bc_local=None):
+    def exchange_and_fill(h, hu, hv, hc=None, bc_local=None):
         """Wall ghosts from the local strip + strip-boundary rows from the
         neighbor shards (the DMGlobalToLocal halo exchange of the
         reference's RHS evaluation, rdysetup.c:1133-1134, as two
         single-row ppermutes over ICI)."""
         up = down = None
         if n_shards > 1:
-            top_int = jnp.stack([h[r1 - 1], hu[r1 - 1], hv[r1 - 1]])
-            bot_int = jnp.stack([h[r0], hu[r0], hv[r0]])
+            parts = [h[r1 - 1], hu[r1 - 1], hv[r1 - 1]]
+            partsb = [h[r0], hu[r0], hv[r0]]
+            if nt:
+                parts += [hc[j, r1 - 1] for j in range(nt)]
+                partsb += [hc[j, r0] for j in range(nt)]
+            top_int = jnp.stack(parts)
+            bot_int = jnp.stack(partsb)
             up = jax.lax.ppermute(top_int, axis_name, fwd)
             down = jax.lax.ppermute(bot_int, axis_name, bwd)
-        h, hu, hv = fill_ghost_frame(local_plan, h, hu, hv, bc_local)
+        if nt:
+            h, hu, hv, hc = fill_ghost_frame(
+                local_plan, h, hu, hv, bc_local, hc
+            )
+        else:
+            h, hu, hv = fill_ghost_frame(local_plan, h, hu, hv, bc_local)
         if n_shards > 1:
             idx = jax.lax.axis_index(axis_name)
             not_first = idx > 0
@@ -799,29 +825,46 @@ def make_sharded_fused_structured_stepper(
             h = h.at[r1].set(jnp.where(not_last, down[0], h[r1]))
             hu = hu.at[r1].set(jnp.where(not_last, down[1], hu[r1]))
             hv = hv.at[r1].set(jnp.where(not_last, down[2], hv[r1]))
+            if nt:
+                hc = hc.at[:, r0 - 1].set(
+                    jnp.where(not_first, up[3:], hc[:, r0 - 1])
+                )
+                hc = hc.at[:, r1].set(
+                    jnp.where(not_last, down[3:], hc[:, r1])
+                )
+        if nt:
+            return h, hu, hv, hc
         return h, hu, hv
 
-    def one_step(h, hu, hv, dt_arr, dzx, dzy, mann, src, bc_local=None):
-        h, hu, hv = exchange_and_fill(h, hu, hv, bc_local)
+    def one_step(h, hu, hv, hc, dt_arr, dzx, dzy, mann, src,
+                 bc_local=None):
+        if nt:
+            h, hu, hv, hc = exchange_and_fill(h, hu, hv, hc, bc_local)
+        else:
+            h, hu, hv = exchange_and_fill(h, hu, hv, None, bc_local)
         args = (dt_arr, h, hu, hv, dzx, dzy, mann)
         if with_src:
             args = args + (src,)
-        ho, huo, hvo, cm = pl.pallas_call(
+        if nt:
+            args = args + (hc,)
+        out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
         )(*args)
-        return ho, huo, hvo, cm.max()
+        st = out[:3] + ((out[4],) if nt else ())
+        return st, out[3].max()
 
-    def shard_body(h, hu, hv, dzx, dzy, mann, src, bcv, t0, dt, n_steps,
-                   t_end):
+    def shard_body(h, hu, hv, hc, dzx, dzy, mann, src, bcv, t0, dt,
+                   n_steps, t_end):
         h, hu, hv = h[0], hu[0], hv[0]
         dzx, dzy, mann = dzx[0], dzy[0], mann[0]
         src = src[0] if with_src else None
+        st0 = (h, hu, hv) + ((hc[0],) if nt else ())
         # Dirichlet wall values for the local strip: left/right arrive
-        # row-strip-sharded ([1, 3, nyl] blocks), bottom/top replicated
+        # row-strip-sharded ([1, ndof, nyl] blocks), bottom/top replicated
         bc_local = None
         if dir_sides:
             bc_local = {}
@@ -829,71 +872,80 @@ def make_sharded_fused_structured_stepper(
                 v = bcv[s]
                 if s in ("left", "right"):
                     v = v[0]
-                bc_local[s] = (v[0], v[1], v[2])
+                bc_local[s] = v
+
+        def E(st, dt_arr):
+            return one_step(
+                st[0], st[1], st[2], st[3] if nt else None, dt_arr,
+                dzx, dzy, mann, src, bc_local,
+            )
+
+        def lin(a, sa, b, sb):
+            return tuple(ai * sa + bi * sb for ai, bi in zip(a, b))
 
         def body(i, carry):
-            h, hu, hv, tt, cmax = carry
+            st, tt, cmax = carry
             dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
             dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
             if scheme == "euler":
-                hn, hun, hvn, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
-                                            mann, src, bc_local)
+                stn, cm = E(st, dt_arr)
             elif scheme == "ssprk2":
-                h1, hu1, hv1, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
-                                            mann, src, bc_local)
-                h2, hu2, hv2, _ = one_step(h1, hu1, hv1, dt_arr, dzx, dzy,
-                                           mann, src, bc_local)
-                hn = 0.5 * h + 0.5 * h2
-                hun = 0.5 * hu + 0.5 * hu2
-                hvn = 0.5 * hv + 0.5 * hv2
+                st1, cm = E(st, dt_arr)
+                st2, _ = E(st1, dt_arr)
+                stn = lin(st, 0.5, st2, 0.5)
             else:  # ssprk3
-                h1, hu1, hv1, cm = one_step(h, hu, hv, dt_arr, dzx, dzy,
-                                            mann, src, bc_local)
-                h2, hu2, hv2, _ = one_step(h1, hu1, hv1, dt_arr, dzx, dzy,
-                                           mann, src, bc_local)
-                h2 = 0.75 * h + 0.25 * h2
-                hu2 = 0.75 * hu + 0.25 * hu2
-                hv2 = 0.75 * hv + 0.25 * hv2
-                h3, hu3, hv3, _ = one_step(h2, hu2, hv2, dt_arr, dzx, dzy,
-                                           mann, src, bc_local)
+                st1, cm = E(st, dt_arr)
+                st2, _ = E(st1, dt_arr)
+                st2 = lin(st, 0.75, st2, 0.25)
+                st3, _ = E(st2, dt_arr)
                 third = jnp.float32(1.0 / 3.0)
-                hn = third * h + (1.0 - third) * h3
-                hun = third * hu + (1.0 - third) * hu3
-                hvn = third * hv + (1.0 - third) * hv3
-            return (hn, hun, hvn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
+                stn = lin(st, third, st3, 1.0 - third)
+            return (stn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
 
-        init = (h, hu, hv, jnp.float32(t0), jnp.float32(0.0))
-        h, hu, hv, t, cmax = jax.lax.fori_loop(
+        init = (st0, jnp.float32(t0), jnp.float32(0.0))
+        st_f, t, cmax = jax.lax.fori_loop(
             0, jnp.asarray(n_steps, jnp.int32), body, init
         )
         if n_shards > 1:
             cmax = jax.lax.pmax(cmax, axis_name)
-        return h[None], hu[None], hv[None], t, cmax
+        hc_out = (st_f[3][None],) if nt else (jnp.zeros((1, 1, 1, 1)),)
+        return (st_f[0][None], st_f[1][None], st_f[2][None]) + hc_out + (
+            t, cmax,
+        )
 
     sharded = P(axis_name, None, None)
+    sharded4 = P(axis_name, None, None, None)
     bc_specs = {
         s: (sharded if s in ("left", "right") else P())
         for s in dir_sides
     }
-    in_specs = (sharded,) * 7 + (bc_specs, P(), P(), P(), P())
-    out_specs = (sharded, sharded, sharded, P(), P())
+    in_specs = (sharded,) * 3 + (sharded4,) + (sharded,) * 4 + (
+        bc_specs, P(), P(), P(), P(),
+    )
+    out_specs = (sharded, sharded, sharded, sharded4, P(), P())
     mapped = jax.jit(
         jax.shard_map(
             shard_body, mesh=device_mesh,
             in_specs=in_specs, out_specs=out_specs,
             check_vma=False,
         ),
-        donate_argnums=(0, 1, 2),
+        donate_argnums=(0, 1, 2, 3),
     )
 
     def advance(h, hu, hv, t0, dt, n_steps, t_end, dzx, dzy, mann,
-                src=None, bc_vals=None):
+                src=None, bc_vals=None, hc=None):
         """h/hu/hv/dzx/dzy/mann: [P, ny/P + 2*gr, nxp] (pad_plane_sharded),
         sharded over the mesh axis. bc_vals (required iff the plan has
-        Dirichlet walls): dict side -> [3, ny|nx] prescribed wall values.
-        Returns (h, hu, hv, t, max_courant)."""
+        Dirichlet walls): dict side -> [ndof, ny|nx] prescribed wall
+        values. hc (num_tracers > 0): [P, nt, nyl + 2*gr, nxp] tracer-mass
+        strips. Returns (h, hu, hv[, hc], t, max_courant)."""
         if src is None:
             src = jnp.zeros_like(h)
+        if nt:
+            if hc is None:
+                raise ValueError("num_tracers > 0 needs an hc strip stack")
+        else:
+            hc = jnp.zeros((n_shards, 1, 1, 1), jnp.float32)
         bcv = {}
         if dir_sides:
             if bc_vals is None:
@@ -902,13 +954,17 @@ def make_sharded_fused_structured_stepper(
                 )
             for s in dir_sides:
                 v = jnp.asarray(bc_vals[s], jnp.float32)
+                nd = v.shape[0]
                 if s in ("left", "right"):
-                    # [3, ny] -> [P, 3, nyl] row-strip blocks
+                    # [ndof, ny] -> [P, ndof, nyl] row-strip blocks
                     v = jnp.moveaxis(
-                        v.reshape(3, n_shards, nyl), 1, 0
+                        v.reshape(nd, n_shards, nyl), 1, 0
                     )
                 bcv[s] = v
-        return mapped(h, hu, hv, dzx, dzy, mann, src, bcv, t0, dt,
-                      n_steps, t_end)
+        out = mapped(h, hu, hv, hc, dzx, dzy, mann, src, bcv, t0, dt,
+                     n_steps, t_end)
+        if nt:
+            return out
+        return out[:3] + out[4:]
 
     return advance

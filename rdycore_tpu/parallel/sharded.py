@@ -198,18 +198,25 @@ def _merge_fused_plans(plans, metas, ndof=3, want_step=True):
     wq = max(m["wq"] - m["nsup"] for m in metas) + nsup
 
     fields = {}
-    # per-k window tables padded on K by repeating the last real plane
-    # (valid ring positions; the padding planes' gather depth is 0)
+    # per-k window tables [2K+1, Ct] (row 0 | K window starts | K span
+    # counts) padded on K: window rows repeat the last real plane (valid
+    # ring positions), count rows pad with ZEROS so the padding planes'
+    # runtime-gated gather chains skip entirely
     wk_pad = {}
     for name, Kmax, Kp_l in (("pl_cd_wkL", KL, KLs), ("pl_cd_wkR", KR, KRs)):
         per = []
         for p, Kp in zip(plans, Kp_l):
-            w = np.asarray(p[name]).reshape(Kp + 1, Ct)
+            w = np.asarray(p[name]).reshape(2 * Kp + 1, Ct)
+            wins = w[1 : Kp + 1]
+            cnts = w[Kp + 1 :]
             if Kmax > Kp:
-                w = np.concatenate(
-                    [w, np.repeat(w[-1:], Kmax - Kp, axis=0)]
+                wins = np.concatenate(
+                    [wins, np.repeat(wins[-1:], Kmax - Kp, axis=0)]
                 )
-            per.append(w)
+                cnts = np.concatenate(
+                    [cnts, np.zeros((Kmax - Kp, Ct), w.dtype)]
+                )
+            per.append(np.concatenate([w[:1], wins, cnts]))
         wk_pad[name] = per
         fields[name] = np.stack([w.reshape(-1) for w in per])
     # merged cell streams: split at the per-shard KL, pad each side

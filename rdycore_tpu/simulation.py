@@ -607,11 +607,10 @@ class Simulation:
             )
         nx, ny, dx, dy = raster
         unsupported = []
-        if self.num_tracers and not (
-            kind == "fused_structured" and cfg.parallel.n_devices <= 1
-        ):
-            # the fused kernel advects tracers in-kernel (round 4); the
-            # XLA structured path and the sharded strips do not (yet)
+        if self.num_tracers and kind != "fused_structured":
+            # the fused kernel (single-device AND row-strip sharded)
+            # advects tracers in-kernel (round 4); the XLA structured
+            # path does not
             unsupported.append("tracers/sediment")
         if cfg.numerics.second_order:
             unsupported.append("second_order")
@@ -794,6 +793,9 @@ class Simulation:
                 adv = make_sharded_fused_structured_stepper(
                     plan, dm, axis_name=cfg.parallel.axis_name,
                     scheme=scheme, with_src=with_src, interpret=interp,
+                    num_tracers=self.num_tracers,
+                    num_sediment=self.num_sediment,
+                    riemann=cfg.numerics.riemann,
                 )
                 shrd = NamedSharding(
                     dm, PartitionSpec(cfg.parallel.axis_name, None, None)
@@ -976,9 +978,13 @@ class Simulation:
             kwargs = dict(src=src_arg, bc_vals=bc_vals)
             nt = self.num_tracers
             if nt:
-                kwargs["hc"] = jnp.stack(
+                hc_in = jnp.stack(
                     [pack(q3[N_FLOW_DOF + j]) for j in range(nt)]
                 )
+                if sharded:
+                    # [nt, P, rows, nxp] -> [P, nt, rows, nxp]
+                    hc_in = jnp.moveaxis(hc_in, 0, 1)
+                kwargs["hc"] = hc_in
             accum = st.get("accumulate", False)
             if sharded:
                 dzx_d, dzy_d, mann_d = st["geo_dev"]
@@ -1008,6 +1014,11 @@ class Simulation:
             if sharded:
                 planes = [unshard_plane(np.asarray(p), gr)
                           for p in (h, hu, hv)]
+                if nt:
+                    hc_np = np.asarray(hc_out)  # [P, nt, rows, nxp]
+                    planes += [
+                        unshard_plane(hc_np[:, j], gr) for j in range(nt)
+                    ]
             else:
                 planes = [
                     jnp.asarray(p)[gr : gr + ny, GC : GC + nx]

