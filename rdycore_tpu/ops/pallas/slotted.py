@@ -1553,7 +1553,8 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
     )
 
 
-def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
+def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, ws_row,
+                      gws_ref,
                       o_cmax, o_cidx, ringL, ringR, *, nsup, ndof, upwind,
                       tiny_h, h_anuga, rrows, nringL, nringR, hr, bs_refs,
                       dirp_ref, bnd_kinds):
@@ -1593,7 +1594,10 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
         cn_t = ef_ref[fb : fb + 8, :]
         sn_t = ef_ref[fb + 8 : fb + 16, :]
         cc_t = ef_ref[fb + 16 : fb + 24, :]
-        off = (ws_ref[t * GT + gt] - gws_ref[t]) * 8
+        # ws arrives as an SMEM block [8, GT] covering 8 edge groups
+        # (Mosaic block shapes must be (8k, 128k|full)); ws_row picks the
+        # step's group. eg[t] == t while t < negrp, so gws_ref[t] matches
+        off = (ws_ref[ws_row, gt] - gws_ref[t]) * 8
 
         def fetch(comp, sup_s):
             return qbuf[
@@ -1662,8 +1666,8 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
 
 
 def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
-                 tidx, *, KL, KR, ndof, nsupL_ks, nsupR_ks, nringL, nringR,
-                 Ct):
+                 wk_col, *, KL, KR, ndof, nsupL_ks, nsupR_ks, nringL,
+                 nringR):
     """One GT-tile's flux divergence gathered from the VMEM rings (shared
     by the fused-RHS and fused-STEP cell phases).
 
@@ -1677,11 +1681,15 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
 
     def side(ring, wk_ref, s_all, K, nsup_ks, nring, k0=0):
         for k in range(K):
-            w_k = wk_ref[(k + 1) * Ct + tidx]
+            # wk arrives as an SMEM BLOCK [(2K+1), 128] covering 8 cell
+            # groups (the whole-table scalar-prefetch form overflowed the
+            # 1 MB SMEM at 46M cells: O(tiles) tables); wk_col picks this
+            # group's tile within the block
+            w_k = wk_ref[k + 1, wk_col]
             # per-(k, tile) ACTUAL span: the static nsup_ks[k] is the max
             # over all tiles; most tiles need ~60% of it (build_cell_plan
             # measurement), so the tail iterations branch away at run time
-            cnt_k = wk_ref[(K + 1 + k) * Ct + tidx]
+            cnt_k = wk_ref[K + 1 + k, wk_col]
             # sup planes are per-k-window-relative (int8-safe at any mesh
             # bandwidth); zero-coef padding entries read window row 0
             # harmlessly
@@ -1736,11 +1744,12 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
     return acc
 
 
-def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
-                  doc_ref, e8_ref, ef_ref, c8_ref, cf_ref, *rest,
+def _fused_kernel(gws_ref, eg_ref, cg_ref, doc_ref,
+                  ws_ref, cwsL_ref, cwsR_ref,
+                  e8_ref, ef_ref, c8_ref, cf_ref, *rest,
                   nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows,
                   nsupL_ks, nsupR_ks, Ct, KL, KR, negrp, nringL, nringR,
-                  hr=False, bs=False, bnd_kinds=()):
+                  hr=False, bs=False, bnd_kinds=(), smem_blocked=False):
     """Streaming fused RHS: per grid step, (a) compute one GT-tile group of
     edge fluxes into VMEM rings + fold the Courant max/argmax, (b) when the
     schedule says a cell group's flux windows are complete, gather its
@@ -1793,8 +1802,12 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
         bs_refs = (
             (etab_ref, etae_ref, zvb_ref, zve_ref) if bs else None
         )
+        ws_row = (
+            jax.lax.rem(eg_ref[t], jnp.int32(8)) if smem_blocked
+            else eg_ref[t]
+        )
         _edge_phase_tiles(
-            t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
+            t, slot, qbuf, e8_ref, ef_ref, ws_ref, ws_row, gws_ref,
             o_cmax, o_cidx, ringL, ringR,
             nsup=nsup, ndof=ndof, upwind=upwind, tiny_h=tiny_h,
             h_anuga=h_anuga, rrows=rrows, nringL=nringL, nringR=nringR,
@@ -1812,6 +1825,9 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                     o_div[comp, r8, :] = jnp.zeros((8, 128), jnp.float32)
             return
         cgi = cg_ref[t]
+        wk_base = (
+            jax.lax.rem(cgi, jnp.int32(8)) if smem_blocked else cgi
+        ) * GT
         c8_all = c8_ref[:].astype(jnp.int32)
         sL_all = c8_all[:KL]
         sR_all = c8_all[KL:]
@@ -1819,9 +1835,9 @@ def _fused_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
             r8 = slice(gt * 8, gt * 8 + 8)
             acc = _gt_ring_div(
                 ringL, ringR, sL_all, sR_all, cf_ref, r8,
-                cwsL_ref, cwsR_ref, cgi * GT + gt,
+                cwsL_ref, cwsR_ref, wk_base + gt,
                 KL=KL, KR=KR, ndof=ndof, nsupL_ks=nsupL_ks,
-                nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR, Ct=Ct,
+                nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR,
             )
             # component-major output: div.reshape(ndof, -1) is then a
             # free view (the old [rows, ndof, 128] layout cost a
@@ -1863,16 +1879,46 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
 
     def em(i):  # edge-group tensor block, clamped tail
         return pl.BlockSpec(
-            (GT * i, 128), lambda t, ws, gw, cl, cr, eg, cg, doc: (eg[t], 0)
+            (GT * i, 128), lambda t, gw, eg, cg, doc: (eg[t], 0)
         )
 
     def cm3(K):  # cell-plan [K, Ct*8, 128] block indexed by cell group
         return pl.BlockSpec(
             (K, GT * 8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc: (0, cg[t], 0),
+            lambda t, gw, eg, cg, doc: (0, cg[t], 0),
         )
 
+    # per-tile window tables ride as SMEM BLOCKS (one GT-group slice per
+    # step) instead of whole-table scalar prefetch: the O(tiles) tables
+    # overflow the 1 MB SMEM at 46M cells (measured: 2.19 MB requested)
+    rowsL = arrays.pl_cd_wkL.shape[0] // Ct
+    rowsR = arrays.pl_cd_wkR.shape[0] // Ct
+    # window tables ride in SMEM: whole-array when they fit the 1 MB
+    # budget (fastest — one resident copy, like the old scalar prefetch),
+    # 8-group blocks when O(tiles) tables would overflow it (46M cells
+    # measured 2.19 MB requested; the blocked form costs ~5% at 2.88M)
+    smem_blocked = _tables_blocked(ntiles, rowsL + rowsR, Ct)
+    if smem_blocked:
+        ws_spec = pl.BlockSpec(
+            (8, GT), lambda t, gw, eg, cg, doc: (eg[t] // 8, 0),
+            memory_space=pltpu.SMEM,
+        )
+        wkL_spec = pl.BlockSpec(
+            (rowsL, 8 * GT), lambda t, gw, eg, cg, doc: (0, cg[t] // 8),
+            memory_space=pltpu.SMEM,
+        )
+        wkR_spec = pl.BlockSpec(
+            (rowsR, 8 * GT), lambda t, gw, eg, cg, doc: (0, cg[t] // 8),
+            memory_space=pltpu.SMEM,
+        )
+    else:
+        ws_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        wkL_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        wkR_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [
+        ws_spec,
+        wkL_spec,
+        wkR_spec,
         em(16 + 4 * rrows),  # merged i8 plan (supL|g|supR|m|gi|mi per tile)
         em(24 + (16 if hr else 0)),  # merged f32 geom (cn|sn|cc[|dzl|dzr])
         cm3(KL + KR),  # merged cell sup i8 (L then R on K)
@@ -1882,25 +1928,25 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
     ) + (
         [pl.BlockSpec(  # Dirichlet ghost planes (h, u, v) in the L-layout
             (3, GT * 8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc: (0, eg[t], 0),
+            lambda t, gw, eg, cg, doc: (0, eg[t], 0),
         )] if 1 in bnd_kinds else []
     ) + [
         pl.BlockSpec(memory_space=pltpu.ANY),  # q2d (group-window DMA)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=4,
         grid=(nsteps,),
         in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (ndof, GT * 8, 128),
-                lambda t, ws, gw, cl, cr, eg, cg, doc: (0, cg[t], 0),
+                lambda t, gw, eg, cg, doc: (0, cg[t], 0),
             ),
             pl.BlockSpec(
-                (8, 128), lambda t, ws, gw, cl, cr, eg, cg, doc: (0, 0)
+                (8, 128), lambda t, gw, eg, cg, doc: (0, 0)
             ),
             pl.BlockSpec(
-                (8, 128), lambda t, ws, gw, cl, cr, eg, cg, doc: (0, 0)
+                (8, 128), lambda t, gw, eg, cg, doc: (0, 0)
             ),
         ],
         scratch_shapes=[
@@ -1917,7 +1963,7 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
             nsupL_ks=tuple(nsup_lk), nsupR_ks=tuple(nsup_rk), Ct=Ct,
             KL=KL, KR=KR, negrp=negrp,
             nringL=nringL, nringR=nringR, hr=bool(hr), bs=bs is not None,
-            bnd_kinds=tuple(bnd_kinds),
+            bnd_kinds=tuple(bnd_kinds), smem_blocked=smem_blocked,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -1936,9 +1982,14 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
     )
     dir_args = (dir_planes,) if 1 in bnd_kinds else ()
     div, cmax, cidx = f(
-        arrays.pl_ws, arrays.pl_gws,
-        arrays.pl_cd_wkL, arrays.pl_cd_wkR,
+        arrays.pl_gws,
         arrays.pl_fs_eg, arrays.pl_fs_cg, arrays.pl_fs_doc,
+        _pad_rows(arrays.pl_ws.reshape(negrp, GT), 8)
+        if smem_blocked else arrays.pl_ws.reshape(negrp, GT),
+        _pad_cols(arrays.pl_cd_wkL.reshape(rowsL, Ct), 8 * GT)
+        if smem_blocked else arrays.pl_cd_wkL.reshape(rowsL, Ct),
+        _pad_cols(arrays.pl_cd_wkR.reshape(rowsR, Ct), 8 * GT)
+        if smem_blocked else arrays.pl_cd_wkR.reshape(rowsR, Ct),
         arrays.pl_fz_e8, arrays.pl_fz_ef,
         arrays.pl_fz_c8, arrays.pl_fz_cf,
         *bs_args, *dir_args,
@@ -1972,6 +2023,27 @@ def slot_dirichlet_planes(bnd_pos, ntiles8, boundary_values, tiny_h,
 
 # ------------------------------------------ fused full-step kernel (tier B)
 
+def _tables_blocked(ntiles, wk_rows, Ct):
+    """True when the per-tile window tables exceed the resident-SMEM
+    budget and must ride as per-step blocks (the blocked form costs ~5%
+    at bench scale, so small meshes keep the resident copy)."""
+    bytes_ = (ntiles + wk_rows * Ct) * 4
+    return bytes_ > 600 * 1024
+
+
+def _pad_rows(x, mult):
+    """Pad axis 0 to a multiple of `mult` (SMEM block-shape rules)."""
+    r = (-x.shape[0]) % mult
+    return jnp.pad(x, ((0, r), (0, 0))) if r else x
+
+
+def _pad_cols(x, mult):
+    """Pad axis 1 to a multiple of `mult` (padding is never indexed:
+    column = (cg % 8) * GT + gt stays under the real tile count)."""
+    r = (-x.shape[1]) % mult
+    return jnp.pad(x, ((0, 0), (0, r))) if r else x
+
+
 def pack_rows(x, rows):
     """[n, C] -> [n, rows, 128] f32 tile-row layout (zero padded)."""
     n, C = x.shape
@@ -1990,13 +2062,15 @@ def unpack_rows(x2, C, dtype):
     return x2.reshape(x2.shape[0], -1)[:, :C].astype(dtype)
 
 
-def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
-                       doc_ref, co_ref, scal_ref, e8_ref, ef_ref, c8_ref,
+def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
+                       ws_ref, cwsL_ref, cwsR_ref,
+                       e8_ref, ef_ref, c8_ref,
                        cf_ref, *rest, nsup, wq, upwind, tiny_h, h_anuga,
                        rrows, nsupL_ks, nsupR_ks, Ct, KL, KR, negrp,
                        nringL, nringR,
                        ncgrp, bnd_kinds, alpha, beta, gfac, source_method,
-                       emit_prim, xq_threshold, uniform_geom, has_ext):
+                       emit_prim, xq_threshold, uniform_geom, has_ext,
+                       smem_blocked=False):
     """Streaming fused FULL-STEP kernel: the edge phase of _fused_kernel
     plus a cell phase that consumes the ring divergence, applies the source
     terms (ops/swe/sources.py twins; reference swe_sources_ceed.h:37-105),
@@ -2060,8 +2134,12 @@ def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
     @pl.when(t < negrp)
     def _edge_phase():
         _q_dma(slot, t).wait()
+        ws_row = (
+            jax.lax.rem(eg_ref[t], jnp.int32(8)) if smem_blocked
+            else eg_ref[t]
+        )
         _edge_phase_tiles(
-            t, slot, qbuf, e8_ref, ef_ref, ws_ref, gws_ref,
+            t, slot, qbuf, e8_ref, ef_ref, ws_ref, ws_row, gws_ref,
             o_cmax, o_cidx, ringL, ringR,
             nsup=nsup, ndof=ndof, upwind=upwind, tiny_h=tiny_h,
             h_anuga=h_anuga, rrows=rrows, nringL=nringL, nringR=nringR,
@@ -2089,6 +2167,9 @@ def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
             g_c = jnp.float32(GRAVITY)
             th = jnp.float32(tiny_h)
             cgi = cg_ref[t]
+            wk_base = (
+                jax.lax.rem(cgi, jnp.int32(8)) if smem_blocked else cgi
+            ) * GT
             c8_all = c8_ref[:].astype(jnp.int32)
             sL_all = c8_all[:KL]
             sR_all = c8_all[KL:]
@@ -2096,9 +2177,9 @@ def _fused_step_kernel(ws_ref, gws_ref, cwsL_ref, cwsR_ref, eg_ref, cg_ref,
                 r8 = slice(gt * 8, gt * 8 + 8)
                 acc = _gt_ring_div(
                     ringL, ringR, sL_all, sR_all, cf_ref, r8,
-                    cwsL_ref, cwsR_ref, cgi * GT + gt,
+                    cwsL_ref, cwsR_ref, wk_base + gt,
                     KL=KL, KR=KR, ndof=3, nsupL_ks=nsupL_ks,
-                    nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR, Ct=Ct,
+                    nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR,
                 )
                 if "cell" in _ABLATE:
                     acc = [jnp.zeros((8, 128), jnp.float32)] * 3
@@ -2215,6 +2296,7 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
     elides the external-source stream (no sources configured).
     Returns (q2d_new, cmax8, cidx8[, prim2d])."""
     ns, negrp, nringL, nringR, NB, ncgrp = step_meta
+    Ct_cells = ncgrp * GT
     supL = arrays.pl_supL
     ntiles = supL.shape[0] // 8
     rrows = arrays.pl_supR.shape[0] // ntiles
@@ -2237,28 +2319,54 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
     def em(i):  # edge-group block (by eg)
         return pl.BlockSpec(
             (GT * i, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (eg[t], 0),
+            lambda t, gw, eg, cg, doc, co, dtb: (eg[t], 0),
         )
 
     def cm3(K):  # cell-plan block (by clamped cell group)
         return pl.BlockSpec(
             (K, GT * 8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, cg[t], 0),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, cg[t], 0),
         )
 
     def cg3():  # [3, rows, 128] cell-row block (by clamped cell group)
         return pl.BlockSpec(
             (3, GT * 8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, cg[t], 0),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, cg[t], 0),
         )
 
     def co3():  # output block (by raw output index, incl. pad blocks)
         return pl.BlockSpec(
             (3, GT * 8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, co[t], 0),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, co[t], 0),
         )
 
+    # per-tile window tables as SMEM blocks (see fused_rhs_slotted)
+    rowsL = arrays.pl_cd_wkL.shape[0] // Ct_cells
+    rowsR = arrays.pl_cd_wkR.shape[0] // Ct_cells
+    smem_blocked = _tables_blocked(ntiles, rowsL + rowsR, Ct_cells)
+    if smem_blocked:
+        ws_spec = pl.BlockSpec(
+            (8, GT), lambda t, gw, eg, cg, doc, co, dtb: (eg[t] // 8, 0),
+            memory_space=pltpu.SMEM,
+        )
+        wkL_spec = pl.BlockSpec(
+            (rowsL, 8 * GT),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, cg[t] // 8),
+            memory_space=pltpu.SMEM,
+        )
+        wkR_spec = pl.BlockSpec(
+            (rowsR, 8 * GT),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, cg[t] // 8),
+            memory_space=pltpu.SMEM,
+        )
+    else:
+        ws_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        wkL_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        wkR_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [
+        ws_spec,
+        wkL_spec,
+        wkR_spec,
         em(16 + 4 * rrows),  # merged i8 plan
         em(24),              # merged f32 geom (cn|sn|cc)
         cm3(KL + KR),        # merged cell sup i8
@@ -2266,7 +2374,7 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
     ] + (
         [pl.BlockSpec(
             (3, GT * 8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, eg[t], 0),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, eg[t], 0),
         )] if has_dir else []
     ) + [
         cg3(),  # qc: stage-state rows of the cell group
@@ -2283,11 +2391,11 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
         co3(),  # q_out
         pl.BlockSpec(
             (8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, 0),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, 0),
         ),
         pl.BlockSpec(
             (8, 128),
-            lambda t, ws, gw, cl, cr, eg, cg, doc, co, dtb: (0, 0),
+            lambda t, gw, eg, cg, doc, co, dtb: (0, 0),
         ),
     ] + ([co3()] if emit_prim else [])
     out_shape = [
@@ -2299,7 +2407,7 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
         if emit_prim else []
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=9,
+        num_scalar_prefetch=6,
         grid=(ns,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -2322,6 +2430,7 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
             source_method=int(source_method), emit_prim=bool(emit_prim),
             xq_threshold=float(xq_threshold),
             uniform_geom=uniform_geom, has_ext=has_ext,
+            smem_blocked=smem_blocked,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -2335,10 +2444,15 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
     geom_args = () if uniform_geom else (geom2d,)
     ext_args = (ext2d,) if has_ext else ()
     return f(
-        arrays.pl_ws, arrays.pl_gws,
-        arrays.pl_cd_wkL, arrays.pl_cd_wkR,
+        arrays.pl_gws,
         arrays.pl_st_eg, arrays.pl_st_cg, arrays.pl_st_doc,
         arrays.pl_st_co, scal,
+        _pad_rows(arrays.pl_ws.reshape(negrp, GT), 8)
+        if smem_blocked else arrays.pl_ws.reshape(negrp, GT),
+        _pad_cols(arrays.pl_cd_wkL.reshape(rowsL, Ct_cells), 8 * GT)
+        if smem_blocked else arrays.pl_cd_wkL.reshape(rowsL, Ct_cells),
+        _pad_cols(arrays.pl_cd_wkR.reshape(rowsR, Ct_cells), 8 * GT)
+        if smem_blocked else arrays.pl_cd_wkR.reshape(rowsR, Ct_cells),
         arrays.pl_fz_e8, arrays.pl_fz_ef,
         arrays.pl_fz_c8, arrays.pl_fz_cf,
         *dir_args,

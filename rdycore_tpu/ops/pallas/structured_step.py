@@ -169,7 +169,9 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
             *rest,
             nxp, ty, gr, tiny_h, h_anuga, inv_dx, inv_dy,
             with_src=False, emit_rhs=False, nt=0, num_sediment=0,
-            sed_params=None, upwind=False):
+            sed_params=None, upwind=False,
+            second_order=False, limiter="minmod", positivity=True,
+            ny=None):
     if with_src:
         src_hbm = rest[0]
         rest = rest[1:]
@@ -267,48 +269,227 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
         # x[..., c] -> x[..., c+1] (lane roll)
         return pltpu.roll(x, x.shape[-1] - 1, x.ndim - 1)
 
+    def wshift(x):
+        # x[..., c] -> x[..., c-1]
+        return pltpu.roll(x, 1, x.ndim - 1)
+
     ci = slice(1, 1 + ty)  # interior rows within the [7, 9+ty) slice
 
-    # east-face fluxes on interior rows (normal +x): roe(q[c], q[c+1])
-    hc, uc, vc = hs[ci], us[ci], vs[ci]
-    hE, uE, vE = (eshift(x)[ci] for x in (hs, us, vs))
-    tx = dict(cil=cts[:, ci], cir=eshift(cts)[:, ci], upwind=upwind) \
-        if nt else {}
-    fx_all = roe_flux(
-        hc, uc, vc, hE, uE, vE, 0.0, 1.0,
-        sqrt_hl=sqs[ci], sqrt_hr=eshift(sqs)[ci], fast=True, **tx,
-    )
-    fxh, fxhu, fxhv, ax = fx_all[:4]
-    if nt:
-        # the coupled-system twin keeps either-wet fluxes with strict >
-        # (operator._apply tracer mask); the pure-flow kernel's both-dry
-        # zeroing is the complement up to h == tiny_h exactly
-        mx = jnp.where((hc > tiny_h) | (hE > tiny_h), 1.0, 0.0)
-    else:
-        mx = jnp.where((hc < tiny_h) & (hE < tiny_h), 0.0, 1.0)
-    fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
-    if nt:
-        fxc = fx_all[4] * mx
+    if not second_order:
+        # ---- first-order face states ------------------------------------
+        # east-face fluxes on interior rows (normal +x): roe(q[c], q[c+1])
+        hc_f, uc_f, vc_f = hs[ci], us[ci], vs[ci]
+        hE, uE, vE = (eshift(x)[ci] for x in (hs, us, vs))
+        tx = dict(cil=cts[:, ci], cir=eshift(cts)[:, ci], upwind=upwind) \
+            if nt else {}
+        fx_all = roe_flux(
+            hc_f, uc_f, vc_f, hE, uE, vE, 0.0, 1.0,
+            sqrt_hl=sqs[ci], sqrt_hr=eshift(sqs)[ci], fast=True, **tx,
+        )
+        fxh, fxhu, fxhv, ax = fx_all[:4]
+        if nt:
+            # the coupled-system twin keeps either-wet fluxes with strict >
+            # (operator._apply tracer mask); the pure-flow kernel's
+            # both-dry zeroing is the complement up to h == tiny_h exactly
+            mx = jnp.where((hc_f > tiny_h) | (hE > tiny_h), 1.0, 0.0)
+        else:
+            mx = jnp.where((hc_f < tiny_h) & (hE < tiny_h), 0.0, 1.0)
+        fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
+        if nt:
+            fxc = fx_all[4] * mx
 
-    # north-face fluxes on rows [7, 8+ty) (normal +y): roe(q[r], q[r+1]);
-    # local fy row i = north face of window row 7+i, so rows 0..ty cover
-    # the south face of the first interior row through the top-wall face
-    cs = slice(0, 1 + ty)
-    cn_ = slice(1, 2 + ty)
-    ty_ = dict(cil=cts[:, cs], cir=cts[:, cn_], upwind=upwind) \
-        if nt else {}
-    fy_all = roe_flux(
-        hs[cs], us[cs], vs[cs], hs[cn_], us[cn_], vs[cn_], 1.0, 0.0,
-        sqrt_hl=sqs[cs], sqrt_hr=sqs[cn_], fast=True, **ty_,
-    )
-    fyh, fyhu, fyhv, ay = fy_all[:4]
-    if nt:
-        my = jnp.where((hs[cs] > tiny_h) | (hs[cn_] > tiny_h), 1.0, 0.0)
+        # north-face fluxes on rows [7, 8+ty) (normal +y): roe(q[r],
+        # q[r+1]); local fy row i = north face of window row 7+i, so rows
+        # 0..ty cover the south face of the first interior row through the
+        # top-wall face
+        cs = slice(0, 1 + ty)
+        cn_ = slice(1, 2 + ty)
+        ty_ = dict(cil=cts[:, cs], cir=cts[:, cn_], upwind=upwind) \
+            if nt else {}
+        fy_all = roe_flux(
+            hs[cs], us[cs], vs[cs], hs[cn_], us[cn_], vs[cn_], 1.0, 0.0,
+            sqrt_hl=sqs[cs], sqrt_hr=sqs[cn_], fast=True, **ty_,
+        )
+        fyh, fyhu, fyhv, ay = fy_all[:4]
+        if nt:
+            my = jnp.where(
+                (hs[cs] > tiny_h) | (hs[cn_] > tiny_h), 1.0, 0.0
+            )
+        else:
+            my = jnp.where(
+                (hs[cs] < tiny_h) & (hs[cn_] < tiny_h), 0.0, 1.0
+            )
+        fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my
+        if nt:
+            fyc = fy_all[4] * my
     else:
-        my = jnp.where((hs[cs] < tiny_h) & (hs[cn_] < tiny_h), 0.0, 1.0)
-    fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my
-    if nt:
-        fyc = fy_all[4] * my
+        # ---- MUSCL second-order face states (round 4) --------------------
+        # Twin: ops/swe/muscl.py reconstruct_interior_states — per-cell
+        # weighted-LS gradients (on a uniform raster: masked central /
+        # one-sided differences with the SAME coefficients the LS algebra
+        # produces), limited linear extrapolation to face midpoints, h
+        # clamped >= 0. Wall faces stay FIRST-order (they are boundary
+        # edges in the twin: ghost states on the raw q), which the masks
+        # below reproduce by zeroing wall-face extrapolations. The
+        # positivity pass (Audusse donor-cell scaling,
+        # operator._apply_positivity_limit) runs in-kernel over the tile:
+        # the widened slabs below cover every donor's four faces.
+        t_row0 = t * ty  # global row of the first interior row
+        # q slab rows [5, 11+ty) -> gradients rows [6, 10+ty) -> faces:
+        #   x-faces rows [7, 9+ty), y-faces between rows [6, 9+ty)
+        g0 = slice(1, 5 + ty)  # gradient rows within the q slab
+        q3 = [hw[slot, 5:11 + ty, :], huw[slot, 5:11 + ty, :],
+              hvw[slot, 5:11 + ty, :]]
+        nx_ = nxp - 2 * GC
+        col = jax.lax.broadcasted_iota(jnp.int32, (4 + ty, nxp), 1)
+        in_x = (col >= GC) & (col < GC + nx_)
+        has_E = in_x & (col < GC + nx_ - 1)
+        has_W = in_x & (col > GC)
+        half = jnp.float32(0.5)
+        cxE = jnp.where(
+            has_E, jnp.where(has_W, half * inv_dx, inv_dx), 0.0
+        )
+        cxW = jnp.where(
+            has_W, jnp.where(has_E, half * inv_dx, inv_dx), 0.0
+        )
+        grow = (
+            jax.lax.broadcasted_iota(jnp.int32, (4 + ty, nxp), 0)
+            + (t_row0 - 2)
+        )  # global row of each gradient row
+        in_y = (grow >= 0) & (grow < ny)
+        has_N = in_y & (grow < ny - 1)
+        has_S = in_y & (grow > 0)
+        cyN = jnp.where(
+            has_N, jnp.where(has_S, half * inv_dy, inv_dy), 0.0
+        )
+        cyS = jnp.where(
+            has_S, jnp.where(has_N, half * inv_dy, inv_dy), 0.0
+        )
+        gx = []
+        gy = []
+        for qq in q3:
+            qg = qq[g0]
+            dqE = eshift(qg) - qg
+            dqW = qg - wshift(qg)
+            gx.append(cxE * dqE + cxW * dqW)
+            dqN = qq[2:6 + ty] - qg
+            dqS = qg - qq[0:4 + ty]
+            gy.append(cyN * dqN + cyS * dqS)
+
+        def _lim(extrap, half_dq):
+            if limiter == "none":
+                return extrap
+            prod = extrap * half_dq
+            if limiter == "van_leer":
+                ssum = extrap + half_dq
+                s_safe = jnp.where(ssum != 0.0, ssum, 1.0)
+                return jnp.where(prod > 0.0, 2.0 * prod / s_safe, 0.0)
+            return jnp.where(
+                prod <= 0.0, 0.0,
+                jnp.where(
+                    jnp.abs(extrap) < jnp.abs(half_dq), extrap, half_dq
+                ),
+            )
+
+        # x-faces between (c, c+1) on gradient rows [1, 3+ty) (= window
+        # rows [7, 9+ty)); reconstruction only where BOTH cells are
+        # interior (has_E of the left cell)
+        fxr = slice(1, 3 + ty)
+        hdx = jnp.float32(0.5) / jnp.float32(inv_dx)
+        qLx, qRx = [], []
+        for m, qq in enumerate(q3):
+            qc_ = qq[g0][fxr]
+            qe_ = eshift(qq[g0])[fxr]
+            dq = qe_ - qc_
+            v_face = has_E[fxr].astype(jnp.float32)
+            eL = gx[m][fxr] * hdx * v_face
+            eR = -eshift(gx[m])[fxr] * hdx * v_face
+            qLx.append(qc_ + _lim(eL, 0.5 * dq))
+            qRx.append(qe_ + _lim(eR, -0.5 * dq))
+        hLx = jnp.maximum(0.0, qLx[0])
+        hRx = jnp.maximum(0.0, qRx[0])
+        uLx, vLx = regularized_velocity(hLx, qLx[1], qLx[2], tiny_h,
+                                        h_anuga)
+        uRx, vRx = regularized_velocity(hRx, qRx[1], qRx[2], tiny_h,
+                                        h_anuga)
+        fxh, fxhu, fxhv, ax = roe_flux(
+            hLx, uLx, vLx, hRx, uRx, vRx, 0.0, 1.0, fast=True,
+        )
+        mx = jnp.where((hLx < tiny_h) & (hRx < tiny_h), 0.0, 1.0)
+        fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
+
+        # y-faces between rows (w, w+1) for gradient rows w in [0, 3+ty)
+        hdy = jnp.float32(0.5) / jnp.float32(inv_dy)
+        fys = slice(0, 3 + ty)
+        fyn = slice(1, 4 + ty)
+        qLy, qRy = [], []
+        for m, qq in enumerate(q3):
+            qs_ = qq[g0][fys]
+            qn_ = qq[g0][fyn]
+            dq = qn_ - qs_
+            v_face = has_N[fys].astype(jnp.float32)
+            eL = gy[m][fys] * hdy * v_face
+            eR = -gy[m][fyn] * hdy * v_face
+            qLy.append(qs_ + _lim(eL, 0.5 * dq))
+            qRy.append(qn_ + _lim(eR, -0.5 * dq))
+        hLy = jnp.maximum(0.0, qLy[0])
+        hRy = jnp.maximum(0.0, qRy[0])
+        uLy, vLy = regularized_velocity(hLy, qLy[1], qLy[2], tiny_h,
+                                        h_anuga)
+        uRy, vRy = regularized_velocity(hRy, qRy[1], qRy[2], tiny_h,
+                                        h_anuga)
+        fyh, fyhu, fyhv, ay = roe_flux(
+            hLy, uLy, vLy, hRy, uRy, vRy, 1.0, 0.0, fast=True,
+        )
+        my = jnp.where((hLy < tiny_h) & (hRy < tiny_h), 0.0, 1.0)
+        fyh, fyhu, fyhv, ay = fyh * my, fyhu * my, fyhv * my, ay * my
+
+        if positivity:
+            # Audusse donor-cell scaling (operator._apply_positivity_limit
+            # twin): drain_c = sum of outgoing h-fluxes / cell size; every
+            # component of a face's flux scales by the donor's
+            # s = clip(h / (dt * drain), 0, 1); ghost donors keep s = 1
+            # (the twin leaves inflowing boundary fluxes unscaled)
+            relu = lambda x: jnp.maximum(x, 0.0)
+            # cells on gradient rows [1, 3+ty): x-fluxes fxh rows align;
+            # y-faces: S face of cell row w is fy row w-1, N face fy row w
+            drain = (
+                relu(fxh) + relu(-wshift(fxh))
+            ) * inv_dx + (
+                relu(fyh[1:3 + ty]) + relu(-fyh[0:2 + ty])
+            ) * inv_dy
+            h_cells = q3[0][g0][fxr]
+            dsafe = jnp.where(drain > 0.0, drain, 1.0)
+            # dt == 0 tail steps must stay NaN-free (the interval loop
+            # freezes the state algebraically via dt * rhs == 0)
+            dt_s = jnp.where(dt > 0.0, dt, 1.0)
+            s_pos = jnp.where(
+                drain > 0.0,
+                jnp.clip(h_cells / (dt_s * dsafe), 0.0, 1.0),
+                1.0,
+            )
+            in_cell = in_x[fxr] & in_y[fxr]
+            s_pos = jnp.where(in_cell, s_pos, 1.0)
+            # x-faces: donor = left cell when fx > 0 else right cell
+            s_x = jnp.where(fxh > 0.0, s_pos, eshift(s_pos))
+            fxh, fxhu, fxhv = fxh * s_x, fxhu * s_x, fxhv * s_x
+            # y-faces rows [0, 3+ty): donor row w when fy > 0 else w+1;
+            # s rows cover [1, 3+ty) -> pad one row each side with 1
+            ones_row = jnp.ones((1, nxp), jnp.float32)
+            s_pad = jnp.concatenate([ones_row, s_pos, ones_row])
+            s_y = jnp.where(
+                fyh > 0.0, s_pad[slice(0, 3 + ty)], s_pad[fyn]
+            )
+            fyh, fyhu, fyhv = fyh * s_y, fyhu * s_y, fyhv * s_y
+
+        # restrict to the divergence rows: x rows [8, 8+ty) = fx rows
+        # [1, 1+ty); y faces [7, 8+ty] = fy rows [1, 2+ty)
+        fxh, fxhu, fxhv = fxh[1:1 + ty], fxhu[1:1 + ty], fxhv[1:1 + ty]
+        ax = ax[1:1 + ty]
+        fyh, fyhu, fyhv = (
+            fyh[1:2 + ty], fyhu[1:2 + ty], fyhv[1:2 + ty]
+        )
+        ay = ay[1:2 + ty]
 
     def div(fx, fy):
         dwx = (fx - pltpu.roll(fx, 1, fx.ndim - 1)) * inv_dx  # east - west
@@ -323,6 +504,7 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
     dhv = div(fxhv, fyhv)
     if nt:
         dhc = div(fxc, fyc)  # [nt, ty, nxp]
+    hc = hs[ci]  # raw interior depths feed the source terms below
 
     for d in _geom_dma(slot, t):
         d.wait()
@@ -415,7 +597,10 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                                   num_tracers: int = 0,
                                   num_sediment: int = 0,
                                   sed_params=None,
-                                  riemann: str = "roe"):
+                                  riemann: str = "roe",
+                                  second_order: bool = False,
+                                  limiter: str = "minmod",
+                                  positivity: bool = True):
     """Returns advance(h, hu, hv [padded planes], t0, dt, n_steps, t_end,
     [dzx, dzy, mann, src, bc_vals]) -> (h, hu, hv, t, cmax). Planes stay
     padded (gr = plan.gr rows) across steps; larger gr (= taller row tiles)
@@ -448,6 +633,11 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
         from ..tracer.sources import SedimentParams
 
         sed_params = SedimentParams()
+    if second_order and nt:
+        raise ValueError(
+            "fused raster MUSCL is flow-only (the twin rejects "
+            "second_order + tracers too)"
+        )
     nx, ny = plan.nx, plan.ny
     ty = plan.gr
     if ty < 8 or ty % 8:
@@ -473,6 +663,8 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
             nt=nt, num_sediment=int(num_sediment),
             sed_params=tuple(sed_params) if nt else None,
             upwind=riemann == "upwind_roe",
+            second_order=bool(second_order), limiter=limiter,
+            positivity=bool(positivity), ny=ny,
         )
         nyp = ny + 2 * ty
         grid_spec = pltpu.PrefetchScalarGridSpec(

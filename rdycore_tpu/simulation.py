@@ -612,7 +612,12 @@ class Simulation:
             # advects tracers in-kernel (round 4); the XLA structured
             # path does not
             unsupported.append("tracers/sediment")
-        if cfg.numerics.second_order:
+        if cfg.numerics.second_order and not (
+            kind == "fused_structured" and cfg.parallel.n_devices <= 1
+        ):
+            # the fused kernel reconstructs MUSCL faces in-kernel (round
+            # 4); the XLA structured path and the sharded strips (which
+            # would need a 2-row ppermute halo) do not
             unsupported.append("second_order")
         if cfg.physics.flow.well_balancing not in (None, "", "none"):
             unsupported.append("well_balancing")
@@ -712,6 +717,12 @@ class Simulation:
             raise ConfigError(
                 "edge_flux_backend: structured does not support "
                 "parallel.n_devices > 1"
+            )
+        if kind == "structured" and cfg.numerics.second_order:
+            raise ConfigError(
+                "edge_flux_backend: structured does not support "
+                "second_order (use fused_structured on a 128-aligned "
+                "raster, or xla/pallas)"
             )
         if kind == "structured" and self.num_tracers:
             raise ConfigError(
@@ -828,6 +839,9 @@ class Simulation:
                     num_tracers=self.num_tracers,
                     num_sediment=self.num_sediment,
                     riemann=cfg.numerics.riemann,
+                    second_order=cfg.numerics.second_order,
+                    limiter=cfg.numerics.limiter,
+                    positivity=self.operator.positivity_limit,
                 )
                 self._structured = dict(
                     kind="fused", plan=plan, nx=nx, ny=ny,
@@ -910,6 +924,9 @@ class Simulation:
             num_tracers=self.num_tracers,
             num_sediment=self.num_sediment,
             riemann=self.config.numerics.riemann,
+            second_order=self.config.numerics.second_order,
+            limiter=self.config.numerics.limiter,
+            positivity=self.operator.positivity_limit,
         )
         st["adv"] = jax.jit(functools.partial(adv, interpret=interp))
 
@@ -1284,6 +1301,11 @@ class Simulation:
         if self.operator.uniform_geom and np.ptp(np.asarray(n)) != 0:
             object.__setattr__(self.operator, "uniform_geom", False)
             self._advance_fn = None
+        # the structured fast paths bake the Manning plane into their
+        # steppers at init; rebuild them from the new field (RDySetup's
+        # InitMaterialProperties analogue must reach every backend)
+        if self._structured is not None:
+            self._init_structured_backend()
 
     def _update_ext_src(self, src: np.ndarray):
         """Install new external sources; if sources just became active on a

@@ -377,3 +377,65 @@ def test_fused_structured_sharded_tracers_bitwise():
     q4 = run(4)
     np.testing.assert_array_equal(q4[:3], q1[:3])  # flow stays bitwise
     np.testing.assert_allclose(q4[3:], q1[3:], rtol=0, atol=1e-8)
+
+
+@pytest.mark.parametrize("limiter,temporal", [
+    ("minmod", "euler"), ("van_leer", "ssprk2"), ("none", "rk4"),
+])
+def test_fused_structured_second_order_matches_xla(limiter, temporal):
+    """MUSCL second order on the fused raster kernel (round 4): in-kernel
+    masked central/one-sided LS gradients, limited face reconstruction
+    (wall faces stay first-order like the twin's boundary edges), and the
+    Audusse positivity pass — matches the unstructured XLA twin."""
+    def z_fn(x, y):
+        return 0.05 * np.sin(x) * np.cos(y)
+
+    mesh = structured_quad(128, 16, 0, 32, 0, 4, z_fn=z_fn)
+    C = mesh.num_cells
+    rng = np.random.default_rng(17)
+    q0 = np.zeros((3, C))
+    q0[0] = 1.0 + rng.random(C)
+    q0[1] = 0.3 * rng.standard_normal(C)
+    q0[2] = 0.3 * rng.standard_normal(C)
+
+    def run(backend):
+        cfg = _cfg(backend, temporal=temporal)
+        cfg.numerics.second_order = True
+        cfg.numerics.limiter = limiter
+        cfg.validate()
+        sim = Simulation(cfg, mesh=mesh)
+        if backend == "fused_structured":
+            assert sim._structured["kind"] == "fused"
+        sim.set_solution(q0)
+        sim.run()
+        return sim.get_solution()
+
+    q_ref = run("xla")
+    q_fused = run("fused_structured")
+    rel = np.abs(q_fused - q_ref) / (1.0 + np.abs(q_ref))
+    assert rel.max() < 5e-5
+
+
+def test_fused_structured_second_order_drying_positivity():
+    """The fused MUSCL raster kernel runs the Audusse positivity limiter
+    by default: a steep drying front with a large dt stays nonnegative and
+    conserves volume in a closed box (trajectory comparison with the twin
+    is chaotic at the shock front; single steps are bitwise)."""
+    mesh = structured_quad(128, 16, 0, 32, 0, 4)
+    C = mesh.num_cells
+    x = np.asarray(mesh.cell_centroid[:, 0])
+    q0 = np.zeros((3, C))
+    q0[0] = np.where(x < 16.0, 2.0, 1e-4)
+    q0[1] = np.where(x < 16.0, 2.0, 0.0)
+
+    cfg = _cfg("fused_structured", stop=1.0, dt=0.05, temporal="ssprk2")
+    cfg.numerics.second_order = True
+    cfg.validate()
+    sim = Simulation(cfg, mesh=mesh)
+    sim.set_manning_n(np.full(mesh.num_cells, 0.02))
+    sim.set_solution(q0)
+    sim.run()
+    q = sim.get_solution()
+    assert np.isfinite(q).all()
+    assert (q[0] >= -1e-7).all(), "fused MUSCL overdrained"
+    assert q[0].sum() == pytest.approx(q0[0].sum(), rel=1e-5)
