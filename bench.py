@@ -160,6 +160,46 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
                     h, hu, hv, 0.0, dt, n, 1e9, dzx_a, dzy_a, mann_a
                 )
                 return (h, hu, hv), cmax
+    elif mode == "fused_muscl":
+        # flagship kernel with MUSCL second order in-kernel (LS gradients,
+        # limited reconstruction, Audusse positivity) — the accurate
+        # production configuration at raster-kernel throughput (round 4)
+        from rdycore_tpu.ops.pallas.structured_step import (
+            StructuredPlan,
+            make_fused_structured_stepper,
+            pad_plane,
+        )
+
+        C = nx * ny
+        ty = int(os.environ.get("BENCH_TY", 64))
+        plan = StructuredPlan(
+            nx=nx, ny=ny, dx=0.002, dy=0.002, tiny_h=1e-7, h_anuga=0.0,
+            bc_left=1, bc_right=1, bc_bottom=1, bc_top=1, gr=ty,
+        )
+        mann2d = np.full((ny, nx), 0.015, np.float32)
+        adv = jax.jit(
+            make_fused_structured_stepper(
+                plan, None, None, None, scheme="ssprk2", second_order=True,
+            ),
+            donate_argnums=(0, 1, 2),
+        )
+        h0 = np.zeros((ny, nx), np.float32)
+        h0[:, : nx // 2] = 10.0
+        h0[:, nx // 2 :] = 5.0
+        zpln = np.zeros((ny, nx), np.float32)
+        zgeo = jnp.asarray(pad_plane(zpln, ty))
+        dzx_a, dzy_a = zgeo, zgeo
+        mann_a = jnp.asarray(pad_plane(mann2d, ty))
+        q0 = (jnp.asarray(pad_plane(h0, ty)),
+              jnp.asarray(pad_plane(zpln, ty)),
+              jnp.asarray(pad_plane(zpln, ty)))
+
+        def run(state, n):
+            h, hu, hv = state
+            h, hu, hv, t, cmax = adv(
+                h, hu, hv, 0.0, dt, n, 1e9, dzx_a, dzy_a, mann_a
+            )
+            return (h, hu, hv), cmax
     elif mode == "fused_tracers":
         # flagship kernel with in-kernel tracer advection (1 sediment +
         # 1 passive): the Houston/Harvey-class rain+sediment physics at
@@ -327,7 +367,7 @@ def measure(mode, nx, ny, n_steps, dt, cache_dir):
 
     def finite(q):
         arr = q[0] if isinstance(q, tuple) else q
-        if mode in ("fused", "fused_tracers"):
+        if mode in ("fused", "fused_tracers", "fused_muscl"):
             ty = int(os.environ.get("BENCH_TY", 64))
 
             return np.isfinite(np.asarray(arr)[ty:-ty, 64:-64]).all()

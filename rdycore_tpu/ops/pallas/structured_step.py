@@ -470,26 +470,32 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
             )
             in_cell = in_x[fxr] & in_y[fxr]
             s_pos = jnp.where(in_cell, s_pos, 1.0)
-            # x-faces: donor = left cell when fx > 0 else right cell
-            s_x = jnp.where(fxh > 0.0, s_pos, eshift(s_pos))
-            fxh, fxhu, fxhv = fxh * s_x, fxhu * s_x, fxhv * s_x
-            # y-faces rows [0, 3+ty): donor row w when fy > 0 else w+1;
-            # s rows cover [1, 3+ty) -> pad one row each side with 1
-            ones_row = jnp.ones((1, nxp), jnp.float32)
-            s_pad = jnp.concatenate([ones_row, s_pos, ones_row])
-            s_y = jnp.where(
-                fyh > 0.0, s_pad[slice(0, 3 + ty)], s_pad[fyn]
-            )
-            fyh, fyhu, fyhv = fyh * s_y, fyhu * s_y, fyhv * s_y
+        else:
+            s_pos = None
 
-        # restrict to the divergence rows: x rows [8, 8+ty) = fx rows
-        # [1, 1+ty); y faces [7, 8+ty] = fy rows [1, 2+ty)
+        # restrict to the divergence rows FIRST (x rows [8, 8+ty) = fx
+        # rows [1, 1+ty); y faces [7, 8+ty] = fy rows [1, 2+ty)), then
+        # apply the donor scaling with aligned s_pos slices — the donors
+        # of every divergence face lie within s_pos's row coverage, so no
+        # row padding is needed (Mosaic rejects single-row concats)
         fxh, fxhu, fxhv = fxh[1:1 + ty], fxhu[1:1 + ty], fxhv[1:1 + ty]
         ax = ax[1:1 + ty]
         fyh, fyhu, fyhv = (
             fyh[1:2 + ty], fyhu[1:2 + ty], fyhv[1:2 + ty]
         )
         ay = ay[1:2 + ty]
+        if positivity:
+            # x faces on gradient rows [2, 2+ty) = s_pos rows [1, 1+ty);
+            # donor = left cell when fx > 0 else the east neighbor
+            s_row = s_pos[1:1 + ty]
+            s_x = jnp.where(fxh > 0.0, s_row, eshift(s_row))
+            fxh, fxhu, fxhv = fxh * s_x, fxhu * s_x, fxhv * s_x
+            # y faces i in [1, 2+ty): donors gradient rows i (s_pos[i-1])
+            # and i+1 (s_pos[i])
+            s_y = jnp.where(
+                fyh > 0.0, s_pos[0:1 + ty], s_pos[1:2 + ty]
+            )
+            fyh, fyhu, fyhv = fyh * s_y, fyhu * s_y, fyhv * s_y
 
     def div(fx, fy):
         dwx = (fx - pltpu.roll(fx, 1, fx.ndim - 1)) * inv_dx  # east - west

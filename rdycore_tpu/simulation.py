@@ -619,6 +619,22 @@ class Simulation:
             # 4); the XLA structured path and the sharded strips (which
             # would need a 2-row ppermute halo) do not
             unsupported.append("second_order")
+        if (
+            cfg.numerics.second_order
+            and kind == "fused_structured"
+            and jax.default_backend() != "cpu"
+        ):
+            # KNOWN ISSUE (round 4): the MUSCL raster kernel is parity-
+            # tested in interpret mode, but Mosaic's TPU lowering crashes
+            # on it (array.h CHECK in the compiler; reproduces on trivial
+            # shapes, under investigation). Fail with a route, not a
+            # compiler core dump.
+            raise ConfigError(
+                "edge_flux_backend: fused_structured with second_order "
+                "currently runs on CPU/interpret only (Mosaic TPU "
+                "lowering bug, BASELINE.md round 4); use "
+                "edge_flux_backend: pallas for second-order TPU runs"
+            )
         if cfg.physics.flow.well_balancing not in (None, "", "none"):
             unsupported.append("well_balancing")
         if cfg.parallel.n_devices > 1 and kind != "fused_structured":
