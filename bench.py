@@ -17,13 +17,16 @@ Pallas path — realistic .exo-mesh configurations run THIS path) | sharded
 BENCH_NX/BENCH_NY/BENCH_STEPS; BENCH_CPU=1 to force CPU.
 
 Default (no BENCH_MODE): orchestrates subprocess runs of the flagship
-fused mode AND the general unstructured pallas mode, reporting the
-flagship as the headline value with the unstructured number alongside it
-in the same JSON line. Each mode runs in its own subprocess with its own
-timeout and one retry — the shared axon TPU worker intermittently crashes
-right after a big job (BASELINE.md), and a crash or hang in one mode must
-not take down the headline. The fused kernel is ALWAYS attempted first;
-structured is only the headline if fused fails twice.
+fused mode AND the pallas / sharded_fused / fused_tracers modes,
+reporting the flagship as the headline value with the others alongside
+it in the same JSON line. Each mode runs in its own subprocess with its
+own timeout; a child death on the in-child watchdog (rc=3) or a
+subprocess timeout is the wedged-relay signature — the orchestrator
+sleeps ~5 min, health-probes the relay with a tiny matmul, and retries
+(up to 2 cycles per mode), because the shared axon relay wedges for
+5-10 min after big jobs (BASELINE.md). The fused kernel is ALWAYS
+attempted first; structured is only the headline if fused fails through
+all recovery cycles. Results are emitted even on SIGTERM.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"[,
 "unstructured_value", "unstructured_vs_baseline"]}.
@@ -67,10 +70,11 @@ def _emit(nx, ny, n_steps, headline):
         u = _results["pallas"]
         out["unstructured_value"] = round(u, 1)
         out["unstructured_vs_baseline"] = round(u / BASELINE, 4)
-    if "sharded_fused" in _results and headline != "sharded_fused":
-        u = _results["sharded_fused"]
-        out["sharded_fused_value"] = round(u, 1)
-        out["sharded_fused_vs_baseline"] = round(u / BASELINE, 4)
+    for extra in ("sharded_fused", "fused_tracers", "fused_muscl"):
+        if extra in _results and headline != extra:
+            u = _results[extra]
+            out[f"{extra}_value"] = round(u, 1)
+            out[f"{extra}_vs_baseline"] = round(u / BASELINE, 4)
     print(json.dumps(out))
     return True
 
@@ -444,13 +448,14 @@ def run_single_mode(mode, nx, ny, n_steps, dt, cache_dir):
 
 
 def _run_child(mode, timeout_s):
-    """Run one bench mode in a subprocess; return updates/s or None.
+    """Run one bench mode in a subprocess; return (updates/s | None, rc).
 
     Isolation matters: the shared axon TPU worker intermittently crashes
     when a large interval executable runs right after another big job
     (BASELINE.md) — the identical program then passes on the restarted
-    worker. A subprocess boundary per mode plus one retry turns that
-    flakiness into a non-event instead of a lost headline.
+    worker. A subprocess boundary per mode turns that flakiness into a
+    retryable event instead of a lost headline. rc == 3 is the in-child
+    watchdog (wedged-relay signature); rc == "timeout" is our own kill.
     """
     import subprocess
 
@@ -464,61 +469,151 @@ def _run_child(mode, timeout_s):
     except subprocess.TimeoutExpired:
         print(f"# mode {mode}: subprocess timeout ({timeout_s:.0f}s)",
               file=sys.stderr)
-        return None
+        return None, "timeout"
     for line in proc.stdout.decode(errors="replace").splitlines():
         try:
             rec = json.loads(line)
         except ValueError:
             continue
         if rec.get("mode") == mode and "updates_per_s" in rec:
-            return float(rec["updates_per_s"])
+            return float(rec["updates_per_s"]), 0
     print(f"# mode {mode}: subprocess exited rc={proc.returncode} "
           "without a result", file=sys.stderr)
-    return None
+    return None, proc.returncode
+
+
+def _probe_relay(timeout_s=110):
+    """True iff a tiny matmul completes on the device within timeout_s.
+
+    The axon relay wedges HARD after big jobs — even a cached 256x256
+    matmul then hangs >100 s; the only cure is waiting ~5-10 min
+    (BASELINE.md). This is the cheap health check between retry cycles.
+    """
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256), jnp.float32);"
+        "print(float((x @ x).sum()))"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("BENCH_MODE", "BENCH_CHILD")}
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_mode_resilient(mode, cap, deadline, recovery_cycles=2):
+    """Run a mode, surviving the wedged-relay failure signature.
+
+    A child death on the watchdog (rc=3) or a subprocess timeout means
+    the shared relay is wedged, not that the kernel is broken — the
+    documented recovery is waiting 5-10 min and re-probing with a tiny
+    matmul (BASELINE.md). Sleep ~5 min, probe, retry — up to
+    `recovery_cycles` times, bounded by the overall deadline.
+    """
+    def budget():
+        return max(60.0, min(cap, deadline - time.time()))
+
+    v, rc = _run_child(mode, budget())
+    cycles = 0
+    while v is None and cycles < recovery_cycles:
+        cycles += 1
+        if time.time() > deadline - 120:
+            print(f"# mode {mode}: deadline reached, giving up",
+                  file=sys.stderr)
+            return None
+        if rc in (3, "timeout"):
+            # wedged-relay signature: wait it out, then health-probe
+            wait = min(300.0, max(60.0, deadline - time.time() - 180))
+            print(f"# mode {mode}: wedged-relay signature (rc={rc}); "
+                  f"sleeping {wait:.0f}s before re-probe "
+                  f"(cycle {cycles}/{recovery_cycles})", file=sys.stderr)
+            time.sleep(wait)
+            t_probe = time.time()
+            while not _probe_relay():
+                if time.time() > deadline - 180 or \
+                        time.time() - t_probe > 600:
+                    print(f"# mode {mode}: relay still wedged after "
+                          "probing; giving up", file=sys.stderr)
+                    return None
+                print("# relay probe failed; sleeping 120s", file=sys.stderr)
+                time.sleep(120)
+            print(f"# relay healthy again; retrying {mode}", file=sys.stderr)
+        else:
+            print(f"# mode {mode}: non-relay failure (rc={rc}); "
+                  "one plain retry", file=sys.stderr)
+        v, rc = _run_child(mode, budget())
+    return v
 
 
 def orchestrate(nx, ny, n_steps):
-    """Default path: fused headline + pallas secondary, each isolated.
+    """Default path: fused headline + pallas/sharded_fused/fused_tracers
+    secondaries, each isolated in its own subprocess and retried through
+    wedged-relay windows.
 
     The fused flagship kernel is ALWAYS attempted first (round-2 lesson:
     gating it on a .jax_cache marker file silently demoted the official
     number to the slow mode). structured becomes the headline only if
-    fused fails twice.
+    fused fails through all recovery cycles. Round-4 lesson: the official
+    BENCH_r04.json lost 3 of 4 modes to a wedged-relay window — results
+    are now recorded incrementally and emitted even on SIGTERM, so a
+    driver kill mid-orchestration still yields a complete-so-far artifact.
     """
-    deadline = time.time() + int(os.environ.get("BENCH_TIMEOUT", 1200))
+    import signal
 
-    def budget(cap):
-        return max(60.0, min(cap, deadline - time.time()))
+    nonlocal_headline = ["fused"]
+
+    def _emit_and_die(signum, frame):
+        hl = nonlocal_headline[0]
+        if hl not in _results:
+            for alt in ("fused", "structured", "pallas", "sharded_fused"):
+                if alt in _results:
+                    hl = alt
+                    break
+        _emit(nx, ny, n_steps, hl)
+        sys.stdout.flush()
+        os._exit(0 if hl in _results else 3)
+
+    signal.signal(signal.SIGTERM, _emit_and_die)
+    signal.signal(signal.SIGINT, _emit_and_die)
+
+    deadline = time.time() + int(os.environ.get("BENCH_TIMEOUT", 3300))
 
     headline = "fused"
-    v = _run_child("fused", budget(420))
-    if v is None and time.time() < deadline - 90:
-        print("# retrying fused once (worker crash / relay hiccup?)",
-              file=sys.stderr)
-        v = _run_child("fused", budget(300))
+    v = _run_mode_resilient("fused", 420, deadline)
     if v is None:
         headline = "structured"
-        v = _run_child("structured", budget(300))
+        nonlocal_headline[0] = headline
+        v = _run_mode_resilient("structured", 300, deadline,
+                                recovery_cycles=1)
         if v is None:
             print("# no headline result", file=sys.stderr)
             sys.exit(3)
     _results[headline] = v
 
-    if time.time() < deadline - 90:
-        u = _run_child("pallas", budget(300))
-        if u is None and time.time() < deadline - 90:
-            u = _run_child("pallas", budget(240))
+    for mode, cap in (("pallas", 360), ("sharded_fused", 300),
+                      ("fused_tracers", 300)):
+        if time.time() > deadline - 150:
+            print(f"# skipping {mode}: deadline", file=sys.stderr)
+            continue
+        u = _run_mode_resilient(mode, cap, deadline)
         if u is not None:
-            _results["pallas"] = u
+            _results[mode] = u
 
-    # product scale-out path: the row-strip-sharded fused kernel (on the
-    # single bench chip this runs a 1-shard device mesh — it measures the
-    # shard_map/halo wrapper's overhead over the plain fused kernel; the
-    # multi-device execution itself is validated by dryrun_multichip)
-    if time.time() < deadline - 90:
-        u = _run_child("sharded_fused", budget(300))
+    # fused MUSCL second order: only once the Mosaic TPU lowering works
+    # (round-5); harmless to attempt — one shot, no recovery cycles
+    if os.environ.get("BENCH_MUSCL") and time.time() < deadline - 150:
+        u = _run_mode_resilient("fused_muscl", 300, deadline,
+                                recovery_cycles=1)
         if u is not None:
-            _results["sharded_fused"] = u
+            _results["fused_muscl"] = u
 
     _emit(nx, ny, n_steps, headline)
 

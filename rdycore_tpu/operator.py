@@ -642,11 +642,19 @@ class SWEOperator:
             if self.pallas_fused_meta and a.pl_fz_e8 is not None:
                 from .ops.pallas.slotted import (
                     FusedSchedule, fused_rhs_slotted,
+                    slot_dirichlet_planes,
                 )
 
                 sched = FusedSchedule(
                     *self.pallas_fused_meta, None, None, None
                 )
+                dir_planes = None
+                if 1 in self.pallas_bnd_kinds:
+                    dir_planes = slot_dirichlet_planes(
+                        a.pl_bnd_pos, a.pl_supL.shape[0],
+                        boundary_values, self.tiny_h, self.h_anuga,
+                        ndof=ndof,
+                    )
                 fused = fused_rhs_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
                     self.pallas_wq, sched,
@@ -654,6 +662,8 @@ class SWEOperator:
                     ndof=ndof, upwind=upwind,
                     interpret=self.pallas_interpret,
                     hr=self.well_balancing_hr,
+                    bnd_kinds=self.pallas_bnd_kinds,
+                    dir_planes=dir_planes,
                 )
                 return self._finish_tracer(
                     q, dt, boundary_values, ext_src, None, None, None,
@@ -814,7 +824,11 @@ class SWEOperator:
             flux_div = (
                 div.reshape(ndof, -1)[:, : self.num_cells].astype(dtype)
             )
-            if self.num_boundary_edges:
+            # unified plans fold the boundary fluxes into the kernel's
+            # divergence; only interior-only plans need the scatter-add
+            if self.num_boundary_edges and not (
+                fused is not None and self.pallas_bnd_kinds
+            ):
                 coefb = -a.bnd_len / a.area[a.bnd_left]
                 flux_div = flux_div.at[:, a.bnd_left].add(fb * coefb)
         else:
@@ -843,7 +857,12 @@ class SWEOperator:
                 ci = (slotted_flux[2] * a.pl_courant_coef).reshape(-1)
                 mi = ci.max()
                 ei = a.pl_slot_edge[jnp.argmax(ci)]
-            if self.num_boundary_edges:
+            if fused is not None and self.pallas_bnd_kinds:
+                # unified plan: boundary slots already fold into the
+                # kernel's Courant max/argmax
+                max_courant_per_dt = mi.astype(dtype)
+                courant_edge = ei
+            elif self.num_boundary_edges:
                 cb = amax_b.astype(jnp.float32) * jnp.asarray(
                     a.edge_courant_coef[Ei:], jnp.float32
                 )

@@ -816,7 +816,6 @@ def _tile_edge_fluxes(fetch, supL, supR0, mm0, supR1, mm1, g, cn, sn,
     ul, vl = regularized_velocity(hl, hul, hvl, tiny_h, h_anuga)
     ur, vr = regularized_velocity(hr_, hur, hvr, tiny_h, h_anuga)
     if btype is not None:
-        assert ndof == 3, "unified boundary plans are pure-SWE only"
         from ...constants import GRAVITY
 
         if 2 in bnd_kinds:  # reflecting wall (swe_fluxes_ceed.h:158-212)
@@ -866,6 +865,20 @@ def _tile_edge_fluxes(fetch, supL, supR0, mm0, supR1, mm1, g, cn, sn,
 
         cil = jnp.stack([safe_div(c[0], hl, hl, tiny_h) for c in qs[3:]])
         cir = jnp.stack([safe_div(c[1], hr_, hr_, tiny_h) for c in qs[3:]])
+        if btype is not None:
+            # ghost concentrations per BC (operator._finish_tracer twins):
+            # reflecting slots need nothing (il == ir makes hcR == hcL and
+            # hr_ == hl, so cir == cil already); critical outflow extends
+            # the reference with the upstream concentration; Dirichlet
+            # prescribes it (dir_vals rows 3+)
+            if 3 in bnd_kinds:
+                cir = jnp.where(btype == 3, cil, cir)
+            if 1 in bnd_kinds:
+                cir = jnp.where(
+                    btype == 1,
+                    jnp.stack([dir_vals[3 + j] for j in range(ndof - 3)]),
+                    cir,
+                )
         f_flow, f_tr, amax = tracer_roe_flux(
             hl_f, ul, vl, cil, hr_f, ur, vr, cir, sn, cn, upwind
         )
@@ -1619,8 +1632,8 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, ws_row,
             ),
             btype=btype, bnd_kinds=bnd_kinds,
             dir_vals=(
-                (dirp_ref[0, r8, :], dirp_ref[1, r8, :],
-                 dirp_ref[2, r8, :]) if dirp_ref is not None else None
+                tuple(dirp_ref[c, r8, :] for c in range(ndof))
+                if dirp_ref is not None else None
             ),
         )
 
@@ -1926,8 +1939,8 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
     ] + (
         [em(8), em(8), em(8), em(8)] if bs is not None else []
     ) + (
-        [pl.BlockSpec(  # Dirichlet ghost planes (h, u, v) in the L-layout
-            (3, GT * 8, 128),
+        [pl.BlockSpec(  # Dirichlet ghost (h, u, v[, c..]) in the L-layout
+            (ndof, GT * 8, 128),
             lambda t, gw, eg, cg, doc: (0, eg[t], 0),
         )] if 1 in bnd_kinds else []
     ) + [
@@ -1999,16 +2012,19 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
 
 
 def slot_dirichlet_planes(bnd_pos, ntiles8, boundary_values, tiny_h,
-                          h_anuga):
+                          h_anuga, ndof=3):
     """Scatter runtime Dirichlet boundary values into L-layout ghost
     planes for the unified fused kernel.
 
     bnd_pos: [Eb] i32 flat L-slot position per boundary edge;
-    boundary_values: [>=3, Eb]. Returns [3, ntiles8, 128] f32 of the ghost
-    (h, u, v) — the same regularized velocities the XLA twin computes for
-    Dirichlet ghost states (ops/swe/boundary.py ghost_states). Non-Dirichlet
-    slots receive values too; the kernel only reads Dirichlet slots."""
+    boundary_values: [>=ndof, Eb]. Returns [ndof, ntiles8, 128] f32 of the
+    ghost (h, u, v[, c_1..c_nt]) — the same regularized velocities (and
+    depth-guarded concentrations) the XLA twin computes for Dirichlet
+    ghost states (ops/swe/boundary.py ghost_states; operator._finish_tracer
+    cir_s = safe_div(bv[3:], h_b)). Non-Dirichlet slots receive values too;
+    the kernel only reads Dirichlet slots."""
     from ..swe.riemann import regularized_velocity as _rv
+    from ..tracer.flux import safe_div
 
     hb = boundary_values[0].astype(jnp.float32)
     ub, vb = _rv(
@@ -2016,9 +2032,16 @@ def slot_dirichlet_planes(bnd_pos, ntiles8, boundary_values, tiny_h,
         boundary_values[2].astype(jnp.float32),
         jnp.float32(tiny_h), jnp.float32(h_anuga),
     )
-    flat = jnp.zeros((3, ntiles8 * 128), jnp.float32)
-    flat = flat.at[:, bnd_pos].set(jnp.stack([hb, ub, vb]))
-    return flat.reshape(3, ntiles8, 128)
+    rows = [hb, ub, vb] + [
+        safe_div(
+            boundary_values[3 + j].astype(jnp.float32), hb, hb,
+            jnp.float32(tiny_h),
+        )
+        for j in range(ndof - 3)
+    ]
+    flat = jnp.zeros((ndof, ntiles8 * 128), jnp.float32)
+    flat = flat.at[:, bnd_pos].set(jnp.stack(rows))
+    return flat.reshape(ndof, ntiles8, 128)
 
 
 # ------------------------------------------ fused full-step kernel (tier B)
@@ -2070,19 +2093,22 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
                        nringL, nringR,
                        ncgrp, bnd_kinds, alpha, beta, gfac, source_method,
                        emit_prim, xq_threshold, uniform_geom, has_ext,
-                       smem_blocked=False):
+                       smem_blocked=False, nt=0, num_sediment=0,
+                       sed_params=None):
     """Streaming fused FULL-STEP kernel: the edge phase of _fused_kernel
     plus a cell phase that consumes the ring divergence, applies the source
-    terms (ops/swe/sources.py twins; reference swe_sources_ceed.h:37-105),
-    and emits ONE RK stage update
+    terms (ops/swe/sources.py twins; reference swe_sources_ceed.h:37-105;
+    for nt > 0 the coupled tracer twins, ops/tracer/sources.py /
+    tracer_sources_ceed.h:37-160 incl. Hairsine-Rose e/d on the sediment
+    rows), and emits ONE RK stage update
 
         q_out = alpha * qA + beta * qB + gfac * dt * (div + src(qB, div))
 
     directly in the state's tile-row layout — the interval loop carries
-    [3, NB*GT*8, 128] and per-step XLA work drops to scalars. Pad grid
+    [3+nt, NB*GT*8, 128] and per-step XLA work drops to scalars. Pad grid
     steps (co >= ncgrp) zero the q-window slack rows so window reads past
     the last cell stay dry."""
-    ndof = 3
+    ndof = 3 + nt
     has_dir = 1 in bnd_kinds
     dirp_ref = None
     if has_dir:
@@ -2153,7 +2179,7 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
         @pl.when(is_pad)
         def _():
             z = jnp.zeros((GT * 8, 128), jnp.float32)
-            for comp in range(3):
+            for comp in range(ndof):
                 o_q[comp, :, :] = z
                 if emit_prim:
                     o_prim[comp, :, :] = z
@@ -2178,11 +2204,11 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
                 acc = _gt_ring_div(
                     ringL, ringR, sL_all, sR_all, cf_ref, r8,
                     cwsL_ref, cwsR_ref, wk_base + gt,
-                    KL=KL, KR=KR, ndof=3, nsupL_ks=nsupL_ks,
+                    KL=KL, KR=KR, ndof=ndof, nsupL_ks=nsupL_ks,
                     nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR,
                 )
                 if "cell" in _ABLATE:
-                    acc = [jnp.zeros((8, 128), jnp.float32)] * 3
+                    acc = [jnp.zeros((8, 128), jnp.float32)] * ndof
                 h = qc_ref[0, r8, :]
                 hu = qc_ref[1, r8, :]
                 hv = qc_ref[2, r8, :]
@@ -2202,12 +2228,36 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
                 else:
                     e0 = e1 = e2 = jnp.float32(0.0)
 
-                # sources: exact twins of ops/swe/sources.py in f32
+                # sources: exact twins of ops/swe/sources.py in f32 (for
+                # nt > 0 the coupled twin ops/tracer/sources.py, whose wet
+                # guard is strict `>` and whose friction groups the
+                # divergence/bed-slope sum BEFORE the dt multiply)
                 bedx = dzx * g_c * h
                 bedy = dzy * g_c * h
-                wet = h >= th
+                wet = (h > th) if nt else (h >= th)
                 h_safe = jnp.where(wet, h, 1.0)
-                if source_method == 2:  # SOURCE_NONE (ARK-IMEX explicit)
+                if nt:
+                    u = jnp.where(wet, hu / h_safe, 0.0)
+                    v = jnp.where(wet, hv / h_safe, 0.0)
+                    cd = g_c * mann * mann * jnp.power(
+                        h_safe, -1.0 / 3.0
+                    )
+                    if source_method == 2:  # SOURCE_NONE (ARK-IMEX expl.)
+                        s1 = -bedx + e1
+                        s2 = -bedy + e2
+                    else:  # semi-implicit tb/(1 + dt*tb), tracer ordering
+                        speed = jnp.sqrt(u * u + v * v)
+                        tb = cd * speed / h_safe
+                        factor = tb / (1.0 + dt * tb)
+                        tbx = jnp.where(
+                            wet, (hu + dt * (acc[1] - bedx)) * factor, 0.0
+                        )
+                        tby = jnp.where(
+                            wet, (hv + dt * (acc[2] - bedy)) * factor, 0.0
+                        )
+                        s1 = -bedx - tbx + e1
+                        s2 = -bedy - tby + e2
+                elif source_method == 2:  # SOURCE_NONE (ARK-IMEX explicit)
                     s1 = -bedx + e1
                     s2 = -bedy + e2
                 elif source_method == 1:  # implicit XQ2018 closed form
@@ -2267,6 +2317,38 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
                 o_q[1, r8, :] = up1
                 o_q[2, r8, :] = up2
 
+                if nt:
+                    # tracer rows: Hairsine-Rose erosion/deposition on the
+                    # sediment classes, passive advection on the rest
+                    # (ops/tracer/sources.py:88-100 twin)
+                    kp, ws_v, tau_ce, tau_cd, rhow = sed_params
+                    tau_b = jnp.float32(0.5 * rhow) * cd * (u * u + v * v)
+                    e_t = (
+                        jnp.float32(kp)
+                        * (tau_b - jnp.float32(tau_ce))
+                        / jnp.float32(tau_ce)
+                    )
+                    for j in range(nt):
+                        hc_j = qc_ref[3 + j, r8, :]
+                        ci_j = jnp.where(wet, hc_j / h_safe, 0.0)
+                        ej = (
+                            ext_ref[3 + j, r8, :] if has_ext
+                            else jnp.float32(0.0)
+                        )
+                        if j < num_sediment:
+                            d_j = jnp.float32(ws_v) * ci_j * (
+                                1.0 - tau_b / jnp.float32(tau_cd)
+                            )
+                            sj = jnp.where(wet, e_t - d_j, 0.0) + ej
+                        else:
+                            sj = ej
+                        upj = beta * hc_j + gdt * (acc[3 + j] + sj)
+                        if qa_ref is not None:
+                            upj = upj + alpha * qa_ref[3 + j, r8, :]
+                        o_q[3 + j, r8, :] = upj
+                        if emit_prim:
+                            o_prim[3 + j, r8, :] = ci_j
+
                 if emit_prim:
                     # primitives of the STAGE INPUT (stage 1's input is the
                     # step-start state, matching r1.prim in the twin)
@@ -2285,16 +2367,32 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
                        nsup_rk, tiny_h, h_anuga, xq_threshold, source_method,
                        bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
                        qA2d=None, dir_planes=None, emit_prim=False,
-                       uniform_scal=None, interpret=False):
+                       uniform_scal=None, interpret=False,
+                       num_tracers=0, num_sediment=0, sed_params=None,
+                       upwind=False):
     """One RK stage of the full-step fused kernel.
 
-    q2d: [3, NB*GT*8, 128] stage state in tile-row layout (pack_rows);
+    q2d: [3+nt, NB*GT*8, 128] stage state in tile-row layout (pack_rows;
+    rows 3+ are tracer hc planes when num_tracers > 0);
     dt_f32: traced f32 scalar (the step dt; sources use it, the update
     uses gfac * dt); alpha/beta/gfac: static stage coefficients.
     uniform_scal: (dz_dx0, dz_dy0, mann0) traced scalars replacing the
     geometry stream on uniform meshes (pass geom2d=None); ext2d=None
     elides the external-source stream (no sources configured).
     Returns (q2d_new, cmax8, cidx8[, prim2d])."""
+    nt = int(num_tracers)
+    ndof = 3 + nt
+    if sed_params is None:
+        from ..tracer.sources import SedimentParams
+
+        sed_params = SedimentParams()
+    sp_tuple = (
+        float(sed_params.kp_constant),
+        float(sed_params.settling_velocity),
+        float(sed_params.tau_critical_erosion),
+        float(sed_params.tau_critical_deposition),
+        float(sed_params.rhow),
+    )
     ns, negrp, nringL, nringR, NB, ncgrp = step_meta
     Ct_cells = ncgrp * GT
     supL = arrays.pl_supL
@@ -2328,15 +2426,15 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
             lambda t, gw, eg, cg, doc, co, dtb: (0, cg[t], 0),
         )
 
-    def cg3():  # [3, rows, 128] cell-row block (by clamped cell group)
+    def cg3(n=3):  # [n, rows, 128] cell-row block (by clamped cell group)
         return pl.BlockSpec(
-            (3, GT * 8, 128),
+            (n, GT * 8, 128),
             lambda t, gw, eg, cg, doc, co, dtb: (0, cg[t], 0),
         )
 
     def co3():  # output block (by raw output index, incl. pad blocks)
         return pl.BlockSpec(
-            (3, GT * 8, 128),
+            (ndof, GT * 8, 128),
             lambda t, gw, eg, cg, doc, co, dtb: (0, co[t], 0),
         )
 
@@ -2373,17 +2471,17 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
         cm3(KL + KR),        # merged cell coef f32
     ] + (
         [pl.BlockSpec(
-            (3, GT * 8, 128),
+            (ndof, GT * 8, 128),
             lambda t, gw, eg, cg, doc, co, dtb: (0, eg[t], 0),
         )] if has_dir else []
     ) + [
-        cg3(),  # qc: stage-state rows of the cell group
+        cg3(ndof),  # qc: stage-state rows of the cell group
     ] + (
-        [cg3()] if alpha != 0.0 else []  # qA: step-start state rows
+        [cg3(ndof)] if alpha != 0.0 else []  # qA: step-start state rows
     ) + (
         [] if uniform_geom else [cg3()]  # geom (dz_dx | dz_dy | mannings)
     ) + (
-        [cg3()] if has_ext else []  # ext sources
+        [cg3(ndof)] if has_ext else []  # ext sources
     ) + [
         pl.BlockSpec(memory_space=pltpu.ANY),  # q2d (group-window DMA)
     ]
@@ -2399,11 +2497,11 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
         ),
     ] + ([co3()] if emit_prim else [])
     out_shape = [
-        jax.ShapeDtypeStruct((3, rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((ndof, rows, 128), jnp.float32),
         jax.ShapeDtypeStruct((8, 128), jnp.float32),
         jax.ShapeDtypeStruct((8, 128), jnp.int32),
     ] + (
-        [jax.ShapeDtypeStruct((3, rows, 128), jnp.float32)]
+        [jax.ShapeDtypeStruct((ndof, rows, 128), jnp.float32)]
         if emit_prim else []
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -2412,15 +2510,15 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, 3, wq * 8, 128), jnp.float32),
+            pltpu.VMEM((2, ndof, wq * 8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((nringL * 8, 3, 128), jnp.float32),
-            pltpu.VMEM((nringR * 8, 3, 128), jnp.float32),
+            pltpu.VMEM((nringL * 8, ndof, 128), jnp.float32),
+            pltpu.VMEM((nringR * 8, ndof, 128), jnp.float32),
         ],
     )
     f = pl.pallas_call(
         functools.partial(
-            _fused_step_kernel, nsup=nsup, wq=wq, upwind=False,
+            _fused_step_kernel, nsup=nsup, wq=wq, upwind=bool(upwind),
             tiny_h=float(tiny_h), h_anuga=float(h_anuga), rrows=rrows,
             nsupL_ks=tuple(nsup_lk), nsupR_ks=tuple(nsup_rk),
             Ct=ncgrp * GT, KL=KL, KR=KR, negrp=negrp,
@@ -2430,7 +2528,8 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
             source_method=int(source_method), emit_prim=bool(emit_prim),
             xq_threshold=float(xq_threshold),
             uniform_geom=uniform_geom, has_ext=has_ext,
-            smem_blocked=smem_blocked,
+            smem_blocked=smem_blocked, nt=nt,
+            num_sediment=int(num_sediment), sed_params=sp_tuple,
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -3305,12 +3404,11 @@ def to_pallas_backend(op, max_sup: int | None = None, max_sup_cd: int = 16,
 
     # unified mode: fold the boundary edges into the plan so the fused
     # kernel's divergence is complete and the XLA boundary scatter-add
-    # leaves the hot path (pure first-order SWE only; MUSCL/BS2002/tracer
-    # kernels handle interior slots exclusively)
+    # leaves the hot path (first-order SWE and coupled tracers;
+    # MUSCL/BS2002 kernels handle interior slots exclusively)
     bnd = None
     if (
         op.num_boundary_edges > 0
-        and op.num_tracers == 0
         and not op.second_order
         and not op.well_balancing_bs2002
     ):

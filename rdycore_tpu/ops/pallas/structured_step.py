@@ -103,7 +103,11 @@ def fill_ghost_frame(plan: StructuredPlan, h, hu, hv, bc_vals=None,
 
     def _ghost_hc(bc, h_int, hc_int, hg, dirichlet):
         if bc == bc_mod.BC_DIRICHLET:
-            return jnp.asarray(dirichlet)[3:]
+            d = jnp.asarray(dirichlet)
+            if d.shape[0] > 3:
+                return d[3:]
+            # legacy 3-row (h, hu, hv) bc_vals: tracer rows not
+            # prescribed — fall back to the interior-concentration ghost
         hden = jnp.where(jnp.abs(h_int) > 0.0, h_int, 1.0)
         c_int = jnp.where(h_int > th, hc_int / hden, 0.0)
         return hg * c_int
@@ -338,8 +342,18 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
         # q slab rows [5, 11+ty) -> gradients rows [6, 10+ty) -> faces:
         #   x-faces rows [7, 9+ty), y-faces between rows [6, 9+ty)
         g0 = slice(1, 5 + ty)  # gradient rows within the q slab
-        q3 = [hw[slot, 5:11 + ty, :], huw[slot, 5:11 + ty, :],
-              hvw[slot, 5:11 + ty, :]]
+        # The slab spans global rows [t_row0 - 3, t_row0 + ty + 3); rows
+        # outside the 1-cell ghost frame ([-1, ny]) are UNWRITTEN pallas
+        # pad rows from step 2 on. The zero cyS/cyN/v_face coefficients
+        # alone don't neutralize them (0 * NaN = NaN feeds the minmod
+        # where-chain), so zero the out-of-frame rows before differencing.
+        srow = (
+            jax.lax.broadcasted_iota(jnp.int32, (6 + ty, nxp), 0)
+            + (t_row0 - 3)
+        )
+        in_slab = (srow >= -1) & (srow <= ny)
+        q3 = [jnp.where(in_slab, qq[slot, 5:11 + ty, :], 0.0)
+              for qq in (hw, huw, hvw)]
         nx_ = nxp - 2 * GC
         col = jax.lax.broadcasted_iota(jnp.int32, (4 + ty, nxp), 1)
         in_x = (col >= GC) & (col < GC + nx_)

@@ -273,8 +273,9 @@ def _merge_fused_plans(plans, metas, ndof=3, want_step=True):
         fused=(ns, negrp, nringL, nringR), step=(),
     )
 
-    # full-step schedule (unified plans only; ndof == 3 flow)
-    if want_step and ndof == 3 and all(m["unified"] for m in metas):
+    # full-step schedule (unified plans only; any ndof — tracer runs
+    # keep the fused-step tier at every shard count, round 5)
+    if want_step and all(m["unified"] for m in metas):
         ncgrp = Ct // GT_
         NB = -(-(Ct * 8 + wq * 8 + 8) // (GT_ * 8))
         npad = NB - ncgrp
@@ -334,6 +335,7 @@ def _fused_step_interval(op, stages, exchange, B, q, t0, dt, n_steps, t_end,
     rows = NB * GT * 8
     crows = ncgrp * GT * 8
     C_loc = op.num_cells
+    ndof = op.ndof
     has_dir = 1 in op.pallas_bnd_kinds
 
     dirp = None
@@ -342,19 +344,19 @@ def _fused_step_interval(op, stages, exchange, B, q, t0, dt, n_steps, t_end,
         # forcing/BCs across each RDyAdvance too)
         dirp = slot_dirichlet_planes(
             a.pl_bnd_pos, a.pl_supL.shape[0], bv_local, op.tiny_h,
-            op.h_anuga,
+            op.h_anuga, ndof=ndof,
         )
     geom2d = pack_rows(
         jnp.stack([a.dz_dx, a.dz_dy, a.mannings_n]).astype(jnp.float32),
         crows,
     )
     ext2d = (
-        pack_rows(ext_src[:3].astype(jnp.float32), crows)
+        pack_rows(ext_src[:ndof].astype(jnp.float32), crows)
         if ext_src is not None else None
     )
 
     def exchange2d(q2d):
-        qf = exchange(q2d.reshape(3, -1))
+        qf = exchange(q2d.reshape(ndof, -1))
         return qf.reshape(q2d.shape)
 
     def stage_call(q2d_s, qA2d, dt_i, coeffs):
@@ -366,6 +368,8 @@ def _fused_step_interval(op, stages, exchange, B, q, t0, dt, n_steps, t_end,
             op.pallas_bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
             qA2d=qA2d, dir_planes=dirp, emit_prim=False,
             interpret=op.pallas_interpret,
+            num_tracers=op.num_tracers, num_sediment=op.num_sediment,
+            upwind=op.riemann == "upwind_roe",
         )
 
     q2d0 = pack_rows(q.astype(jnp.float32), rows)
@@ -400,7 +404,7 @@ def _fused_step_interval(op, stages, exchange, B, q, t0, dt, n_steps, t_end,
     q2d_f, t_f, cmax, cedge = jax.lax.fori_loop(
         0, jnp.asarray(n_steps, jnp.int32), body, init
     )
-    q_f = q2d_f.reshape(3, -1)[:, :C_loc]
+    q_f = q2d_f.reshape(ndof, -1)[:, :C_loc]
     return q_f, t_f, cmax, cedge
 
 
@@ -937,9 +941,7 @@ class ShardedSWE:
             # unified plans (boundary edges folded in-kernel) enable the
             # fused-RHS and full-step kernels per shard — first-order
             # flow-only, like to_pallas_backend's single-device fold
-            unified_want = not (
-                second_order or bs2002 or hr or ref_op.num_tracers
-            ) and ref_op.ndof == N_FLOW_DOF
+            unified_want = not (second_order or bs2002 or hr)
 
             def shard_plan(p, rcap, with_bnd):
                 muscl_p = None
@@ -1307,7 +1309,6 @@ class ShardedSWE:
             fused_stages is not None
             and op.edge_flux_backend == "pallas"
             and bool(op.pallas_step_meta)
-            and ndof == N_FLOW_DOF
             and self.dtype == jnp.float32
         )
 

@@ -924,6 +924,9 @@ class Simulation:
                 axis_name=self.config.parallel.axis_name,
                 scheme=st["scheme"], with_src=st["with_src"],
                 interpret=interp,
+                num_tracers=self.num_tracers,
+                num_sediment=self.num_sediment,
+                riemann=self.config.numerics.riemann,
             )
             return
         bflux_fn = None

@@ -273,7 +273,10 @@ def make_interval_advancer(
         fused_stages is not None
         and base_op.edge_flux_backend == "pallas"
         and bool(base_op.pallas_step_meta)
-        and base_op.ndof == 3
+        # ndof > 3 (coupled tracers) runs in-kernel too (round 5); the
+        # accumulate path still needs the ndof-row boundary fluxes that
+        # only the two-kernel tier computes
+        and (base_op.ndof == 3 or not accumulate)
         and (base_op.num_boundary_edges == 0 or base_op.pallas_bnd_kinds)
         and not base_op.well_balancing_hr
         and not base_op.well_balancing_bs2002
@@ -424,14 +427,15 @@ def _advance_fused_step(
         uniform_scal = None
     # interval-constant streams hoisted out of the loop; per-step when a
     # time-dependent override (MMS) is installed
+    ndof = op.ndof
     ext2d_const = None if (src_fn is not None or not has_ext) else pack_rows(
-        ext_src[:3], crows
+        ext_src[:ndof], crows
     )
     dirp_const = None
     if has_dir and bc_fn is None:
         dirp_const = slot_dirichlet_planes(
             a.pl_bnd_pos, a.pl_supL.shape[0], bnd_values, op.tiny_h,
-            op.h_anuga,
+            op.h_anuga, ndof=ndof,
         )
 
     def stage_call(q2d_s, qA2d, dt_i, coeffs, ext2d, dirp, emit_prim):
@@ -443,6 +447,8 @@ def _advance_fused_step(
             op.pallas_bnd_kinds, geom2d, ext2d, alpha, beta, gfac,
             qA2d=qA2d, dir_planes=dirp, emit_prim=emit_prim,
             uniform_scal=uniform_scal, interpret=op.pallas_interpret,
+            num_tracers=op.num_tracers, num_sediment=op.num_sediment,
+            upwind=op.riemann == "upwind_roe",
         )
 
     Eb = op.num_boundary_edges
@@ -458,7 +464,7 @@ def _advance_fused_step(
         t_half = tt + 0.5 * dt_i
         bv = bc_fn(t_half) if bc_fn is not None else bnd_values
         ext2d = (
-            pack_rows(src_fn(t_half)[:3], crows)
+            pack_rows(src_fn(t_half)[:ndof], crows)
             if src_fn is not None else ext2d_const
         )
         if has_dir:
@@ -487,7 +493,7 @@ def _advance_fused_step(
 
         if accumulate:
             prim2d = out1[3]
-            qq_flat = qq2d.reshape(3, -1)[:, :C]
+            qq_flat = qq2d.reshape(ndof, -1)[:, :C]
             if Eb:
                 fb, _ = op.boundary_fluxes(qq_flat, bv)
                 bfa = bfa + dt_i * fb
@@ -503,7 +509,7 @@ def _advance_fused_step(
         jnp.zeros((), dtype),
         jnp.zeros((), jnp.int32),
     )
-    zero_bfa = jnp.zeros((3, max(Eb, 1)), dtype)
+    zero_bfa = jnp.zeros((ndof, max(Eb, 1)), dtype)
     if accumulate:
         init = init_core + (
             zero_bfa, jnp.zeros_like(q2d0), jnp.zeros_like(q2d0),
@@ -519,8 +525,8 @@ def _advance_fused_step(
             0, jnp.asarray(n_steps, jnp.int32), body, init_core
         )
         bfa = zero_bfa
-        asol = jnp.zeros((3, C), dtype)
-        aprim = jnp.zeros((3, C), dtype)
+        asol = jnp.zeros((ndof, C), dtype)
+        aprim = jnp.zeros((ndof, C), dtype)
         atime = jnp.zeros((), dtype)
     return IntervalResult(
         q=unpack_rows(q2d_f, C, dtype),

@@ -718,3 +718,122 @@ def test_pallas_bs2002_muscl_positivity_drying_front():
     assert (h_x >= -1e-7).all()
     assert (h_p >= -1e-7).all(), "pallas BS2002+MUSCL overdrained"
     np.testing.assert_allclose(h_p, h_x, atol=1e-4)
+
+
+@pytest.mark.parametrize("riemann", ["roe", "upwind_roe"])
+def test_fused_step_tracers_matches_glue_path(riemann):
+    """Round 5: the fused FULL-STEP kernel runs the coupled flow+tracer
+    system in-kernel (unified boundary plans with ghost concentrations,
+    Hairsine-Rose e/d on the sediment rows in the cell phase) and must
+    reproduce the two-kernel tracer interval path at f32 rounding.
+    Reference: identical tracer Q-functions at any rank count
+    (tracer_fluxes_ceed.h:80-206, operator_fluxes_ceed.c:165-256)."""
+    import dataclasses
+
+    from rdycore_tpu.ops.swe.boundary import (
+        BC_CRITICAL_OUTFLOW, BC_DIRICHLET,
+    )
+    from rdycore_tpu.timestepping import make_interval_advancer
+
+    mesh = structured_quad(40, 24, 0.0, 4.0, 0.0, 2.4)
+    C = mesh.num_cells
+    nt = 2
+    op = build_operator(
+        mesh,
+        bc_types={"left": BC_DIRICHLET, "right": BC_CRITICAL_OUTFLOW},
+        mannings_n=np.full(C, 0.02), num_tracers=nt, num_sediment=1,
+        riemann=riemann, dtype=jnp.float32,
+    )
+    op_p = dataclasses.replace(
+        to_pallas_backend(op), pallas_interpret=True
+    )
+    assert op_p.pallas_step_meta, "tracer full-step schedule missing"
+    assert op_p.pallas_bnd_kinds, "tracer unified plan missing"
+    op_glue = dataclasses.replace(op_p, pallas_step_meta=())
+
+    rng = np.random.default_rng(7)
+    q0 = np.zeros((3 + nt, C), np.float32)
+    q0[0] = 1.0 + rng.random(C)
+    # velocities bounded by the depth: unbounded u = hu/h at near-dry
+    # cells makes the erosion source (~u^2) chaotic, which amplifies the
+    # ~1-ulp CPU-interpret fma-fusion drift past any useful tolerance
+    q0[1] = 0.2 * q0[0] * rng.standard_normal(C)
+    q0[2] = 0.2 * q0[0] * rng.standard_normal(C)
+    q0[3] = 0.01 * q0[0] * rng.random(C)  # sediment hc
+    q0[4] = 0.03 * q0[0] * rng.random(C)  # passive hc
+    q0 = jnp.asarray(q0)
+    q0_dry = q0.at[:, : C // 4].set(0.0)  # physically-dry block
+    bv = jnp.asarray(
+        rng.uniform(0.1, 1.5, (3 + nt, op.num_boundary_edges)), jnp.float32
+    )
+    src = jnp.asarray(rng.uniform(0, 1e-3, (3 + nt, C)), jnp.float32)
+
+    # euler runs the drying-front configuration (stage updates are
+    # reassociation-free, so fused-vs-glue stays at ~ulp even though the
+    # erosion source is chaotic at the wetting front); ssprk2's stage-2
+    # convex combination reassociates in f32, so it runs fully wet where
+    # 1-ulp seeds cannot amplify through u = hu/h at near-dry cells
+    for scheme, qs in (("euler", q0_dry), ("ssprk2", q0)):
+        advF = make_interval_advancer(op_p, scheme, accumulate=False)
+        advN = make_interval_advancer(op_glue, scheme, accumulate=False)
+        rF = advF(op_p.arrays, qs, 0.0, 0.001, 4, 1.0, bv, src)
+        rN = advN(op_glue.arrays, qs, 0.0, 0.001, 4, 1.0, bv, src)
+        qN = np.asarray(rN.q)
+        rel = np.abs(np.asarray(rF.q) - qN) / (1.0 + np.abs(qN))
+        assert rel.max() < 2e-5, f"{scheme}: rel {rel.max():.2e}"
+        assert float(rF.max_courant) == pytest.approx(
+            float(rN.max_courant), abs=1e-5
+        )
+        assert int(rF.courant_edge) == int(rN.courant_edge)
+
+
+def test_tracer_unified_rhs_matches_xla():
+    """The unified (boundary-folded) tracer plan's single-RHS evaluation —
+    ghost concentrations computed in-kernel per BC type — matches the XLA
+    twin, including the Courant location over boundary slots."""
+    from rdycore_tpu.ops.swe.boundary import (
+        BC_CRITICAL_OUTFLOW, BC_DIRICHLET,
+    )
+
+    mesh = structured_quad(32, 16)
+    C = mesh.num_cells
+    nt = 2
+    kw = dict(
+        bc_types={"left": BC_DIRICHLET, "top": BC_CRITICAL_OUTFLOW},
+        mannings_n=np.full(C, 0.02), num_tracers=nt, num_sediment=1,
+        dtype=jnp.float32,
+    )
+    op = build_operator(mesh, **kw)
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.pallas_bnd_kinds, "unified tracer plan missing"
+
+    rng = np.random.default_rng(9)
+    q0 = np.zeros((3 + nt, C), np.float32)
+    q0[0] = 0.5 + rng.random(C)
+    q0[1] = 0.3 * rng.standard_normal(C)
+    q0[2] = 0.3 * rng.standard_normal(C)
+    q0[3] = 0.02 * q0[0]
+    q0[4] = 0.05 * q0[0] * rng.random(C)
+    q0[:, : C // 5] = 0.0
+    q0 = jnp.asarray(q0)
+    bv = np.zeros((3 + nt, op.num_boundary_edges), np.float32)
+    bv[0] = 1.1
+    bv[1] = 0.3
+    bv[3] = 0.02
+    bv[4] = 0.01
+    bv = jnp.asarray(bv)
+    src = jnp.zeros((3 + nt, C), jnp.float32)
+
+    r_x = op.apply(q0, 0.01, bv, src)
+    r_p = op_p.apply(q0, 0.01, bv, src)
+    np.testing.assert_allclose(
+        np.asarray(r_p.rhs), np.asarray(r_x.rhs), rtol=0, atol=1e-3
+    )
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
+    assert int(r_p.courant_edge) == int(r_x.courant_edge)
