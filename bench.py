@@ -607,9 +607,9 @@ def orchestrate(nx, ny, n_steps):
         if u is not None:
             _results[mode] = u
 
-    # fused MUSCL second order: only once the Mosaic TPU lowering works
-    # (round-5); harmless to attempt — one shot, no recovery cycles
-    if os.environ.get("BENCH_MUSCL") and time.time() < deadline - 150:
+    # fused MUSCL second order (round 5: the Mosaic lowering crash is
+    # fixed — iota-derived masks are now built at consumption shape)
+    if time.time() < deadline - 150:
         u = _run_mode_resilient("fused_muscl", 300, deadline,
                                 recovery_cycles=1)
         if u is not None:

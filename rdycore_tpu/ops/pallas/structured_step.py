@@ -407,17 +407,26 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
 
         # x-faces between (c, c+1) on gradient rows [1, 3+ty) (= window
         # rows [7, 9+ty)); reconstruction only where BOTH cells are
-        # interior (has_E of the left cell)
+        # interior (has_E of the left cell).
+        # MOSAIC CONSTRAINT (round 5): iota-derived masks must be built
+        # at their consumption shape with fresh iotas — SLICING a mask
+        # array (has_E[fxr].astype) crashes the TPU lowering
+        # (array.h:480 "limits[i] <= dim(i)"; bisected on-chip, the
+        # sliced lane/row-invariant mask keeps a dim-1 internal
+        # representation that later window math trips over).
         fxr = slice(1, 3 + ty)
         hdx = jnp.float32(0.5) / jnp.float32(inv_dx)
+        colf = jax.lax.broadcasted_iota(jnp.int32, (2 + ty, nxp), 1)
+        vfx = (
+            (colf >= GC) & (colf < GC + nx_ - 1)
+        ).astype(jnp.float32)
         qLx, qRx = [], []
         for m, qq in enumerate(q3):
             qc_ = qq[g0][fxr]
             qe_ = eshift(qq[g0])[fxr]
             dq = qe_ - qc_
-            v_face = has_E[fxr].astype(jnp.float32)
-            eL = gx[m][fxr] * hdx * v_face
-            eR = -eshift(gx[m])[fxr] * hdx * v_face
+            eL = gx[m][fxr] * hdx * vfx
+            eR = -eshift(gx[m])[fxr] * hdx * vfx
             qLx.append(qc_ + _lim(eL, 0.5 * dq))
             qRx.append(qe_ + _lim(eR, -0.5 * dq))
         hLx = jnp.maximum(0.0, qLx[0])
@@ -432,18 +441,24 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
         mx = jnp.where((hLx < tiny_h) & (hRx < tiny_h), 0.0, 1.0)
         fxh, fxhu, fxhv, ax = fxh * mx, fxhu * mx, fxhv * mx, ax * mx
 
-        # y-faces between rows (w, w+1) for gradient rows w in [0, 3+ty)
+        # y-faces between rows (w, w+1) for gradient rows w in [0, 3+ty);
+        # face mask at consumption shape (fresh iota — see the Mosaic
+        # constraint above): has_N[fys] == (grow >= 0) & (grow < ny - 1)
         hdy = jnp.float32(0.5) / jnp.float32(inv_dy)
         fys = slice(0, 3 + ty)
         fyn = slice(1, 4 + ty)
+        growf = (
+            jax.lax.broadcasted_iota(jnp.int32, (3 + ty, nxp), 0)
+            + (t_row0 - 2)
+        )
+        vfy = ((growf >= 0) & (growf < ny - 1)).astype(jnp.float32)
         qLy, qRy = [], []
         for m, qq in enumerate(q3):
             qs_ = qq[g0][fys]
             qn_ = qq[g0][fyn]
             dq = qn_ - qs_
-            v_face = has_N[fys].astype(jnp.float32)
-            eL = gy[m][fys] * hdy * v_face
-            eR = -gy[m][fyn] * hdy * v_face
+            eL = gy[m][fys] * hdy * vfy
+            eR = -gy[m][fyn] * hdy * vfy
             qLy.append(qs_ + _lim(eL, 0.5 * dq))
             qRy.append(qn_ + _lim(eR, -0.5 * dq))
         hLy = jnp.maximum(0.0, qLy[0])
@@ -482,7 +497,20 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
                 jnp.clip(h_cells / (dt_s * dsafe), 0.0, 1.0),
                 1.0,
             )
-            in_cell = in_x[fxr] & in_y[fxr]
+            # in-domain cell mask at consumption shape (fresh iotas —
+            # slicing in_x/in_y trips the Mosaic lowering, see the
+            # constraint note at the x-face masks)
+            colc = jax.lax.broadcasted_iota(
+                jnp.int32, (2 + ty, nxp), 1
+            )
+            growc = (
+                jax.lax.broadcasted_iota(jnp.int32, (2 + ty, nxp), 0)
+                + (t_row0 - 1)
+            )
+            in_cell = (
+                (colc >= GC) & (colc < GC + nx_)
+                & (growc >= 0) & (growc < ny)
+            )
             s_pos = jnp.where(in_cell, s_pos, 1.0)
         else:
             s_pos = None
@@ -620,7 +648,8 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                                   riemann: str = "roe",
                                   second_order: bool = False,
                                   limiter: str = "minmod",
-                                  positivity: bool = True):
+                                  positivity: bool = True,
+                                  lin_op=None):
     """Returns advance(h, hu, hv [padded planes], t0, dt, n_steps, t_end,
     [dzx, dzy, mann, src, bc_vals]) -> (h, hu, hv, t, cmax). Planes stay
     padded (gr = plan.gr rows) across steps; larger gr (= taller row tiles)
@@ -664,8 +693,21 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
         raise ValueError("plan.gr must be a multiple of 8 (row-tile height)")
     if nx % 128 or ny % ty:
         raise ValueError("fused structured kernel needs nx % 128 == 0 and ny % gr == 0")
-    if scheme not in ("euler", "ssprk2", "ssprk3", "rk4"):
+    if scheme not in ("euler", "ssprk2", "ssprk3", "rk4", "beuler"):
         raise ValueError(f"fused_structured: unsupported scheme '{scheme}'")
+    if scheme == "beuler":
+        # backward Euler: kernel residuals (rhs mode) + Newton-GMRES with
+        # JVPs through the differentiable XLA structured twin — the same
+        # custom-linearization recipe that unfenced the pallas backend
+        # (timestepping._beuler_step; reference TSBEULER + SNES,
+        # rdysetup.c:1183-1196)
+        if lin_op is None:
+            raise ValueError(
+                "scheme 'beuler' needs lin_op (the XLA StructuredSWEOperator"
+                " twin for Newton-GMRES JVPs)"
+            )
+        if nt:
+            raise ValueError("fused raster beuler is flow-only")
     nxp = nx + 2 * GC
     ntiles = ny // ty
 
@@ -728,7 +770,9 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
         return kernel, grid_spec, out_shape
 
     kern_upd = build_call(emit_rhs=False)
-    kern_rhs = build_call(emit_rhs=True) if scheme == "rk4" else None
+    kern_rhs = (
+        build_call(emit_rhs=True) if scheme in ("rk4", "beuler") else None
+    )
 
     def one_step(h, hu, hv, hc, dt_arr, dzx, dzy, mann, src, bc_vals,
                  interpret=False, emit_rhs=False):
@@ -806,23 +850,41 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
             dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
             if accumulate:
                 # dt-weighted accounting of the PRE-STEP state, matching
-                # the unstructured interval advancer (timestepping.py)
+                # the unstructured interval advancer (timestepping.py);
+                # tracer rows accumulate hc and the concentration
+                # primitive (ops/tracer/sources.py prim convention)
                 q_flat = _interior_flat(*st[:3])
+                th_f = jnp.float32(plan.tiny_h)
                 u, v = regularized_velocity(
                     q_flat[0], q_flat[1], q_flat[2],
-                    jnp.float32(plan.tiny_h), jnp.float32(plan.h_anuga),
+                    th_f, jnp.float32(plan.h_anuga),
                 )
+                prim_rows = [q_flat[0], u, v]
+                if nt:
+                    hc_flat = jnp.stack([
+                        st[3][j, r0a:r1a, c0a:c1a].reshape(-1)
+                        for j in range(nt)
+                    ])
+                    q_flat = jnp.concatenate([q_flat, hc_flat])
+                    wet_t = q_flat[0] > th_f
+                    h_safe = jnp.where(wet_t, q_flat[0], 1.0)
+                    prim_rows += [
+                        jnp.where(wet_t, hc_flat[j] / h_safe, 0.0)
+                        for j in range(nt)
+                    ]
                 asol = (asol + dt_i * q_flat).astype(jnp.float32)
                 aprim = (
-                    aprim + dt_i * jnp.stack([q_flat[0], u, v])
+                    aprim + dt_i * jnp.stack(prim_rows)
                 ).astype(jnp.float32)
                 atime = (atime + dt_i).astype(jnp.float32)
                 if bflux_fn is not None:
                     # the twin operator may compute in f64 on CPU (x64);
-                    # the carry stays f32
-                    bfa = (
-                        bfa + dt_i * bflux_fn(q_flat, bv_edges)
-                    ).astype(jnp.float32)
+                    # the carry stays f32. boundary_fluxes is flow-only —
+                    # tracer rows of the accumulator stay zero
+                    fb = bflux_fn(q_flat[:3], bv_edges)
+                    bfa = bfa.at[: fb.shape[0]].add(
+                        dt_i * fb.astype(jnp.float32)
+                    )
             if scheme == "euler":
                 stn, cm = E(st, dt_arr)
             elif scheme == "ssprk2":
@@ -837,6 +899,46 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
                 st3, _ = E(st2, dt_arr)
                 third = jnp.float32(1.0 / 3.0)
                 stn = lin(st, third, st3, 1.0 - third)
+            elif scheme == "beuler":
+                # backward Euler: R(u) = u - u^n - dt*F(u) driven to zero
+                # by Newton-GMRES; residual F evaluates through the fused
+                # kernel's rhs mode, JVPs through the XLA structured twin
+                # (inexact Newton — lin_op's Dirichlet ghosts use zero
+                # values, which only perturbs the JACOBIAN on wall edges,
+                # never the residual)
+                from ...timestepping import newton_beuler_solve
+
+                nyp_t = ny + 2 * ty
+
+                def to_planes(qf):
+                    q3 = qf.reshape(3, ny, nx)
+                    return tuple(
+                        jnp.zeros((nyp_t, nxp), jnp.float32)
+                        .at[ty:ty + ny, GC:GC + nx].set(q3[i])
+                        for i in range(3)
+                    )
+
+                def F_k(qf):
+                    rhs_pl, _ = E(to_planes(qf), dt_arr, emit_rhs=True)
+                    return _interior_flat(*rhs_pl)
+
+                if with_src and src is not None:
+                    es3 = jnp.zeros((3, ny, nx), jnp.float32).at[0].set(
+                        src[ty:ty + ny, GC:GC + nx]
+                    )
+                else:
+                    es3 = jnp.zeros((3, ny, nx), jnp.float32)
+
+                def F_l(qf):
+                    rhs3, _ = lin_op.apply(
+                        qf.reshape(3, ny, nx), dt_i, es3
+                    )
+                    return rhs3.reshape(3, -1).astype(jnp.float32)
+
+                q_flat = _interior_flat(*st[:3])
+                _, cm = E(st, dt_arr, emit_rhs=True)  # Courant diagnostic
+                q_new = newton_beuler_solve(F_k, F_l, q_flat, dt_i)
+                stn = to_planes(q_new)
             else:  # rk4 from rhs-mode kernel calls
                 def R(s):
                     return E(s, dt_arr, emit_rhs=True)
@@ -862,9 +964,9 @@ def make_fused_structured_stepper(plan: StructuredPlan, dzdx, dzdy, mannings,
         if accumulate:
             Eb = bv_edges.shape[1] if bv_edges is not None else 1
             init = init + (
-                jnp.zeros((3, Eb), jnp.float32),
-                jnp.zeros((3, ny * nx), jnp.float32),
-                jnp.zeros((3, ny * nx), jnp.float32),
+                jnp.zeros((3 + nt, Eb), jnp.float32),
+                jnp.zeros((3 + nt, ny * nx), jnp.float32),
+                jnp.zeros((3 + nt, ny * nx), jnp.float32),
                 jnp.float32(0.0),
             )
         res = jax.lax.fori_loop(

@@ -315,17 +315,18 @@ class Simulation:
             # and JVPs route through the XLA twin (inexact Newton); the
             # structured raster backends reject beuler in their own checks.
             if config.numerics.edge_flux_backend not in (
-                "xla", "auto", "pallas"
+                "xla", "auto", "pallas", "fused_structured"
             ):
                 raise ConfigError(
                     "temporal: beuler requires edge_flux_backend: "
-                    "xla or pallas"
+                    "xla, pallas, or fused_structured"
                 )
             self.log.info(
                 "beuler: backward Euler via matrix-free Newton-GMRES"
                 + (
                     " (kernel residuals, XLA-twin JVPs)"
-                    if config.numerics.edge_flux_backend == "pallas"
+                    if config.numerics.edge_flux_backend
+                    in ("pallas", "fused_structured")
                     else " (exact JVPs)"
                 )
             )
@@ -619,22 +620,6 @@ class Simulation:
             # 4); the XLA structured path and the sharded strips (which
             # would need a 2-row ppermute halo) do not
             unsupported.append("second_order")
-        if (
-            cfg.numerics.second_order
-            and kind == "fused_structured"
-            and jax.default_backend() != "cpu"
-        ):
-            # KNOWN ISSUE (round 4): the MUSCL raster kernel is parity-
-            # tested in interpret mode, but Mosaic's TPU lowering crashes
-            # on it (array.h CHECK in the compiler; reproduces on trivial
-            # shapes, under investigation). Fail with a route, not a
-            # compiler core dump.
-            raise ConfigError(
-                "edge_flux_backend: fused_structured with second_order "
-                "currently runs on CPU/interpret only (Mosaic TPU "
-                "lowering bug, BASELINE.md round 4); use "
-                "edge_flux_backend: pallas for second-order TPU runs"
-            )
         if cfg.physics.flow.well_balancing not in (None, "", "none"):
             unsupported.append("well_balancing")
         if cfg.parallel.n_devices > 1 and kind != "fused_structured":
@@ -696,10 +681,10 @@ class Simulation:
 
         if kind == "fused_structured":
             scheme = self._structured_scheme()
-            if scheme not in ("euler", "ssprk2", "ssprk3", "rk4"):
+            if scheme not in ("euler", "ssprk2", "ssprk3", "rk4", "beuler"):
                 raise ConfigError(
                     "edge_flux_backend: fused_structured supports temporal: "
-                    "euler|ssprk2|ssprk3|rk4"
+                    "euler|ssprk2|ssprk3|rk4|beuler"
                 )
             if self.operator.source_method != SOURCE_SEMI_IMPLICIT:
                 raise ConfigError(
@@ -707,7 +692,7 @@ class Simulation:
                     "semi_implicit source method only"
                 )
             n_dev = cfg.parallel.n_devices
-            if n_dev > 1 and scheme == "rk4":
+            if n_dev > 1 and scheme in ("rk4", "beuler"):
                 raise ConfigError(
                     "edge_flux_backend: fused_structured with "
                     "parallel.n_devices > 1 supports temporal: "
@@ -849,6 +834,20 @@ class Simulation:
                     def bflux_fn(q_flat, bv_edges):
                         return _op.boundary_fluxes(q_flat, bv_edges)[0]
 
+                lin_op = None
+                if scheme == "beuler":
+                    # Newton-GMRES JVP twin: the differentiable XLA
+                    # structured raster operator with identical physics
+                    lin_op = build_structured_operator(
+                        nx, ny, dx, dy, mannings_n=mann,
+                        dtype=jnp.float32, dz_dx=dzx, dz_dy=dzy,
+                        bc_left=bc_left, bc_right=bc_right,
+                        bc_bottom=bc_bottom, bc_top=bc_top,
+                        tiny_h=cfg.physics.flow.tiny_h,
+                        h_anuga=cfg.physics.flow.h_anuga_reg_parameter,
+                        source_method=self.operator.source_method,
+                        xq2018_threshold=self.operator.xq2018_threshold,
+                    )
                 adv = make_fused_structured_stepper(
                     plan, dzx, dzy, mann, scheme=scheme, with_src=with_src,
                     accumulate=accum, bflux_fn=bflux_fn,
@@ -858,11 +857,13 @@ class Simulation:
                     second_order=cfg.numerics.second_order,
                     limiter=cfg.numerics.limiter,
                     positivity=self.operator.positivity_limit,
+                    lin_op=lin_op,
                 )
                 self._structured = dict(
                     kind="fused", plan=plan, nx=nx, ny=ny,
                     with_src=with_src, side_cols=side_cols,
                     accumulate=accum, bflux=bflux_fn is not None,
+                    lin_op=lin_op,
                     scheme=scheme, geo=(dzx, dzy, mann),
                     adv=jax.jit(
                         functools.partial(adv, interpret=interp),
@@ -946,6 +947,7 @@ class Simulation:
             second_order=self.config.numerics.second_order,
             limiter=self.config.numerics.limiter,
             positivity=self.operator.positivity_limit,
+            lin_op=st.get("lin_op"),
         )
         st["adv"] = jax.jit(functools.partial(adv, interpret=interp))
 

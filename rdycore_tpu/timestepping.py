@@ -106,6 +106,27 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
     r1: RHSResult = rhs_fn(q, t, dt)
     t1 = t + dt
 
+    def F(qq):
+        return rhs_fn(qq, t1, dt).rhs
+
+    F_lin = F if lin_rhs_fn is None else (
+        lambda qq: lin_rhs_fn(qq, t1, dt).rhs
+    )
+    q_new = newton_beuler_solve(
+        F, F_lin, q, dt, newton_iters=newton_iters, krylov_m=krylov_m,
+        axis_name=axis_name,
+    )
+    return q_new, r1
+
+
+def newton_beuler_solve(F, F_lin, q, dt, newton_iters=6, krylov_m=16,
+                        axis_name=None):
+    """Newton-GMRES core of the backward-Euler step (see _beuler_step):
+    drives R(u) = u - q - dt*F(u) to zero with JVPs through F_lin.
+    Shared by the unstructured path and the fused raster backend
+    (simulation wires the raster kernel's rhs mode as F and the XLA
+    structured twin as F_lin)."""
+
     def gsum(x):
         s = jnp.sum(x)
         if axis_name is not None:
@@ -114,13 +135,6 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
 
     def gdot(a, b):
         return gsum(a * b)
-
-    def F(qq):
-        return rhs_fn(qq, t1, dt).rhs
-
-    F_lin = F if lin_rhs_fn is None else (
-        lambda qq: lin_rhs_fn(qq, t1, dt).rhs
-    )
 
     def res_norm(qq):
         R = qq - q - dt * F(qq)
@@ -171,8 +185,7 @@ def _beuler_step(rhs_fn, q, t, dt, newton_iters=6, krylov_m=16,
             best_n = jnp.where(take, n_c, best_n)
         return best_q
 
-    q_new = jax.lax.fori_loop(0, newton_iters, newton_body, q)
-    return q_new, r1
+    return jax.lax.fori_loop(0, newton_iters, newton_body, q)
 
 
 def _rk_step(scheme: str, rhs_fn, q, t, dt, imex_ctx=None,
