@@ -1001,7 +1001,7 @@ def make_sharded_fused_structured_stepper(
     plan: StructuredPlan, device_mesh, axis_name: str = "y",
     scheme: str = "euler", with_src: bool = False, interpret: bool = False,
     num_tracers: int = 0, num_sediment: int = 0, sed_params=None,
-    riemann: str = "roe",
+    riemann: str = "roe", accumulate: bool = False,
 ):
     """Row-strip-sharded fused structured stepper.
 
@@ -1034,7 +1034,7 @@ def make_sharded_fused_structured_stepper(
             f"sharded fused kernel needs ny % (n_shards * gr) == 0 "
             f"(ny={ny}, n_shards={n_shards}, gr={ty})"
         )
-    if scheme not in ("euler", "ssprk2", "ssprk3"):
+    if scheme not in ("euler", "ssprk2", "ssprk3", "rk4"):
         raise ValueError(f"sharded fused: unsupported scheme '{scheme}'")
     dir_sides = tuple(
         side for side, bc in (
@@ -1052,15 +1052,19 @@ def make_sharded_fused_structured_stepper(
 
         sed_params = SedimentParams()
 
-    kernel = functools.partial(
-        _kernel, nxp=nxp, ty=ty, gr=ty,
-        tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
-        inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
-        with_src=with_src, emit_rhs=False,
-        nt=nt, num_sediment=int(num_sediment),
-        sed_params=tuple(sed_params) if nt else None,
-        upwind=riemann == "upwind_roe",
-    )
+    def _mk_kernel(emit_rhs):
+        return functools.partial(
+            _kernel, nxp=nxp, ty=ty, gr=ty,
+            tiny_h=float(plan.tiny_h), h_anuga=float(plan.h_anuga),
+            inv_dx=float(1.0 / plan.dx), inv_dy=float(1.0 / plan.dy),
+            with_src=with_src, emit_rhs=emit_rhs,
+            nt=nt, num_sediment=int(num_sediment),
+            sed_params=tuple(sed_params) if nt else None,
+            upwind=riemann == "upwind_roe",
+        )
+
+    kernel = _mk_kernel(False)
+    kernel_rhs = _mk_kernel(True) if scheme == "rk4" else None
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(ntiles,),
@@ -1151,7 +1155,7 @@ def make_sharded_fused_structured_stepper(
         return h, hu, hv
 
     def one_step(h, hu, hv, hc, dt_arr, dzx, dzy, mann, src,
-                 bc_local=None):
+                 bc_local=None, emit_rhs=False):
         if nt:
             h, hu, hv, hc = exchange_and_fill(h, hu, hv, hc, bc_local)
         else:
@@ -1162,7 +1166,8 @@ def make_sharded_fused_structured_stepper(
         if nt:
             args = args + (hc,)
         out = pl.pallas_call(
-            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            kernel_rhs if emit_rhs else kernel,
+            grid_spec=grid_spec, out_shape=out_shape,
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
@@ -1188,44 +1193,177 @@ def make_sharded_fused_structured_stepper(
                     v = v[0]
                 bc_local[s] = v
 
-        def E(st, dt_arr):
+        def E(st, dt_arr, emit_rhs=False):
             return one_step(
                 st[0], st[1], st[2], st[3] if nt else None, dt_arr,
-                dzx, dzy, mann, src, bc_local,
+                dzx, dzy, mann, src, bc_local, emit_rhs=emit_rhs,
             )
 
         def lin(a, sa, b, sb):
             return tuple(ai * sa + bi * sb for ai, bi in zip(a, b))
 
+        def wall_fluxes(st):
+            """Per-strip raster boundary-edge Roe fluxes, the exact twin
+            of SWEOperator.boundary_fluxes (ghost_states + exact roe_flux
+            + both-dry mask) evaluated on the strip's wall cells. Interior
+            strips' bottom/top rows are NOT walls — masked by shard index.
+            Returns (fL, fR [3, nyl], fB, fT [3, nx])."""
+            h_, hu_, hv_ = st[0], st[1], st[2]
+            th_f = jnp.float32(plan.tiny_h)
+            ha_f = jnp.float32(plan.h_anuga)
+            zero = jnp.float32(0.0)
+            one = jnp.float32(1.0)
+
+            def side_flux(side, bc, hs, hus, hvs, sn, cn):
+                us, vs = regularized_velocity(hs, hus, hvs, th_f, ha_f)
+                if bc_local is not None and side in bc_local:
+                    bv = jnp.stack(
+                        [jnp.asarray(r, jnp.float32)
+                         for r in bc_local[side][:3]]
+                    )
+                else:
+                    bv = jnp.zeros((3,) + hs.shape, jnp.float32)
+                (hl, ul, vl), (hr, ur, vr) = bc_mod.ghost_states(
+                    bc, hs, us, vs, sn, cn, bv, th_f, ha_f,
+                )
+                fh, fu, fv, _ = roe_flux(hl, ul, vl, hr, ur, vr, sn, cn)
+                m = jnp.where((hl < th_f) & (hr < th_f), 0.0, 1.0)
+                return jnp.stack([fh, fu, fv]) * m
+
+            fL = side_flux(
+                "left", plan.bc_left,
+                h_[r0:r1, GC], hu_[r0:r1, GC], hv_[r0:r1, GC], zero, -one,
+            )
+            fR = side_flux(
+                "right", plan.bc_right,
+                h_[r0:r1, GC + nx - 1], hu_[r0:r1, GC + nx - 1],
+                hv_[r0:r1, GC + nx - 1], zero, one,
+            )
+            fB = side_flux(
+                "bottom", plan.bc_bottom,
+                h_[r0, GC:GC + nx], hu_[r0, GC:GC + nx],
+                hv_[r0, GC:GC + nx], -one, zero,
+            )
+            fT = side_flux(
+                "top", plan.bc_top,
+                h_[r1 - 1, GC:GC + nx], hu_[r1 - 1, GC:GC + nx],
+                hv_[r1 - 1, GC:GC + nx], one, zero,
+            )
+            if n_shards > 1:
+                idx = jax.lax.axis_index(axis_name)
+                fB = fB * (idx == 0)
+                fT = fT * (idx == n_shards - 1)
+            return fL, fR, fB, fT
+
         def body(i, carry):
-            st, tt, cmax = carry
+            if accumulate:
+                st, tt, cmax, bfw, asol, aprim, atime = carry
+            else:
+                st, tt, cmax = carry
             dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
             dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
+            if accumulate:
+                # dt-weighted accounting of the PRE-STEP strip state
+                # (xdmf_output.c:179-241 / time_series.c:464-506 at any
+                # rank count); boundary fluxes from the raster wall twin
+                q_flat = jnp.stack([
+                    p[r0:r1, GC:GC + nx].reshape(-1) for p in st[:3]
+                ])
+                th_f = jnp.float32(plan.tiny_h)
+                u, v = regularized_velocity(
+                    q_flat[0], q_flat[1], q_flat[2],
+                    th_f, jnp.float32(plan.h_anuga),
+                )
+                prim_rows = [q_flat[0], u, v]
+                if nt:
+                    hc_flat = jnp.stack([
+                        st[3][j, r0:r1, GC:GC + nx].reshape(-1)
+                        for j in range(nt)
+                    ])
+                    q_flat = jnp.concatenate([q_flat, hc_flat])
+                    wet_t = q_flat[0] > th_f
+                    h_safe = jnp.where(wet_t, q_flat[0], 1.0)
+                    prim_rows += [
+                        jnp.where(wet_t, hc_flat[j] / h_safe, 0.0)
+                        for j in range(nt)
+                    ]
+                asol = (asol + dt_i * q_flat).astype(jnp.float32)
+                aprim = (
+                    aprim + dt_i * jnp.stack(prim_rows)
+                ).astype(jnp.float32)
+                atime = (atime + dt_i).astype(jnp.float32)
+                fw = wall_fluxes(st)
+                bfw = tuple(
+                    (b + dt_i * f).astype(jnp.float32)
+                    for b, f in zip(bfw, fw)
+                )
             if scheme == "euler":
                 stn, cm = E(st, dt_arr)
             elif scheme == "ssprk2":
                 st1, cm = E(st, dt_arr)
                 st2, _ = E(st1, dt_arr)
                 stn = lin(st, 0.5, st2, 0.5)
-            else:  # ssprk3
+            elif scheme == "ssprk3":
                 st1, cm = E(st, dt_arr)
                 st2, _ = E(st1, dt_arr)
                 st2 = lin(st, 0.75, st2, 0.25)
                 st3, _ = E(st2, dt_arr)
                 third = jnp.float32(1.0 / 3.0)
                 stn = lin(st, third, st3, 1.0 - third)
-            return (stn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
+            else:  # rk4 from rhs-mode kernel calls (per-stage halo fill)
+                def R(sst):
+                    return E(sst, dt_arr, emit_rhs=True)
+
+                k1, cm = R(st)
+                hdt = 0.5 * dt_i
+                k2, _ = R(lin(st, 1.0, k1, hdt))
+                k3, _ = R(lin(st, 1.0, k2, hdt))
+                k4, _ = R(lin(st, 1.0, k3, dt_i))
+                w = dt_i / 6.0
+                stn = tuple(
+                    sc + w * (a + 2 * b + 2 * c + d)
+                    for sc, a, b, c, d in zip(st, k1, k2, k3, k4)
+                )
+            out = (stn, tt + dt_i, jnp.maximum(cmax, cm * dt_i))
+            if accumulate:
+                out = out + (bfw, asol, aprim, atime)
+            return out
 
         init = (st0, jnp.float32(t0), jnp.float32(0.0))
-        st_f, t, cmax = jax.lax.fori_loop(
+        if accumulate:
+            init = init + (
+                (jnp.zeros((3, nyl), jnp.float32),
+                 jnp.zeros((3, nyl), jnp.float32),
+                 jnp.zeros((3, nx), jnp.float32),
+                 jnp.zeros((3, nx), jnp.float32)),
+                jnp.zeros((3 + nt, nyl * nx), jnp.float32),
+                jnp.zeros((3 + nt, nyl * nx), jnp.float32),
+                jnp.float32(0.0),
+            )
+        res = jax.lax.fori_loop(
             0, jnp.asarray(n_steps, jnp.int32), body, init
         )
+        st_f, t, cmax = res[0], res[1], res[2]
         if n_shards > 1:
             cmax = jax.lax.pmax(cmax, axis_name)
         hc_out = (st_f[3][None],) if nt else (jnp.zeros((1, 1, 1, 1)),)
-        return (st_f[0][None], st_f[1][None], st_f[2][None]) + hc_out + (
+        outs = (st_f[0][None], st_f[1][None], st_f[2][None]) + hc_out + (
             t, cmax,
         )
+        if accumulate:
+            bfw, asol, aprim, atime = res[3], res[4], res[5], res[6]
+            if n_shards > 1:
+                # bottom/top walls live on the end shards only (masked
+                # zero elsewhere): a psum replicates the real rows
+                bfB = jax.lax.psum(bfw[2], axis_name)
+                bfT = jax.lax.psum(bfw[3], axis_name)
+            else:
+                bfB, bfT = bfw[2], bfw[3]
+            outs = outs + (
+                bfw[0][None], bfw[1][None], bfB, bfT,
+                asol[None], aprim[None], atime,
+            )
+        return outs
 
     sharded = P(axis_name, None, None)
     sharded4 = P(axis_name, None, None, None)
@@ -1237,6 +1375,10 @@ def make_sharded_fused_structured_stepper(
         bc_specs, P(), P(), P(), P(),
     )
     out_specs = (sharded, sharded, sharded, sharded4, P(), P())
+    if accumulate:
+        out_specs = out_specs + (
+            sharded, sharded, P(), P(), sharded, sharded, P(),
+        )
     mapped = jax.jit(
         jax.shard_map(
             shard_body, mesh=device_mesh,
@@ -1280,5 +1422,7 @@ def make_sharded_fused_structured_stepper(
         if nt:
             return out
         return out[:3] + out[4:]
+
+    advance.accumulate_outputs = accumulate  # noqa: attached metadata
 
     return advance

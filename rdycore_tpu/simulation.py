@@ -627,9 +627,10 @@ class Simulation:
             # structured path does not (use xla/pallas for sharded rasters)
             unsupported.append("parallel.n_devices > 1")
         # dt-weighted output accounting lives in the fused stepper's carry
-        # (round 4); the XLA structured path and the sharded variant still
-        # reject it
-        accum_ok = kind == "fused_structured" and cfg.parallel.n_devices <= 1
+        # (round 4; round 5 extends it to the row-strip sharded variant —
+        # per-strip accumulators + raster wall-flux twins, psum-combined);
+        # the XLA structured path still rejects it
+        accum_ok = kind == "fused_structured"
         wants_bflux = bool(cfg.output.time_series.boundary_fluxes)
         wants_means = any(
             f.endswith("_Mean") for f in (cfg.output.fields or [])
@@ -692,11 +693,11 @@ class Simulation:
                     "semi_implicit source method only"
                 )
             n_dev = cfg.parallel.n_devices
-            if n_dev > 1 and scheme in ("rk4", "beuler"):
+            if n_dev > 1 and scheme == "beuler":
                 raise ConfigError(
                     "edge_flux_backend: fused_structured with "
                     "parallel.n_devices > 1 supports temporal: "
-                    "euler|ssprk2|ssprk3"
+                    "euler|ssprk2|ssprk3|rk4"
                 )
             ty = 16 if ny % (16 * max(n_dev, 1)) == 0 else 8
             if nx % 128 or ny % ty:
@@ -749,11 +750,10 @@ class Simulation:
             # wall -> boundary_values column) so the ghost frame can be
             # filled from the live Dirichlet values each interval
             side_cols = {}
+            side_edge_cols = {}
             side_of = {(-1, 0): "left", (1, 0): "right",
                        (0, -1): "bottom", (0, 1): "top"}
             for w, bc in walls.items():
-                if bc != bc_mod.BC_DIRICHLET:
-                    continue
                 side = side_of[w]
                 n_side = ny if side in ("left", "right") else nx
                 cols = np.full(n_side, -1, np.int64)
@@ -768,6 +768,9 @@ class Simulation:
                         else cells % nx
                     )
                     cols[pos] = sl[on]
+                side_edge_cols[side] = cols
+                if bc != bc_mod.BC_DIRICHLET:
+                    continue
                 if (cols < 0).any():
                     raise ConfigError(
                         f"edge_flux_backend: {kind}: Dirichlet wall "
@@ -802,12 +805,14 @@ class Simulation:
                 dm = DeviceMesh(
                     np.array(devices[:n_dev]), (cfg.parallel.axis_name,)
                 )
+                accum = wants_bflux or wants_means
                 adv = make_sharded_fused_structured_stepper(
                     plan, dm, axis_name=cfg.parallel.axis_name,
                     scheme=scheme, with_src=with_src, interpret=interp,
                     num_tracers=self.num_tracers,
                     num_sediment=self.num_sediment,
                     riemann=cfg.numerics.riemann,
+                    accumulate=accum,
                 )
                 shrd = NamedSharding(
                     dm, PartitionSpec(cfg.parallel.axis_name, None, None)
@@ -822,6 +827,8 @@ class Simulation:
                     kind="fused_sharded", plan=plan, nx=nx, ny=ny,
                     n_shards=n_dev, device_mesh=dm, sharding=shrd,
                     with_src=with_src, side_cols=side_cols,
+                    side_edge_cols=side_edge_cols,
+                    accumulate=accum, bflux=wants_bflux,
                     scheme=scheme, geo=(dzx, dzy, mann),
                     geo_dev=geo_dev, adv=adv,
                 )
@@ -928,6 +935,7 @@ class Simulation:
                 num_tracers=self.num_tracers,
                 num_sediment=self.num_sediment,
                 riemann=self.config.numerics.riemann,
+                accumulate=st.get("accumulate", False),
             )
             return
         bflux_fn = None
@@ -1042,7 +1050,36 @@ class Simulation:
             h, hu, hv = out[:3]
             hc_out = out[3] if nt else None
             t_out, cmax = out[3 + bool(nt) : 5 + bool(nt)]
-            if accum:
+            if accum and sharded:
+                # per-strip accumulators (asol/aprim strip-stacked in
+                # global row order) + per-side wall-flux accumulators
+                # scattered into the operator's boundary-edge order
+                bfaL, bfaR, bfB, bfT, asol_s, aprim_s, atime = (
+                    out[5 + bool(nt):]
+                )
+                if st.get("bflux"):
+                    def _rows(x):  # [P, 3, nyl] -> [3, ny] by global row
+                        x = np.asarray(x)
+                        return np.moveaxis(x, 0, 1).reshape(x.shape[1], -1)
+
+                    sec = st["side_edge_cols"]
+                    for side, arr in (
+                        ("left", _rows(bfaL)), ("right", _rows(bfaR)),
+                        ("bottom", np.asarray(bfB)),
+                        ("top", np.asarray(bfT)),
+                    ):
+                        cols = sec.get(side)
+                        if cols is None:
+                            continue
+                        valid = cols >= 0
+                        self.bflux_accum[:3, cols[valid]] += arr[:, valid]
+                for tgt, src_s in (
+                    (self.accum_sol, asol_s), (self.accum_prim, aprim_s),
+                ):
+                    g = np.moveaxis(np.asarray(src_s), 0, 1)
+                    tgt += g.reshape(g.shape[0], -1)
+                self.accum_time += float(atime)
+            elif accum:
                 bfa, asol, aprim, atime = out[5 + bool(nt):]
                 if st.get("bflux"):
                     self.bflux_accum += np.asarray(bfa)

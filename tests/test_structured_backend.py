@@ -472,3 +472,90 @@ def test_fused_structured_beuler_matches_xla():
     assert rel.max() < 2e-5, rel.max()
     # the implicit step actually advanced the dam front
     assert np.abs(q_fused - q0).max() > 1e-3
+
+
+def test_fused_structured_sharded_accumulators_match_single():
+    """VERDICT r4 #6a: time-averaged (_Mean) fields and boundary-flux
+    time series at parallel.n_devices > 1 — per-strip dt-weighted
+    accumulators plus raster wall-flux twins, combined across the mesh
+    axis — must match the single-device fused accumulators (the
+    reference's output accounting is rank-count-independent,
+    xdmf_output.c:179-241, time_series.c:464-506)."""
+    from rdycore_tpu.config.schema import (
+        Boundary,
+        BoundaryCondition,
+        FlowCondition,
+    )
+
+    def z_fn(x, y):
+        return 0.02 * np.sin(x)
+
+    mesh = structured_quad(128, 32, 0, 32, 0, 8, z_fn=z_fn)
+    q0 = np.zeros((3, mesh.num_cells))
+    q0[0] = np.where(mesh.cell_centroid[:, 0] < 16.0, 2.0, 1.0)
+
+    def run(n_devices):
+        cfg = _cfg("fused_structured")
+        cfg.parallel.n_devices = n_devices
+        cfg.output.fields = ["Height", "Height_Mean", "XVelocity_Mean"]
+        cfg.output.time_series.boundary_fluxes = 1
+        cfg.boundaries = [Boundary(name="right"), Boundary(name="left")]
+        cfg.boundary_conditions = [
+            BoundaryCondition(boundaries=["right"], flow="out"),
+            BoundaryCondition(boundaries=["left"], flow="inflow"),
+        ]
+        cfg.flow_conditions = [
+            FlowCondition(name="out", type="critical-outflow"),
+            FlowCondition(
+                name="inflow", type="dirichlet", height=1.5, x_momentum=0.4
+            ),
+        ]
+        cfg.validate()
+        sim = Simulation(cfg, mesh=mesh)
+        if n_devices > 1:
+            assert sim._structured["kind"] == "fused_sharded"
+            assert sim._structured["accumulate"]
+        sim.set_solution(q0)
+        sim.run()
+        return sim
+
+    ref = run(0)
+    sim = run(4)
+    np.testing.assert_array_equal(sim.get_solution(), ref.get_solution())
+    assert sim.accum_time == pytest.approx(ref.accum_time, rel=1e-6)
+    np.testing.assert_allclose(
+        sim.accum_sol, ref.accum_sol, rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sim.accum_prim, ref.accum_prim, rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        sim.bflux_accum, ref.bflux_accum, rtol=0, atol=1e-6
+    )
+    assert np.abs(ref.bflux_accum).max() > 1e-6
+
+
+def test_fused_structured_sharded_rk4_bitwise():
+    """VERDICT r4 #6b: rk4 on the row-strip sharded fused kernel — the
+    rhs-mode kernel per stage with the ppermute halo before every stage
+    evaluation — is bitwise-equal to the single-device fused rk4."""
+    def z_fn(x, y):
+        return 0.05 * np.sin(x) * np.cos(y)
+
+    mesh = structured_quad(128, 32, 0, 32, 0, 8, z_fn=z_fn)
+    q0 = _dam_ic(mesh)
+
+    ref = Simulation(_cfg("fused_structured", temporal="rk4"), mesh=mesh)
+    assert ref._structured["kind"] == "fused"
+    ref.set_solution(q0)
+    ref.run()
+
+    cfg = _cfg("fused_structured", temporal="rk4")
+    cfg.parallel.n_devices = 4
+    sim = Simulation(cfg, mesh=mesh)
+    assert sim._structured["kind"] == "fused_sharded"
+    sim.set_solution(q0)
+    sim.run()
+
+    np.testing.assert_array_equal(sim.get_solution(), ref.get_solution())
+    assert sim.prev_max_courant == ref.prev_max_courant
