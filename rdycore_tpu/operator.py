@@ -236,6 +236,16 @@ class SWEOperator:
     # static BC codes folded into a unified plan (+1-shifted; empty tuple =
     # interior-only plan, boundary fluxes handled by the XLA glue)
     pallas_bnd_kinds: tuple = ()
+    # identity-aligned L layout (round 5): edge tile (ct, k) holds cell
+    # tile ct's k-th L edges at the owning cell's own (row, lane) — the
+    # kernels' L divergence gathers become aligned ring reads
+    pallas_ident_l: bool = False
+    # remainder boundary edges an aligned plan left OUT of the fold (their
+    # flux/Courant/stage corrections run in the XLA glue); None = all
+    # boundary edges folded. bnd_sel = the kept subset (indexes
+    # boundary_values columns for slot_dirichlet_planes)
+    pallas_bnd_rem: object = None  # np.ndarray [R] or None
+    pallas_bnd_sel: object = None  # np.ndarray [Eb - R] or None
     # True when dz_dx/dz_dy/mannings_n are each spatially uniform: the
     # fused-step kernel then reads them as scalars instead of streaming
     # three cell planes per step (structure-static; VALUES stay runtime,
@@ -343,6 +353,7 @@ class SWEOperator:
                         dir_planes = slot_dirichlet_planes(
                             a.pl_bnd_pos, a.pl_supL.shape[0],
                             boundary_values, self.tiny_h, self.h_anuga,
+                            sel=self.pallas_bnd_sel,
                         )
                     div, cmax8, cidx8 = fused_rhs_slotted(
                         a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
@@ -352,6 +363,7 @@ class SWEOperator:
                         hr=self.well_balancing_hr, bs=bs_args,
                         bnd_kinds=self.pallas_bnd_kinds,
                         dir_planes=dir_planes,
+                        ident_l=self.pallas_ident_l,
                     )
                     return self._finish_apply(
                         q, dt, boundary_values, ext_src,
@@ -525,6 +537,17 @@ class SWEOperator:
             ):
                 coefb = -a.bnd_len / a.area[a.bnd_left]
                 flux_div = flux_div.at[:, a.bnd_left].add(fb * coefb)
+            elif (
+                fused is not None and self.pallas_bnd_kinds
+                and self.pallas_bnd_rem is not None
+            ):
+                # aligned plans leave a small remainder boundary set out
+                # of the fold (slot-layout parity, ops/pallas/slotted.py
+                # build_slotted_plan_aligned) — scatter just those
+                rem = jnp.asarray(self.pallas_bnd_rem, jnp.int32)
+                cells_r = a.bnd_left[rem]
+                coefb = -a.bnd_len[rem] / a.area[cells_r]
+                flux_div = flux_div.at[:, cells_r].add(fb[:, rem] * coefb)
         else:
             flux_all = jnp.concatenate(
                 [jnp.stack([fi_h, fi_hu, fi_hv]), fb, jnp.zeros((3, 1), dtype)],
@@ -550,10 +573,22 @@ class SWEOperator:
                 mi = ci.max()
                 ei = a.pl_slot_edge[jnp.argmax(ci)]
             if fused is not None and self.pallas_bnd_kinds:
-                # unified plan: boundary slots already fold into the
-                # kernel's Courant max/argmax
-                max_courant_per_dt = mi.astype(dtype)
-                courant_edge = ei
+                # unified plan: folded boundary slots are in the kernel's
+                # Courant max/argmax already; merge any remainder edges
+                if self.pallas_bnd_rem is not None:
+                    rem = jnp.asarray(self.pallas_bnd_rem, jnp.int32)
+                    cb = amax_b[rem].astype(jnp.float32) * jnp.asarray(
+                        a.edge_courant_coef[Ei:], jnp.float32
+                    )[rem]
+                    mb = cb.max()
+                    max_courant_per_dt = jnp.maximum(mi, mb).astype(dtype)
+                    courant_edge = jnp.where(
+                        mi >= mb, ei,
+                        Ei + rem[jnp.argmax(cb)].astype(jnp.int32),
+                    )
+                else:
+                    max_courant_per_dt = mi.astype(dtype)
+                    courant_edge = ei
             elif self.num_boundary_edges:
                 cb = amax_b.astype(jnp.float32) * jnp.asarray(
                     a.edge_courant_coef[Ei:], jnp.float32
@@ -653,7 +688,7 @@ class SWEOperator:
                     dir_planes = slot_dirichlet_planes(
                         a.pl_bnd_pos, a.pl_supL.shape[0],
                         boundary_values, self.tiny_h, self.h_anuga,
-                        ndof=ndof,
+                        ndof=ndof, sel=self.pallas_bnd_sel,
                     )
                 fused = fused_rhs_slotted(
                     a, q, self.tiny_h, self.h_anuga, self.pallas_nsup,
@@ -664,6 +699,7 @@ class SWEOperator:
                     hr=self.well_balancing_hr,
                     bnd_kinds=self.pallas_bnd_kinds,
                     dir_planes=dir_planes,
+                    ident_l=self.pallas_ident_l,
                 )
                 return self._finish_tracer(
                     q, dt, boundary_values, ext_src, None, None, None,
@@ -831,6 +867,14 @@ class SWEOperator:
             ):
                 coefb = -a.bnd_len / a.area[a.bnd_left]
                 flux_div = flux_div.at[:, a.bnd_left].add(fb * coefb)
+            elif (
+                fused is not None and self.pallas_bnd_kinds
+                and self.pallas_bnd_rem is not None
+            ):
+                rem = jnp.asarray(self.pallas_bnd_rem, jnp.int32)
+                cells_r = a.bnd_left[rem]
+                coefb = -a.bnd_len[rem] / a.area[cells_r]
+                flux_div = flux_div.at[:, cells_r].add(fb[:, rem] * coefb)
         else:
             flux_all = jnp.concatenate(
                 [fi, fb, jnp.zeros((ndof, 1), dtype)], axis=1
@@ -858,10 +902,22 @@ class SWEOperator:
                 mi = ci.max()
                 ei = a.pl_slot_edge[jnp.argmax(ci)]
             if fused is not None and self.pallas_bnd_kinds:
-                # unified plan: boundary slots already fold into the
-                # kernel's Courant max/argmax
-                max_courant_per_dt = mi.astype(dtype)
-                courant_edge = ei
+                # unified plan: folded boundary slots are in the kernel's
+                # Courant max/argmax already; merge any remainder edges
+                if self.pallas_bnd_rem is not None:
+                    rem = jnp.asarray(self.pallas_bnd_rem, jnp.int32)
+                    cb = amax_b[rem].astype(jnp.float32) * jnp.asarray(
+                        a.edge_courant_coef[Ei:], jnp.float32
+                    )[rem]
+                    mb = cb.max()
+                    max_courant_per_dt = jnp.maximum(mi, mb).astype(dtype)
+                    courant_edge = jnp.where(
+                        mi >= mb, ei,
+                        Ei + rem[jnp.argmax(cb)].astype(jnp.int32),
+                    )
+                else:
+                    max_courant_per_dt = mi.astype(dtype)
+                    courant_edge = ei
             elif self.num_boundary_edges:
                 cb = amax_b.astype(jnp.float32) * jnp.asarray(
                     a.edge_courant_coef[Ei:], jnp.float32
@@ -897,6 +953,72 @@ class SWEOperator:
             max_courant_per_dt=max_courant_per_dt,
             courant_edge=courant_edge,
         )
+
+    def boundary_fluxes_nd(self, q, boundary_values):
+        """boundary_fluxes generalized to the coupled flow+tracer system:
+        returns (fb [ndof, Eb], amax_b [Eb]) with the tracer rows advected
+        by the same per-segment ghost conventions as _finish_tracer
+        (Dirichlet prescribes hc, reflecting/critical keep the upstream
+        concentration). Used by the aligned-layout remainder path, which
+        adds a small set of unfolded boundary edges in the XLA glue."""
+        if self.num_tracers == 0:
+            return self.boundary_fluxes(q, boundary_values)
+        from .ops.tracer.flux import safe_div, tracer_roe_flux
+
+        a = self.arrays
+        dtype = q.dtype
+        tiny_h = jnp.asarray(self.tiny_h, dtype)
+        h_anuga = jnp.asarray(self.h_anuga, dtype)
+        ndof = 3 + self.num_tracers
+        upwind = self.riemann == "upwind_roe"
+        hb = q[0, a.bnd_left]
+        ub, vb = regularized_velocity(
+            hb, q[1, a.bnd_left], q[2, a.bnd_left], tiny_h, h_anuga
+        )
+        cib = safe_div(q[3:, a.bnd_left], hb, hb, tiny_h)
+        fb_parts = []
+        amax_parts = []
+        for seg in self.segments:
+            sl = slice(seg.start, seg.start + seg.count)
+            sn_s, cn_s = a.bnd_sn[sl], a.bnd_cn[sl]
+            hl_s, ul_s, vl_s = hb[sl], ub[sl], vb[sl]
+            cil_s = cib[:, sl]
+            if seg.bc_type == bc_mod.BC_DIRICHLET:
+                hr_s = boundary_values[0, sl]
+                ur_s, vr_s = regularized_velocity(
+                    hr_s, boundary_values[1, sl], boundary_values[2, sl],
+                    tiny_h, h_anuga,
+                )
+                cir_s = safe_div(
+                    boundary_values[3:, sl], hr_s, hr_s, tiny_h
+                )
+            elif seg.bc_type == bc_mod.BC_REFLECTING:
+                hr_s, ur_s, vr_s = bc_mod.reflecting_ghost(
+                    hl_s, ul_s, vl_s, sn_s, cn_s
+                )
+                cir_s = cil_s
+            else:  # critical outflow
+                (hl_s, ul_s, vl_s), (hr_s, ur_s, vr_s) = (
+                    bc_mod.critical_outflow_ghost(
+                        hl_s, ul_s, vl_s, sn_s, cn_s
+                    )
+                )
+                cir_s = cil_s
+            f_flow_s, f_tr_s, am_s = tracer_roe_flux(
+                hl_s, ul_s, vl_s, cil_s, hr_s, ur_s, vr_s, cir_s,
+                sn_s, cn_s, upwind,
+            )
+            mask = ((hl_s > tiny_h) | (hr_s > tiny_h)).astype(dtype)
+            fb_parts.append(
+                jnp.concatenate([f_flow_s, f_tr_s], axis=0) * mask
+            )
+            amax_parts.append(am_s * mask)
+        if fb_parts:
+            return (
+                jnp.concatenate(fb_parts, axis=1),
+                jnp.concatenate(amax_parts),
+            )
+        return jnp.zeros((ndof, 0), dtype), jnp.zeros((0,), dtype)
 
     def boundary_fluxes(self, q, boundary_values, eta_v=None):
         """Roe fluxes + masked max wave speeds on the boundary edges

@@ -197,6 +197,54 @@ def _rank_by_row(cells: np.ndarray, rows: np.ndarray) -> np.ndarray:
     return k
 
 
+def _rank_by_cluster(cells, rows, gap=8, max_span=24):
+    """k-plane assignment by per-tile ROW CLUSTERS (round 5, aligned
+    layout): entries are grouped by proximity in ring-row space (a new
+    cluster starts at any gap > `gap` rows or when a cluster exceeds
+    `max_span` rows), and each (cluster, per-cell-multiplicity) pair gets
+    its own plane. Unlike per-cell rank-by-row, a cell with only ONE
+    contribution lands in the plane of ITS OWN row band — so straddler
+    cells (e.g. the first column of a cell tile, whose in-edge lives one
+    tile earlier) no longer stretch another band's window (measured on
+    the 2.88M raster: rank-by-row gave nsupR_ks (7, 5); clusters give
+    per-plane spans <= ceil(max_span/8))."""
+    n = len(cells)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    tiles = cells // TE
+    o = np.lexsort((rows, tiles))
+    t_o, r_o = tiles[o], rows[o]
+    new_tile = np.r_[True, t_o[1:] != t_o[:-1]]
+    brk = new_tile | np.r_[True, (r_o[1:] - r_o[:-1]) > gap]
+    cl = np.cumsum(brk) - 1
+    starts_idx = np.flatnonzero(brk)
+    start_rows = np.repeat(
+        r_o[starts_idx], np.diff(np.r_[starts_idx, n])
+    )
+    wide = (r_o - start_rows) // max_span
+    # sub-cluster id (cluster split by width), renumbered densely
+    sub = cl * 8 + np.minimum(wide, 7)
+    # per-(sub-cluster, cell) multiplicity: same cell twice in one band
+    # spills to its own plane
+    mult = _cumcount(sub * np.int64(TE) + (cells[o] % TE))
+    # plane = within-tile ordinal of the (sub, mult) pair
+    pair = sub * 16 + np.minimum(mult, 15)
+    po = np.lexsort((pair, t_o))
+    t_p = t_o[po]
+    pr_p = pair[po]
+    newt = np.r_[True, t_p[1:] != t_p[:-1]]
+    newp = newt | np.r_[True, pr_p[1:] != pr_p[:-1]]
+    ord_in_tile = np.cumsum(newp) - 1
+    tile_first = np.repeat(
+        ord_in_tile[np.flatnonzero(newt)],
+        np.diff(np.r_[np.flatnonzero(newt), n]),
+    )
+    k_sorted = ord_in_tile - tile_first
+    k = np.empty(n, np.int64)
+    k[o[po]] = k_sorted
+    return k
+
+
 def _per_k_windows(k, cells, rows, K, Ct, base_sup):
     """Per-(plane, tile) window starts (supers) + static per-plane window
     sizes. Empty (plane, tile) combos inherit the per-tile base window
@@ -216,6 +264,258 @@ def _per_k_windows(k, cells, rows, K, Ct, base_sup):
         [base_sup[None, :], ws], 0
     ).astype(np.int32).ravel()
     return wk, nsup_ks
+
+
+def build_slotted_plan_aligned(
+    int_left, int_right, int_cn, int_sn, courant_coef,
+    num_cells: int, max_sup: int, bnd=None, ndof: int = 3,
+):
+    """Identity-aligned slot packing (round 5, VERDICT r4 #1).
+
+    Edge tile (ct, k) holds the k-th L-side edges of cell tile ct at slot
+    (row, lane) = the OWNING CELL's own position — so the cell-divergence
+    L gather collapses to one aligned ring read + fma per k-plane
+    (nsupL_ks == (1,)*KL), and the edge count per tile is exactly the
+    cells' L-degrees (denser than greedy min-cell packing on balanced
+    meshes: 5630 vs 6112 tiles on the 2.88M dam-break raster).
+
+    Boundary pseudo-edges (il == ir == cell) fill their own cell's hole
+    slots where the cell's L-degree leaves one (top/right walls of a
+    raster), or form dense k-planes where a whole cell tile is on a wall
+    (bottom/top rows). The topologically unavoidable leftovers (~1 per
+    raster row on the left wall: sum(degL) parity) are RETURNED as a
+    remainder set handled by the XLA glue (operator._finish_apply /
+    _advance_fused_step add their flux + a linearized friction
+    correction per stage).
+
+    Returns (plan, kept_bnd, rem_bnd) or None when the mesh doesn't fit
+    the identity constraints (falls back to the greedy packer):
+      kept_bnd/rem_bnd: original boundary-edge indices kept in-plan /
+      left to the XLA remainder path.
+    """
+    Ei = len(int_left)
+    Eb = len(bnd["left"]) if bnd is not None else 0
+    if Ei == 0:
+        return None
+    bl = np.asarray(bnd["left"], np.int64) if bnd is not None else None
+    il_all = np.concatenate(
+        [np.asarray(int_left, np.int64)] + ([bl] if Eb else [])
+    )
+    ir_all = np.concatenate(
+        [np.asarray(int_right, np.int64)] + ([bl] if Eb else [])
+    )
+    E = Ei + Eb
+    c = il_all
+    ct = c // TE
+    nct = -(-num_cells // TE)
+
+    # k-rank per L cell: interior edges ordered by their right cell
+    # (deterministic, clusters homogeneous edge directions per plane on
+    # rasters), boundary pseudos after all interiors of the cell
+    is_bnd = np.zeros(E, bool)
+    is_bnd[Ei:] = True
+    key2 = np.where(is_bnd, np.int64(1) << 62, ir_all)
+    order0 = np.lexsort((np.arange(E), key2, c))
+    c_o = c[order0]
+    grp = np.r_[0, np.flatnonzero(np.diff(c_o)) + 1]
+    starts = np.repeat(grp, np.diff(np.r_[grp, E]))
+    k = np.empty(E, np.int64)
+    k[order0] = np.arange(E) - starts
+    Kmax = int(k.max()) + 1
+    if Kmax > 8:
+        _plan_debug(f"aligned: L-degree {Kmax} > 8")
+        return None
+
+    armed = np.zeros((nct, Kmax), np.int64)
+    np.add.at(armed, (ct, k), 1)
+    has_int = np.zeros((nct, Kmax), bool)
+    ii = ~is_bnd
+    if ii.any():
+        np.logical_or.at(has_int, (ct[ii], k[ii]), True)
+    # a (ct, k) tile exists if it holds any interior edge, or enough
+    # boundary pseudos to be worth a dense tile (whole wall rows)
+    exists = has_int | (armed >= TE // 2)
+    rem_mask = is_bnd & ~exists[ct, k]
+    rem_bnd = np.flatnonzero(rem_mask[Ei:])
+    kept_bnd = np.flatnonzero(~rem_mask[Ei:])
+    keep = ~rem_mask
+
+    ntiles_real = int(exists.sum())
+    ideal = -(-int(keep.sum()) // TE)
+    if ntiles_real > 1.1 * ideal + 4:
+        _plan_debug(
+            f"aligned: tile inflation {ntiles_real} vs ideal {ideal}"
+        )
+        return None
+    tile_id = np.cumsum(exists.ravel()).reshape(exists.shape) - 1
+
+    ck, ctk, irk = c[keep], ct[keep], ir_all[keep]
+    kk = k[keep]
+    tile_of = tile_id[ctk, kk]
+    slot_row = (ck % TE) // 128
+    lane_l = ck & 127
+    lane_r = irk & 127
+
+    # colors: the route needs distinct colors per destination (R) lane
+    # AND per source (L) lane within a tile. color = slot_row satisfies
+    # the L constraint by construction (same tile + same L lane + same
+    # cell row => same cell => same edge) and the R constraint for
+    # homogeneous k-runs; the rare collisions (hole-filling pseudos next
+    # to interior edges, mixed-direction runs) are repaired edge-by-edge
+    color = slot_row.copy()
+    rkey = (tile_of * 128 + lane_r) * 16 + color
+    _, first = np.unique(rkey, return_index=True)
+    coll = np.ones(len(rkey), bool)
+    coll[first] = False
+    if coll.any():
+        if coll.sum() > 200_000:
+            _plan_debug(f"aligned: too many color collisions {coll.sum()}")
+            return None
+        usedR = {}
+        usedL = {}
+        tl = tile_of * 128
+        # seed the used-color sets only over tiles that have collisions
+        bad_tiles = np.zeros(ntiles_real, bool)
+        bad_tiles[tile_of[coll]] = True
+        in_bad = bad_tiles[tile_of]
+        for e in np.flatnonzero(in_bad & ~coll):
+            usedR.setdefault(int(tl[e] + lane_r[e]), set()).add(
+                int(color[e])
+            )
+            usedL.setdefault(int(tl[e] + lane_l[e]), set()).add(
+                int(color[e])
+            )
+        for e in np.flatnonzero(coll):
+            kr = int(tl[e] + lane_r[e])
+            kl = int(tl[e] + lane_l[e])
+            ur = usedR.setdefault(kr, set())
+            ul = usedL.setdefault(kl, set())
+            c = 0
+            while c in ur or c in ul:
+                c += 1
+            if c >= 16:
+                _plan_debug("aligned: color repair exceeded 16")
+                return None
+            color[e] = c
+            ur.add(c)
+            ul.add(c)
+    rcap_used = 8 if int(color.max(initial=0)) < 8 else 16
+
+    # per-tile q windows over both endpoints
+    lo = np.minimum(ck, irk) >> 7
+    hi = np.maximum(ck, irk) >> 7
+    ws_tile = np.full(ntiles_real, np.iinfo(np.int64).max)
+    np.minimum.at(ws_tile, tile_of, lo)
+    ws_tile = (ws_tile >> 3) << 3
+    span = np.zeros(ntiles_real, np.int64)
+    np.maximum.at(span, tile_of, hi - ws_tile[tile_of])
+    need_sup = int(span.max()) // 8 + 1
+    if need_sup > max_sup:
+        _plan_debug(f"aligned: need_sup {need_sup} > max_sup {max_sup}")
+        return None
+
+    # plan order = slot position order (keeps ws nondecreasing per tile)
+    epos_l = (tile_of * 8 + slot_row) * 128 + lane_l
+    kept_idx = np.flatnonzero(keep)
+    order = kept_idx[np.argsort(epos_l, kind="stable")]
+    inv = np.empty(len(kept_idx), np.int64)
+    inv[np.argsort(epos_l, kind="stable")] = np.arange(len(kept_idx))
+
+    # re-index the per-edge packing into plan order
+    o_sel = np.argsort(epos_l, kind="stable")
+    slot_row = slot_row[o_sel]
+    color = color[o_sel]
+    tile_of = tile_of[o_sel]
+    il_s = ck[o_sel]
+    ir_s = irk[o_sel]
+
+    ntiles = -(-ntiles_real // GT) * GT
+    ws_rows = np.concatenate([
+        ws_tile,
+        np.full(ntiles - ntiles_real, ws_tile[-1], ws_tile.dtype),
+    ])
+    ws_sup = (ws_rows // 8).astype(np.int32)
+    grp_w = ws_sup.reshape(-1, GT)
+    gws = grp_w.min(axis=1).astype(np.int32)
+    wq = int((grp_w.max(axis=1) - gws).max()) + need_sup
+    if wq > 64 * max(1, GT // 8) or _qbuf_bytes(wq, ndof) > _vmem_budget():
+        _plan_debug(f"aligned: group q window too large: wq={wq}")
+        return None
+
+    # ---- scatter the slot planes (numpy fill twin of build_slotted_plan)
+    E_k = len(il_s)
+    rrows = 8 if rcap_used == 8 else RROWS
+    R_l, R_r = ntiles * 8, ntiles * rrows
+    supL = np.zeros((R_l, 128), np.int8)
+    supR = np.zeros((R_r, 128), np.int8)
+    m_al = np.zeros((R_r, 128), np.int8)
+    g_al = np.zeros((R_l, 128), np.int8)
+    gi = np.zeros((R_r, 128), np.int8)
+    mi = np.zeros((R_r, 128), np.int8)
+    cn_s = np.zeros((R_l, 128), np.float32)
+    sn_s = np.zeros((R_l, 128), np.float32)
+    cc_s = np.zeros((R_l, 128), np.float32)
+    slot_edge = np.full(R_l * 128, -1, np.int32)
+
+    if bnd is not None:
+        cn_all = np.concatenate([int_cn, np.asarray(bnd["cn"])])
+        sn_all = np.concatenate([int_sn, np.asarray(bnd["sn"])])
+        cc_all = np.concatenate([courant_coef[:Ei], np.asarray(bnd["ccoef"])])
+        bt_all = np.concatenate(
+            [np.zeros(Ei, np.int64), np.asarray(bnd["btype"], np.int64) + 1]
+        )
+    else:
+        cn_all, sn_all = int_cn, int_sn
+        cc_all = courant_coef[:Ei]
+        bt_all = None
+
+    laneL = il_s & 127
+    laneR = ir_s & 127
+    ws_of = ws_rows[tile_of]
+    rl = il_s // 128 - ws_of
+    rr = ir_s // 128 - ws_of
+    rowsL = tile_of * 8 + slot_row
+    rowsR = tile_of * rrows + color
+    supL[rowsL, laneL] = rl
+    supR[rowsR, laneR] = rr
+    m_al[rowsR, laneL] = laneR
+    if bt_all is not None:
+        g_al[rowsL, laneL] = color | (bt_all[order] << 4)
+    else:
+        g_al[rowsL, laneL] = color
+    gi[rowsR, laneL] = slot_row
+    mi[rowsR, laneR] = laneL
+    cn_s[rowsL, laneL] = cn_all[order].astype(np.float32)
+    sn_s[rowsL, laneL] = sn_all[order].astype(np.float32)
+    cc_s[rowsL, laneL] = cc_all[order].astype(np.float32)
+    eposL = rowsL * 128 + laneL
+    eposR = rowsR * 128 + laneR
+    bnd_pos = None
+    if bt_all is not None:
+        # slot -> operator edge id: interior slots get their rank among
+        # the plan-sorted interior edges; boundary slots keep Ei + the
+        # ORIGINAL boundary position (remainder edges never reordered)
+        is_int_o = order < Ei
+        opid = np.where(
+            is_int_o, np.cumsum(is_int_o) - 1, Ei + (order - Ei)
+        ).astype(np.int32)
+        slot_edge[eposL] = opid
+        # kept boundary edge -> flat L-slot position, in KEPT order
+        inv_all = np.full(E, -1, np.int64)
+        inv_all[order] = np.arange(E_k)
+        bnd_pos = eposL[inv_all[Ei + kept_bnd]].astype(np.int32)
+    else:
+        slot_edge[eposL] = np.arange(E_k, dtype=np.int32)
+
+    plan = SlottedPlan(
+        order=order, ntiles=ntiles, rrows=rrows, nsup=need_sup,
+        wq=wq, gws=gws, ws=ws_sup,
+        supL=supL, supR=supR, m=m_al, g=g_al, gi=gi, mi=mi,
+        cn=cn_s, sn=sn_s, courant_coef=cc_s, slot_edge=slot_edge,
+        eposL=eposL, eposR=eposR, bnd_pos=bnd_pos,
+        il_s=il_s, ir_s=ir_s,
+    )
+    return plan, kept_bnd, rem_bnd
 
 
 def _slot_pack_py(il, ir, max_sup, rcap=16):
@@ -514,6 +814,7 @@ def build_cell_plan(
     btype_sorted: Optional[np.ndarray] = None,
     ndof: int = 3,
     allow_fused_only: bool = False,
+    cluster_k: bool = False,
 ) -> Optional[CellPlan]:
     C = num_cells
     E = len(il_sorted)
@@ -555,7 +856,11 @@ def build_cell_plan(
     # numpy lexsort/scatter path below; ~2.4 s -> ~0.2 s per build at the
     # 2.88M-cell bench mesh)
     kL = kR = None
-    statsL = native.cell_side_stats(il_l, rowL_l, C, Ct)
+    # cluster-k planes (aligned layout) have no native twin: rank the R
+    # side by row bands in numpy and skip the native stats/fill fast path
+    statsL = None if cluster_k else native.cell_side_stats(
+        il_l, rowL_l, C, Ct
+    )
     statsR = native.cell_side_stats(ir_r, rowR_r, C, Ct) \
         if statsL is not None else None
     ctile_l = il_l // TE
@@ -566,8 +871,16 @@ def build_cell_plan(
         if KL == 0 or KR == 0:
             return None
     else:
-        KL = int(np.bincount(il_l, minlength=C).max()) if len(il_l) else 0
-        KR = int(np.bincount(ir_r, minlength=C).max()) if len(ir_r) else 0
+        if cluster_k:
+            kL = _rank_by_row(il_l, rowL_l)
+            kR = _rank_by_cluster(ir_r, rowR_r)
+            KL = int(kL.max()) + 1 if len(kL) else 0
+            KR = int(kR.max()) + 1 if len(kR) else 0
+        else:
+            KL = int(np.bincount(il_l, minlength=C).max()) \
+                if len(il_l) else 0
+            KR = int(np.bincount(ir_r, minlength=C).max()) \
+                if len(ir_r) else 0
         if KL == 0 or KR == 0:
             return None
 
@@ -664,8 +977,9 @@ def build_cell_plan(
             )
             return None
     else:
-        kL = _rank_by_row(il_l, rowL_l)
-        kR = _rank_by_row(ir_r, rowR_r)
+        if kL is None:
+            kL = _rank_by_row(il_l, rowL_l)
+            kR = _rank_by_row(ir_r, rowR_r)
         supLc[kL, crowL, claneL] = (rowL_l - wsL[ctile_l]).astype(np.int8)
         cfL[kL, crowL, claneL] = coefL_l.astype(np.float32)
         supRc[kR, crowR, claneR] = (rowR_r - wsR[ctile_r]).astype(np.int8)
@@ -1680,7 +1994,7 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, ws_row,
 
 def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
                  wk_col, *, KL, KR, ndof, nsupL_ks, nsupR_ks, nringL,
-                 nringR):
+                 nringR, ident_l=False):
     """One GT-tile's flux divergence gathered from the VMEM rings (shared
     by the fused-RHS and fused-STEP cell phases).
 
@@ -1692,8 +2006,22 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
     while the combined per-tile span is ~10)."""
     acc = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
 
-    def side(ring, wk_ref, s_all, K, nsup_ks, nring, k0=0):
+    def side(ring, wk_ref, s_all, K, nsup_ks, nring, k0=0, ident=False):
         for k in range(K):
+            if ident and nsup_ks[k] == 1:
+                # identity-aligned plane (round 5): tile (ct, k) holds the
+                # k-th L edges at the owning cell's own (row, lane), so
+                # the "gather" is ONE aligned ring-block read + fma —
+                # no row pick, no super select
+                w_k = wk_ref[k + 1, wk_col]
+                pos = pl.multiple_of(
+                    jax.lax.rem(w_k, jnp.int32(nring)) * 8, 8
+                )
+                block = ring[pl.ds(pos, 8), :, :]
+                cf = cf_ref[k0 + k, r8]
+                for comp in range(ndof):
+                    acc[comp] = acc[comp] + block[:, comp, :] * cf
+                continue
             # wk arrives as an SMEM BLOCK [(2K+1), 128] covering 8 cell
             # groups (the whole-table scalar-prefetch form overflowed the
             # 1 MB SMEM at 46M cells: O(tiles) tables); wk_col picks this
@@ -1752,7 +2080,7 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
             for comp in range(ndof):
                 acc[comp] = acc[comp] + gats[comp] * cf
 
-    side(ringL, wkL_ref, sL_all, KL, nsupL_ks, nringL)
+    side(ringL, wkL_ref, sL_all, KL, nsupL_ks, nringL, ident=ident_l)
     side(ringR, wkR_ref, sR_all, KR, nsupR_ks, nringR, k0=KL)
     return acc
 
@@ -1762,7 +2090,8 @@ def _fused_kernel(gws_ref, eg_ref, cg_ref, doc_ref,
                   e8_ref, ef_ref, c8_ref, cf_ref, *rest,
                   nsup, wq, ndof, upwind, tiny_h, h_anuga, rrows,
                   nsupL_ks, nsupR_ks, Ct, KL, KR, negrp, nringL, nringR,
-                  hr=False, bs=False, bnd_kinds=(), smem_blocked=False):
+                  hr=False, bs=False, bnd_kinds=(), smem_blocked=False,
+                  ident_l=False):
     """Streaming fused RHS: per grid step, (a) compute one GT-tile group of
     edge fluxes into VMEM rings + fold the Courant max/argmax, (b) when the
     schedule says a cell group's flux windows are complete, gather its
@@ -1851,6 +2180,7 @@ def _fused_kernel(gws_ref, eg_ref, cg_ref, doc_ref,
                 cwsL_ref, cwsR_ref, wk_base + gt,
                 KL=KL, KR=KR, ndof=ndof, nsupL_ks=nsupL_ks,
                 nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR,
+                ident_l=ident_l,
             )
             # component-major output: div.reshape(ndof, -1) is then a
             # free view (the old [rows, ndof, 128] layout cost a
@@ -1862,7 +2192,7 @@ def _fused_kernel(gws_ref, eg_ref, cg_ref, doc_ref,
 def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
                       nsup_lk, nsup_rk, ndof=3, upwind=False,
                       interpret=False, hr=False, bs=None, bnd_kinds=(),
-                      dir_planes=None):
+                      dir_planes=None, ident_l=False):
     """Run the streaming fused edge-flux + divergence + Courant kernel.
 
     bnd_kinds (unified plans): static tuple of BC codes folded into the
@@ -1977,6 +2307,7 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
             KL=KL, KR=KR, negrp=negrp,
             nringL=nringL, nringR=nringR, hr=bool(hr), bs=bs is not None,
             bnd_kinds=tuple(bnd_kinds), smem_blocked=smem_blocked,
+            ident_l=bool(ident_l),
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -2012,7 +2343,7 @@ def fused_rhs_slotted(arrays, q, tiny_h, h_anuga, nsup, wq, sched,
 
 
 def slot_dirichlet_planes(bnd_pos, ntiles8, boundary_values, tiny_h,
-                          h_anuga, ndof=3):
+                          h_anuga, ndof=3, sel=None):
     """Scatter runtime Dirichlet boundary values into L-layout ghost
     planes for the unified fused kernel.
 
@@ -2026,6 +2357,10 @@ def slot_dirichlet_planes(bnd_pos, ntiles8, boundary_values, tiny_h,
     from ..swe.riemann import regularized_velocity as _rv
     from ..tracer.flux import safe_div
 
+    if sel is not None:
+        # aligned plans fold only a subset of the boundary edges; bnd_pos
+        # is kept-length and indexes boundary_values through `sel`
+        boundary_values = boundary_values[:, jnp.asarray(sel, jnp.int32)]
     hb = boundary_values[0].astype(jnp.float32)
     ub, vb = _rv(
         hb, boundary_values[1].astype(jnp.float32),
@@ -2094,7 +2429,7 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
                        ncgrp, bnd_kinds, alpha, beta, gfac, source_method,
                        emit_prim, xq_threshold, uniform_geom, has_ext,
                        smem_blocked=False, nt=0, num_sediment=0,
-                       sed_params=None):
+                       sed_params=None, ident_l=False):
     """Streaming fused FULL-STEP kernel: the edge phase of _fused_kernel
     plus a cell phase that consumes the ring divergence, applies the source
     terms (ops/swe/sources.py twins; reference swe_sources_ceed.h:37-105;
@@ -2201,14 +2536,16 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
             sR_all = c8_all[KL:]
             for gt in range(GT):
                 r8 = slice(gt * 8, gt * 8 + 8)
-                acc = _gt_ring_div(
-                    ringL, ringR, sL_all, sR_all, cf_ref, r8,
-                    cwsL_ref, cwsR_ref, wk_base + gt,
-                    KL=KL, KR=KR, ndof=ndof, nsupL_ks=nsupL_ks,
-                    nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR,
-                )
                 if "cell" in _ABLATE:
                     acc = [jnp.zeros((8, 128), jnp.float32)] * ndof
+                else:
+                    acc = _gt_ring_div(
+                        ringL, ringR, sL_all, sR_all, cf_ref, r8,
+                        cwsL_ref, cwsR_ref, wk_base + gt,
+                        KL=KL, KR=KR, ndof=ndof, nsupL_ks=nsupL_ks,
+                        nsupR_ks=nsupR_ks, nringL=nringL, nringR=nringR,
+                        ident_l=ident_l,
+                    )
                 h = qc_ref[0, r8, :]
                 hu = qc_ref[1, r8, :]
                 hv = qc_ref[2, r8, :]
@@ -2369,7 +2706,7 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
                        qA2d=None, dir_planes=None, emit_prim=False,
                        uniform_scal=None, interpret=False,
                        num_tracers=0, num_sediment=0, sed_params=None,
-                       upwind=False):
+                       upwind=False, ident_l=False):
     """One RK stage of the full-step fused kernel.
 
     q2d: [3+nt, NB*GT*8, 128] stage state in tile-row layout (pack_rows;
@@ -2530,6 +2867,7 @@ def fused_step_slotted(arrays, q2d, dt_f32, step_meta, nsup, wq, nsup_lk,
             uniform_geom=uniform_geom, has_ext=has_ext,
             smem_blocked=smem_blocked, nt=nt,
             num_sediment=int(num_sediment), sed_params=sp_tuple,
+            ident_l=bool(ident_l),
         ),
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -3008,7 +3346,8 @@ def edge_flux_muscl_slotted(op, q, interpret=False, bs=None):
 
 def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
                       max_sup: int = 4, max_sup_cd: int = 16, muscl=None,
-                      cell_z=None, rcap="auto", bnd=None, ndof: int = 3):
+                      cell_z=None, rcap="auto", bnd=None, ndof: int = 3,
+                      layout: str = "auto"):
     """Host-level plan build over one edge set (all numpy in/out).
 
     il/ir: [Ei] cell ids; cn_h/sn_h: [Ei]; ccoef: [E] (interior first);
@@ -3036,7 +3375,35 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     assert bnd is None or muscl is None, "unified plans are first-order only"
     E_lim = Ei + (len(bnd["left"]) if bnd is not None else 0)
     plan = None
-    if bnd is not None:
+    kept_bnd = rem_bnd = None
+    ident_l = False
+    # the identity-aligned layout cuts the divergence chain 19 -> 6
+    # iterations and matches the legacy layout bitwise through the
+    # two-kernel and fused-RHS tiers (tier-B A/B: 1.29 s both at 2.88M),
+    # but the full-STEP kernel's DMA pipeline inexplicably serializes
+    # under it (skeleton floor 0.55 vs 0.20 s/500; BASELINE.md round 5)
+    # — opt-in via RDYTPU_LAYOUT=aligned until that is root-caused
+    env_layout = _os.environ.get("RDYTPU_LAYOUT", layout)
+    if (
+        env_layout == "aligned"
+        and layout != "legacy"
+        and muscl is None
+        and cell_z is None
+    ):
+        res_al = build_slotted_plan_aligned(
+            il, ir, cn_h, sn_h, ccoef, num_cells, max_sup=max_sup,
+            bnd=dict(bnd, ccoef=ccoef[Ei:E_lim]) if bnd is not None
+            else None,
+            ndof=ndof,
+        )
+        if res_al is not None:
+            plan, kept_bnd, rem_bnd = res_al
+            ident_l = True
+            _plan_debug(
+                f"aligned layout: {plan.ntiles} tiles, "
+                f"remainder boundary edges {len(rem_bnd)}"
+            )
+    if plan is None and bnd is not None:
         plan = build_slotted_plan(
             il, ir, cn_h, sn_h, ccoef[:Ei], num_cells, max_sup=max_sup,
             rcap=rcap, bnd=dict(bnd, ccoef=ccoef[Ei:E_lim]), ndof=ndof,
@@ -3124,7 +3491,8 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
         plan, il_s, ir_s, coefL[order], coefR[order], num_cells,
         max_supL=max_sup_cd, max_supR=max_sup_cd,
         btype_sorted=btype_sorted, ndof=ndof,
-        allow_fused_only=bnd is not None,
+        allow_fused_only=bnd is not None or ident_l,
+        cluster_k=ident_l and _os.environ.get("RDYTPU_CLUSTER_K", "1") != "0",
     )
     if cp_res is None:
         if bnd is not None:
@@ -3273,7 +3641,10 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     # remap operator interior-edge order to plan (sorted) order; in unified
     # mode the stable min-cell sort preserves the interior edges' relative
     # order, so order_int is exactly the interior permutation
-    ce_new = native.remap_ce(order, Ei, ce)
+    # aligned plans carry a filtered `order` (remainder boundary edges
+    # excluded) whose length differs from the native remap's expectation;
+    # the numpy fallback derives order_int itself and is length-agnostic
+    ce_new = None if ident_l else native.remap_ce(order, Ei, ce)
     if ce_new is None:
         inv = np.empty(Ei, dtype=np.int64)
         inv[order_int] = np.arange(Ei)
@@ -3317,6 +3688,8 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     meta = dict(
         nsup=plan.nsup, nsupL=cell_plan.nsupL, nsupR=cell_plan.nsupR,
         nsupL_ks=cell_plan.nsupL_ks, nsupR_ks=cell_plan.nsupR_ks,
+        ident_l=ident_l,
+        bnd_kept=kept_bnd, bnd_rem=rem_bnd,
         wq=plan.wq, wl=cell_plan.wl, wr=cell_plan.wr,
         order=order_int,  # original -> sorted interior edge permutation
         eposL=plan.eposL,  # sorted edge -> L-layout flat slot position
@@ -3452,14 +3825,25 @@ def to_pallas_backend(op, max_sup: int | None = None, max_sup_cd: int = 16,
             asnp("cell_z", a.cell_z) if op.well_balancing_hr else None
         ),
         rcap=rcap, bnd=bnd, ndof=op.ndof,
+        # the XQ2018 closed form is nonlinear in the divergence, so the
+        # remainder path's linearized stage correction doesn't apply;
+        # keep the greedy layout there (remainder-free by construction)
+        layout=("legacy" if op.source_method == 1 else "auto"),
     )
     if res is None:
         return op
     plan_np, reordered, meta = res
     bnd_kinds = ()
+    bnd_rem = meta.get("bnd_rem")
+    bnd_kept = meta.get("bnd_kept")
     if meta.get("unified"):
-        # static set of folded BC codes (shifted by +1; 0 = interior)
-        bnd_kinds = tuple(sorted(set(int(b) + 1 for b in bnd["btype"])))
+        # static set of folded BC codes (shifted by +1; 0 = interior);
+        # aligned plans may leave a remainder boundary subset to the XLA
+        # glue — only the KEPT kinds compile into the kernel
+        bt_arr = np.asarray(bnd["btype"], np.int64)
+        if bnd_kept is not None:
+            bt_arr = bt_arr[bnd_kept]
+        bnd_kinds = tuple(sorted(set(int(b) + 1 for b in bt_arr)))
 
     bs_fields = {}
     bs_meta = ()
@@ -3520,5 +3904,14 @@ def to_pallas_backend(op, max_sup: int | None = None, max_sup_cd: int = 16,
         pallas_step_meta=meta["step"],
         pallas_bs_meta=bs_meta,
         pallas_bnd_kinds=bnd_kinds,
+        pallas_ident_l=bool(meta.get("ident_l")),
+        pallas_bnd_rem=(
+            np.asarray(bnd_rem, np.int64)
+            if bnd_rem is not None and len(bnd_rem) else None
+        ),
+        pallas_bnd_sel=(
+            np.asarray(bnd_kept, np.int64)
+            if bnd_rem is not None and len(bnd_rem) else None
+        ),
         pallas_interpret=interpret,
     )

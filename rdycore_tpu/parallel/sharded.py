@@ -965,6 +965,10 @@ class ShardedSWE:
                     muscl=muscl_p,
                     cell_z=cell_z[p] if hr else None,
                     rcap=rcap, bnd=bnd_p, ndof=ref_op.ndof,
+                    # the shard-plan merge/stack machinery predates the
+                    # identity-aligned layout (round 5); shards keep the
+                    # greedy min-cell packing for now
+                    layout="legacy",
                 )
 
             # phase 1: slot plans at a uniform R-layout height (the stacked

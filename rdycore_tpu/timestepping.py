@@ -448,7 +448,7 @@ def _advance_fused_step(
     if has_dir and bc_fn is None:
         dirp_const = slot_dirichlet_planes(
             a.pl_bnd_pos, a.pl_supL.shape[0], bnd_values, op.tiny_h,
-            op.h_anuga, ndof=ndof,
+            op.h_anuga, ndof=ndof, sel=op.pallas_bnd_sel,
         )
 
     def stage_call(q2d_s, qA2d, dt_i, coeffs, ext2d, dirp, emit_prim):
@@ -462,7 +462,66 @@ def _advance_fused_step(
             uniform_scal=uniform_scal, interpret=op.pallas_interpret,
             num_tracers=op.num_tracers, num_sediment=op.num_sediment,
             upwind=op.riemann == "upwind_roe",
+            ident_l=op.pallas_ident_l,
         )
+
+    # aligned-layout remainder edges: their flux is absent from the
+    # in-kernel divergence, so every stage gets an additive XLA
+    # correction at the (few) wall cells. The semi-implicit friction's
+    # dependence on the divergence is LINEAR in the missing flux
+    # (tbx = (hu + dt*acc - dt*bedx) * factor with factor a function of q
+    # alone), so the correction gdt * rem * (1 - wet * dt * factor) is
+    # exact up to f32 reassociation.
+    rem_np = op.pallas_bnd_rem
+    if rem_np is not None:
+        rem_j = jnp.asarray(rem_np, jnp.int32)
+        cells_r = a.bnd_left[rem_j]
+        coefb_r = (
+            -a.bnd_len[rem_j] / a.area[cells_r]
+        ).astype(jnp.float32)
+        ccoef_r = jnp.asarray(
+            a.edge_courant_coef, jnp.float32
+        )[op.num_internal_edges + rem_j]
+        mann_r = jnp.asarray(a.mannings_n, jnp.float32)[cells_r]
+        nt_ = op.num_tracers
+
+        def rem_correct(q_in2d, q_out2d, dt_i, gfac, bv):
+            from .constants import GRAVITY
+
+            qf = q_in2d.reshape(ndof, -1)[:, :C].astype(jnp.float32)
+            fb, am = op.boundary_fluxes_nd(qf, bv)
+            rem_rhs = fb[:, rem_j] * coefb_r  # [ndof, R]
+            if op.source_method == 0:  # semi-implicit friction rows
+                th = jnp.float32(op.tiny_h)
+                h_r = qf[0, cells_r]
+                wet = (h_r > th) if nt_ else (h_r >= th)
+                h_safe = jnp.where(wet, h_r, 1.0)
+                u = qf[1, cells_r] / h_safe
+                v = qf[2, cells_r] / h_safe
+                if nt_:
+                    u = jnp.where(wet, u, 0.0)
+                    v = jnp.where(wet, v, 0.0)
+                cd = jnp.float32(GRAVITY) * mann_r * mann_r * jnp.power(
+                    h_safe, -1.0 / 3.0
+                )
+                tb = cd * jnp.sqrt(u * u + v * v) / h_safe
+                factor = tb / (1.0 + dt_i * tb)
+                scale = 1.0 - jnp.where(wet, dt_i * factor, 0.0)
+                rem_rhs = jnp.concatenate(
+                    [rem_rhs[:1], rem_rhs[1:3] * scale, rem_rhs[3:]]
+                )
+            delta = jnp.float32(gfac) * dt_i * rem_rhs
+            flat = q_out2d.reshape(ndof, -1)
+            flat = flat.at[:, cells_r].add(delta)
+            # remainder Courant (max over the stage-1 evaluation)
+            cmax_r = (am[rem_j].astype(jnp.float32) * ccoef_r)
+            eidx_r = op.num_internal_edges + rem_j[jnp.argmax(cmax_r)]
+            return (
+                flat.reshape(q_out2d.shape), cmax_r.max(),
+                eidx_r.astype(jnp.int32),
+            )
+    else:
+        rem_correct = None
 
     Eb = op.num_boundary_edges
 
@@ -483,6 +542,7 @@ def _advance_fused_step(
         if has_dir:
             dirp = dirp_const if bc_fn is None else slot_dirichlet_planes(
                 a.pl_bnd_pos, a.pl_supL.shape[0], bv, op.tiny_h, op.h_anuga,
+                ndof=ndof, sel=op.pallas_bnd_sel,
             )
         else:
             dirp = None
@@ -490,16 +550,28 @@ def _advance_fused_step(
         out1 = stage_call(qq2d, None, dt_i, stages[0], ext2d, dirp,
                           emit_prim=accumulate)
         qs2d, cmax8, cidx8 = out1[0], out1[1], out1[2]
+        cm_r = None
+        if rem_correct is not None:
+            qs2d, cm_r, ce_r = rem_correct(
+                qq2d, qs2d, dt_i, stages[0][2], bv
+            )
         for coeffs in stages[1:]:
-            out = stage_call(qs2d, qq2d, dt_i, coeffs, ext2d, dirp,
+            q_in = qs2d
+            out = stage_call(q_in, qq2d, dt_i, coeffs, ext2d, dirp,
                              emit_prim=False)
             qs2d = out[0]
+            if rem_correct is not None:
+                qs2d, _, _ = rem_correct(q_in, qs2d, dt_i, coeffs[2], bv)
 
         # step-level Courant from the stage-1 kernel fold (boundary slots
-        # included in-kernel for unified plans)
+        # included in-kernel for unified plans; remainder edges merged)
         cm = cmax8.reshape(-1)
-        step_courant = (cm.max() * dt_i).astype(dtype)
+        mi_k = cm.max()
         sedge = a.pl_slot_edge[cidx8.reshape(-1)[jnp.argmax(cm)]]
+        if cm_r is not None:
+            sedge = jnp.where(mi_k >= cm_r, sedge, ce_r)
+            mi_k = jnp.maximum(mi_k, cm_r)
+        step_courant = (mi_k * dt_i).astype(dtype)
         bigger = step_courant > cmax
         cmax = jnp.where(bigger, step_courant, cmax)
         cedge = jnp.where(bigger, sedge, cedge)

