@@ -829,14 +829,22 @@ def build_cell_plan(
     # build_plan_arrays balances them onto the cell's emptier side to keep
     # the K planes — and with them the divergence gather-chain count —
     # minimal). The native filter fuses the masks, the epos // 128 row
-    # computation, and the filtered copies into one pass per side.
-    natL = native.cell_side_filter(il_sorted, plan.eposL, coefL,
-                                   btype_sorted)
+    # computation, and the filtered copies into one pass per side; the L
+    # and R sides are independent, so they run CONCURRENTLY (ctypes
+    # releases the GIL — at 46M cells the paired passes halve ~70 s of
+    # filter/stats wall time, round 5 VERDICT #5)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as _ex:
+        fL = _ex.submit(native.cell_side_filter, il_sorted, plan.eposL,
+                        coefL, btype_sorted)
+        fR = _ex.submit(native.cell_side_filter, ir_sorted, plan.eposR,
+                        coefR, btype_sorted)
+        natL = fL.result()
+        natR = fR.result()
     if natL is not None:
         il_l, rowL_l, coefL_l = natL
-        ir_r, rowR_r, coefR_r = native.cell_side_filter(
-            ir_sorted, plan.eposR, coefR, btype_sorted
-        )
+        ir_r, rowR_r, coefR_r = natR
     elif btype_sorted is not None:
         rowL = plan.eposL // 128
         rowR = plan.eposR // 128
@@ -858,11 +866,14 @@ def build_cell_plan(
     kL = kR = None
     # cluster-k planes (aligned layout) have no native twin: rank the R
     # side by row bands in numpy and skip the native stats/fill fast path
-    statsL = None if cluster_k else native.cell_side_stats(
-        il_l, rowL_l, C, Ct
-    )
-    statsR = native.cell_side_stats(ir_r, rowR_r, C, Ct) \
-        if statsL is not None else None
+    if cluster_k:
+        statsL = statsR = None
+    else:
+        with ThreadPoolExecutor(2) as _ex:
+            fL = _ex.submit(native.cell_side_stats, il_l, rowL_l, C, Ct)
+            fR = _ex.submit(native.cell_side_stats, ir_r, rowR_r, C, Ct)
+            statsL = fL.result()
+            statsR = fR.result() if statsL is not None else None
     ctile_l = il_l // TE
     ctile_r = ir_r // TE
     if statsR is not None:
@@ -962,15 +973,18 @@ def build_cell_plan(
     claneR = ir_r & 127
     if kL is not None:
         # native per-(k, tile) windows + K-plane scatters (bitwise twin of
-        # the numpy path below)
-        wkL, nsupL_ks = native.cell_side_fill(
-            il_l, rowL_l, kL, coefL_l, wsL, (wsL // 8), KL, Ct,
-            supLc, cfL, supLk,
-        )
-        wkR, nsupR_ks = native.cell_side_fill(
-            ir_r, rowR_r, kR, coefR_r, wsR, (wsR // 8), KR, Ct,
-            supRc, cfR, supRk,
-        )
+        # the numpy path below); sides run concurrently
+        with ThreadPoolExecutor(2) as _ex:
+            fL = _ex.submit(
+                native.cell_side_fill, il_l, rowL_l, kL, coefL_l, wsL,
+                (wsL // 8), KL, Ct, supLc, cfL, supLk,
+            )
+            fR = _ex.submit(
+                native.cell_side_fill, ir_r, rowR_r, kR, coefR_r, wsR,
+                (wsR // 8), KR, Ct, supRc, cfR, supRk,
+            )
+            wkL, nsupL_ks = fL.result()
+            wkR, nsupR_ks = fR.result()
         if max(nsupL_ks) > 15 or max(nsupR_ks) > 15:
             _plan_debug(
                 f"per-k windows exceed int8: {nsupL_ks} / {nsupR_ks}"
@@ -3434,6 +3448,16 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     else:
         btype_sorted = None
         order_int = order
+    # remap of the operator's cell->edge map to plan order only needs
+    # `order` — run it on a thread UNDER the cell-plan build (~20 s
+    # overlapped at 46M cells, round 5 VERDICT #5)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    _remap_ex = _TPE(1)
+    _remap_fut = (
+        None if ident_l else _remap_ex.submit(native.remap_ce, order, Ei, ce)
+    )
+
     il_s = plan.il_s
     ir_s = plan.ir_s
     if il_s is None:  # plan from a path that didn't record the sorted cells
@@ -3644,7 +3668,8 @@ def build_plan_arrays(il, ir, cn_h, sn_h, ccoef, ce, cec, num_cells, Ei,
     # aligned plans carry a filtered `order` (remainder boundary edges
     # excluded) whose length differs from the native remap's expectation;
     # the numpy fallback derives order_int itself and is length-agnostic
-    ce_new = None if ident_l else native.remap_ce(order, Ei, ce)
+    ce_new = None if _remap_fut is None else _remap_fut.result()
+    _remap_ex.shutdown(wait=False)
     if ce_new is None:
         inv = np.empty(Ei, dtype=np.int64)
         inv[order_int] = np.arange(Ei)
