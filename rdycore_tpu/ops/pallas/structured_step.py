@@ -248,6 +248,17 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
         d.wait()
 
     dt = dt_ref[0]
+    # dt_ref[1] (present on the sharded stepper) = the strip's GLOBAL
+    # first-row offset, so the MUSCL/positivity masks below see global
+    # rows; dt_ref[2] = number of FILLED halo rows below/above the strip
+    # (2*gr-frame walls see -1; interior strips exchange 3 rows)
+    if dt_ref.shape[0] > 1:
+        row0 = dt_ref[1].astype(jnp.int32)
+        halo_lo = dt_ref[2].astype(jnp.int32)
+        halo_hi = dt_ref[3].astype(jnp.int32)
+    else:
+        row0 = jnp.int32(0)
+        halo_lo = halo_hi = jnp.int32(1)
     g = jnp.float32(GRAVITY)
 
     # Flux compute restricted to the rows actually consumed: the window
@@ -338,7 +349,9 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
         # positivity pass (Audusse donor-cell scaling,
         # operator._apply_positivity_limit) runs in-kernel over the tile:
         # the widened slabs below cover every donor's four faces.
-        t_row0 = t * ty  # global row of the first interior row
+        # global row of the tile's first interior row (t*ty local + the
+        # strip offset; 0 on the single-device stepper)
+        t_row0 = t * ty + row0
         # q slab rows [5, 11+ty) -> gradients rows [6, 10+ty) -> faces:
         #   x-faces rows [7, 9+ty), y-faces between rows [6, 9+ty)
         g0 = slice(1, 5 + ty)  # gradient rows within the q slab
@@ -351,7 +364,13 @@ def _kernel(dt_ref, h_hbm, hu_hbm, hv_hbm, dzx_hbm, dzy_hbm, mann_hbm,
             jax.lax.broadcasted_iota(jnp.int32, (6 + ty, nxp), 0)
             + (t_row0 - 3)
         )
-        in_slab = (srow >= -1) & (srow <= ny)
+        # valid rows: within the global domain's ghost frame AND within
+        # the strip's FILLED rows (row0 - halo_lo .. row0 + nyl + halo_hi
+        # - 1); on a single device both bounds reduce to [-1, ny]
+        nyl_rows = pl.num_programs(0) * ty
+        lo_row = jnp.maximum(row0 - halo_lo, -1)
+        hi_row = jnp.minimum(row0 + nyl_rows - 1 + halo_hi, ny)
+        in_slab = (srow >= lo_row) & (srow <= hi_row)
         q3 = [jnp.where(in_slab, qq[slot, 5:11 + ty, :], 0.0)
               for qq in (hw, huw, hvw)]
         nx_ = nxp - 2 * GC
@@ -1002,6 +1021,8 @@ def make_sharded_fused_structured_stepper(
     scheme: str = "euler", with_src: bool = False, interpret: bool = False,
     num_tracers: int = 0, num_sediment: int = 0, sed_params=None,
     riemann: str = "roe", accumulate: bool = False,
+    second_order: bool = False, limiter: str = "minmod",
+    positivity: bool = True,
 ):
     """Row-strip-sharded fused structured stepper.
 
@@ -1051,6 +1072,11 @@ def make_sharded_fused_structured_stepper(
         from ..tracer.sources import SedimentParams
 
         sed_params = SedimentParams()
+    if second_order and nt:
+        raise ValueError(
+            "fused raster MUSCL is flow-only (the twin rejects "
+            "second_order + tracers too)"
+        )
 
     def _mk_kernel(emit_rhs):
         return functools.partial(
@@ -1061,6 +1087,10 @@ def make_sharded_fused_structured_stepper(
             nt=nt, num_sediment=int(num_sediment),
             sed_params=tuple(sed_params) if nt else None,
             upwind=riemann == "upwind_roe",
+            # MUSCL masks see GLOBAL rows: the strip offset/halo extents
+            # ride in the prefetched dt array (rows [1:4])
+            second_order=bool(second_order), limiter=limiter,
+            positivity=bool(positivity), ny=ny,
         )
 
     kernel = _mk_kernel(False)
@@ -1111,22 +1141,17 @@ def make_sharded_fused_structured_stepper(
     bwd = [(i + 1, i) for i in range(n_shards - 1)]
     r0, r1 = ty, ty + nyl
 
+    # halo depth: first order needs the 1-row ghost frame; MUSCL +
+    # Audusse positivity need 3 real neighbor rows at interior strip
+    # boundaries (gradient of the halo cell row0-1 reads row0-3 through
+    # its S-face drain; BASELINE.md round 5)
+    HR = 3 if second_order else 1
+
     def exchange_and_fill(h, hu, hv, hc=None, bc_local=None):
         """Wall ghosts from the local strip + strip-boundary rows from the
         neighbor shards (the DMGlobalToLocal halo exchange of the
-        reference's RHS evaluation, rdysetup.c:1133-1134, as two
-        single-row ppermutes over ICI)."""
-        up = down = None
-        if n_shards > 1:
-            parts = [h[r1 - 1], hu[r1 - 1], hv[r1 - 1]]
-            partsb = [h[r0], hu[r0], hv[r0]]
-            if nt:
-                parts += [hc[j, r1 - 1] for j in range(nt)]
-                partsb += [hc[j, r0] for j in range(nt)]
-            top_int = jnp.stack(parts)
-            bot_int = jnp.stack(partsb)
-            up = jax.lax.ppermute(top_int, axis_name, fwd)
-            down = jax.lax.ppermute(bot_int, axis_name, bwd)
+        reference's RHS evaluation, rdysetup.c:1133-1134, as two HR-row
+        ppermutes over ICI)."""
         if nt:
             h, hu, hv, hc = fill_ghost_frame(
                 local_plan, h, hu, hv, bc_local, hc
@@ -1134,21 +1159,39 @@ def make_sharded_fused_structured_stepper(
         else:
             h, hu, hv = fill_ghost_frame(local_plan, h, hu, hv, bc_local)
         if n_shards > 1:
+            # rows are exchanged AFTER the wall fill so halo rows carry
+            # the sender's CURRENT left/right ghost columns (the MUSCL
+            # positivity donors at halo rows read their wall faces; the
+            # interior columns are identical either way). The receiver's
+            # r0-1 frame fill is then overwritten by the real neighbor
+            # row, exactly matching the single-device ghost frame.
+            parts = [h[r1 - HR:r1], hu[r1 - HR:r1], hv[r1 - HR:r1]]
+            partsb = [h[r0:r0 + HR], hu[r0:r0 + HR], hv[r0:r0 + HR]]
+            if nt:
+                parts += [hc[j, r1 - HR:r1] for j in range(nt)]
+                partsb += [hc[j, r0:r0 + HR] for j in range(nt)]
+            top_int = jnp.stack(parts)
+            bot_int = jnp.stack(partsb)
+            up = jax.lax.ppermute(top_int, axis_name, fwd)
+            down = jax.lax.ppermute(bot_int, axis_name, bwd)
+        if n_shards > 1:
             idx = jax.lax.axis_index(axis_name)
             not_first = idx > 0
             not_last = idx < n_shards - 1
-            h = h.at[r0 - 1].set(jnp.where(not_first, up[0], h[r0 - 1]))
-            hu = hu.at[r0 - 1].set(jnp.where(not_first, up[1], hu[r0 - 1]))
-            hv = hv.at[r0 - 1].set(jnp.where(not_first, up[2], hv[r0 - 1]))
-            h = h.at[r1].set(jnp.where(not_last, down[0], h[r1]))
-            hu = hu.at[r1].set(jnp.where(not_last, down[1], hu[r1]))
-            hv = hv.at[r1].set(jnp.where(not_last, down[2], hv[r1]))
+            lo = slice(r0 - HR, r0)
+            hi = slice(r1, r1 + HR)
+            h = h.at[lo].set(jnp.where(not_first, up[0], h[lo]))
+            hu = hu.at[lo].set(jnp.where(not_first, up[1], hu[lo]))
+            hv = hv.at[lo].set(jnp.where(not_first, up[2], hv[lo]))
+            h = h.at[hi].set(jnp.where(not_last, down[0], h[hi]))
+            hu = hu.at[hi].set(jnp.where(not_last, down[1], hu[hi]))
+            hv = hv.at[hi].set(jnp.where(not_last, down[2], hv[hi]))
             if nt:
-                hc = hc.at[:, r0 - 1].set(
-                    jnp.where(not_first, up[3:], hc[:, r0 - 1])
+                hc = hc.at[:, lo].set(
+                    jnp.where(not_first, up[3:], hc[:, lo])
                 )
-                hc = hc.at[:, r1].set(
-                    jnp.where(not_last, down[3:], hc[:, r1])
+                hc = hc.at[:, hi].set(
+                    jnp.where(not_last, down[3:], hc[:, hi])
                 )
         if nt:
             return h, hu, hv, hc
@@ -1261,7 +1304,20 @@ def make_sharded_fused_structured_stepper(
             else:
                 st, tt, cmax = carry
             dt_i = jnp.maximum(jnp.minimum(dt, t_end - tt), 0.0)
-            dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
+            if second_order:
+                # global strip offset + filled-halo extents for the
+                # kernel's MUSCL/positivity masks (dt_ref rows 1:4)
+                idx_ = jax.lax.axis_index(axis_name)
+                row0_f = (idx_ * nyl).astype(jnp.float32)
+                lo_f = jnp.where(idx_ > 0, 3.0, 1.0).astype(jnp.float32)
+                hi_f = jnp.where(
+                    idx_ < n_shards - 1, 3.0, 1.0
+                ).astype(jnp.float32)
+                dt_arr = jnp.stack(
+                    [dt_i.astype(jnp.float32), row0_f, lo_f, hi_f]
+                )
+            else:
+                dt_arr = jnp.reshape(dt_i.astype(jnp.float32), (1,))
             if accumulate:
                 # dt-weighted accounting of the PRE-STEP strip state
                 # (xdmf_output.c:179-241 / time_series.c:464-506 at any

@@ -613,12 +613,11 @@ class Simulation:
             # advects tracers in-kernel (round 4); the XLA structured
             # path does not
             unsupported.append("tracers/sediment")
-        if cfg.numerics.second_order and not (
-            kind == "fused_structured" and cfg.parallel.n_devices <= 1
-        ):
+        if cfg.numerics.second_order and kind != "fused_structured":
             # the fused kernel reconstructs MUSCL faces in-kernel (round
-            # 4); the XLA structured path and the sharded strips (which
-            # would need a 2-row ppermute halo) do not
+            # 4; round 5 also on the row-strip sharded variant via a
+            # 3-row ppermute halo + global-row masks); the XLA structured
+            # path does not
             unsupported.append("second_order")
         if cfg.physics.flow.well_balancing not in (None, "", "none"):
             unsupported.append("well_balancing")
@@ -813,6 +812,9 @@ class Simulation:
                     num_sediment=self.num_sediment,
                     riemann=cfg.numerics.riemann,
                     accumulate=accum,
+                    second_order=cfg.numerics.second_order,
+                    limiter=cfg.numerics.limiter,
+                    positivity=self.operator.positivity_limit,
                 )
                 shrd = NamedSharding(
                     dm, PartitionSpec(cfg.parallel.axis_name, None, None)
@@ -936,6 +938,9 @@ class Simulation:
                 num_sediment=self.num_sediment,
                 riemann=self.config.numerics.riemann,
                 accumulate=st.get("accumulate", False),
+                second_order=self.config.numerics.second_order,
+                limiter=self.config.numerics.limiter,
+                positivity=self.operator.positivity_limit,
             )
             return
         bflux_fn = None

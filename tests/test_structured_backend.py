@@ -559,3 +559,46 @@ def test_fused_structured_sharded_rk4_bitwise():
 
     np.testing.assert_array_equal(sim.get_solution(), ref.get_solution())
     assert sim.prev_max_courant == ref.prev_max_courant
+
+
+@pytest.mark.parametrize("limiter", ["minmod", "van_leer"])
+def test_fused_structured_sharded_second_order(limiter):
+    """VERDICT r4 #6c: MUSCL second order on the ROW-STRIP SHARDED fused
+    kernel — a 3-row ppermute halo (gradients + Audusse positivity donors
+    at strip boundaries need 3 real neighbor rows) and global-row masks
+    threaded through the prefetched dt array — matches the single-device
+    fused MUSCL kernel."""
+    def z_fn(x, y):
+        return 0.05 * np.sin(x) * np.cos(y)
+
+    mesh = structured_quad(128, 32, 0, 32, 0, 8, z_fn=z_fn)
+    q0 = _dam_ic(mesh)
+
+    def run(n_devices):
+        cfg = _cfg("fused_structured", temporal="ssprk2")
+        cfg.numerics.second_order = True
+        cfg.numerics.limiter = limiter
+        cfg.parallel.n_devices = n_devices
+        cfg.validate()
+        sim = Simulation(cfg, mesh=mesh)
+        if n_devices > 1:
+            assert sim._structured["kind"] == "fused_sharded"
+        sim.set_solution(q0)
+        sim.run()
+        return sim
+
+    ref = run(0)
+    sim = run(4)
+    q_ref = np.asarray(ref.get_solution())
+    q_got = np.asarray(sim.get_solution())
+    rel = np.abs(q_got - q_ref) / (1.0 + np.abs(q_ref))
+    assert rel.max() < 2e-6, rel.max()
+    assert sim.prev_max_courant == pytest.approx(
+        ref.prev_max_courant, rel=1e-6
+    )
+    # second order actually engaged (differs from the first-order run)
+    cfg1 = _cfg("fused_structured", temporal="ssprk2")
+    sim1 = Simulation(cfg1, mesh=mesh)
+    sim1.set_solution(q0)
+    sim1.run()
+    assert np.abs(q_ref - np.asarray(sim1.get_solution())).max() > 1e-6
