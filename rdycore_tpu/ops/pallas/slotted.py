@@ -430,6 +430,10 @@ def build_slotted_plan_aligned(
     ir_s = irk[o_sel]
 
     ntiles = -(-ntiles_real // GT) * GT
+    # diagnostic: pad with inert tiles (perf experiments — inert tiles
+    # compute garbage fluxes nothing consumes)
+    ntiles = max(ntiles, -(-int(
+        _os.environ.get("RDYTPU_PAD_NTILES", 0)) // GT) * GT)
     ws_rows = np.concatenate([
         ws_tile,
         np.full(ntiles - ntiles_real, ws_tile[-1], ws_tile.dtype),
@@ -1860,6 +1864,10 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
         -(-needL // GTn), -(-needR // (GTn * rp))
     ).astype(np.int64) - 1
     g_need = np.maximum(g_need, 0)
+    # scheduling slack: run each cell group D edge-steps AFTER the
+    # earliest covering step, so its ring reads never stall on the edge
+    # frontier (the rings grow by D*GT supers to compensate)
+    g_need = g_need + int(_os.environ.get("RDYTPU_SCHED_DELAY", 0))
     # s(ct) = max(g_need[ct], s(ct-1)+1), vectorized as a running max of
     # (g_need - arange) + arange
     ar = np.arange(ncgrp, dtype=np.int64)
@@ -1870,6 +1878,10 @@ def build_fused_schedule(plan: SlottedPlan, cp: CellPlan,
     frontR = np.minimum((s + 1) * GTn * rp, totR)
     nringL = max(int((frontL - gL_lo).max()), GTn)
     nringR = max(int((frontR - gR_lo).max()), GTn * rp)
+    # diagnostic knobs (perf experiments only; larger rings are always
+    # semantically safe — reads wrap later)
+    nringL = max(nringL, int(_os.environ.get("RDYTPU_MIN_NRINGL", 0)))
+    nringR = max(nringR, int(_os.environ.get("RDYTPU_MIN_NRINGR", 0)))
     if nringL > max_ring or nringR > max_ring:
         _plan_debug(
             f"fused rings exceed cap: {nringL}/{nringR} > {max_ring}"
@@ -2009,6 +2021,15 @@ def _edge_phase_tiles(t, slot, qbuf, e8_ref, ef_ref, ws_ref, ws_row,
 def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
                  wk_col, *, KL, KR, ndof, nsupL_ks, nsupR_ks, nringL,
                  nringR, ident_l=False):
+    # the identity fast path is OPT-IN (RDYTPU_IDENT_FAST=1): measured
+    # on-chip it SERIALIZES the step kernel's DMA pipeline (floor 0.20 ->
+    # 0.55 s/500 at 2.88M) even though it removes the row-pick/select
+    # work — and the generic chain's cost turns out to be a fixed
+    # ~3.5 us per cell phase INDEPENDENT of chain length (6, 14, and 19
+    # unrolled iterations all measure 0.31 s/500), so there is nothing
+    # for the fast path to win. BASELINE.md round 5.
+    if not _os.environ.get("RDYTPU_IDENT_FAST"):
+        ident_l = False
     """One GT-tile's flux divergence gathered from the VMEM rings (shared
     by the fused-RHS and fused-STEP cell phases).
 

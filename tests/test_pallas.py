@@ -855,6 +855,9 @@ def test_aligned_layout_matches_xla(monkeypatch):
     from rdycore_tpu.timestepping import make_interval_advancer
 
     monkeypatch.setenv("RDYTPU_LAYOUT", "aligned")
+    # also exercise the identity fast-path kernel branch (opt-in on TPU:
+    # it serializes the step kernel's pipeline there, BASELINE.md)
+    monkeypatch.setenv("RDYTPU_IDENT_FAST", "1")
     mesh = structured_quad(48, 40)
     C = mesh.num_cells
     op = build_operator(
