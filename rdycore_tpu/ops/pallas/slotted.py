@@ -2070,6 +2070,8 @@ def _gt_ring_div(ringL, ringR, sL_all, sR_all, cf_ref, r8, wkL_ref, wkR_ref,
             # bandwidth); zero-coef padding entries read window row 0
             # harmlessly
             sup = s_all[k, r8]
+            if _os.environ.get("RDYTPU_LAZY_WIDEN"):
+                sup = sup.astype(jnp.int32)
             cf = cf_ref[k0 + k, r8]
             gats = [jnp.zeros((8, 128), jnp.float32) for _ in range(ndof)]
 
@@ -2205,7 +2207,10 @@ def _fused_kernel(gws_ref, eg_ref, cg_ref, doc_ref,
         wk_base = (
             jax.lax.rem(cgi, jnp.int32(8)) if smem_blocked else cgi
         ) * GT
-        c8_all = c8_ref[:].astype(jnp.int32)
+        c8_all = (
+            c8_ref[:] if _os.environ.get("RDYTPU_LAZY_WIDEN")
+            else c8_ref[:].astype(jnp.int32)
+        )
         sL_all = c8_all[:KL]
         sR_all = c8_all[KL:]
         for gt in range(GT):
@@ -2566,7 +2571,10 @@ def _fused_step_kernel(gws_ref, eg_ref, cg_ref, doc_ref, co_ref, scal_ref,
             wk_base = (
                 jax.lax.rem(cgi, jnp.int32(8)) if smem_blocked else cgi
             ) * GT
-            c8_all = c8_ref[:].astype(jnp.int32)
+            c8_all = (
+            c8_ref[:] if _os.environ.get("RDYTPU_LAZY_WIDEN")
+            else c8_ref[:].astype(jnp.int32)
+        )
             sL_all = c8_all[:KL]
             sR_all = c8_all[KL:]
             for gt in range(GT):
